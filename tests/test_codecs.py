@@ -1,0 +1,193 @@
+"""Codec unit tests: encode→decode == identity on adversarial blocks.
+
+Mirrors the reference's round-trip test strategy (tests/test_integration.py
+asserts exact array equality column-by-column via libsonata; here the
+assertion is Arrow-array equality per codec). FIXTURES.md §1 lists the
+adversarial cases covered below.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkcodec.codecs import decode_array, encode_array
+from sparkcodec.codecs.primitives import (
+    pack_uints,
+    run_expand,
+    run_split,
+    unpack_uints,
+)
+
+rng = np.random.default_rng(42)
+
+INT_CASES = {
+    "empty": np.zeros(0, np.int64),
+    "single": np.array([7], np.int64),
+    "all_identical": np.full(1000, 42, np.int64),
+    "all_distinct": np.arange(5000, dtype=np.int64),
+    "runs": np.repeat(np.arange(50, dtype=np.int64), 100),
+    "negative": rng.integers(-(2**40), 2**40, 3000).astype(np.int64),
+    "full_range": np.array([-(2**63), 2**63 - 1, 0, -1, 1], np.int64),
+    "long_run": np.repeat(np.int64(3), 70000),
+    "small_nonneg": rng.integers(0, 16, 4000).astype(np.int64),
+}
+
+STR_CASES = {
+    "empty": [],
+    "single": ["hello"],
+    "empty_strings": ["", "", ""],
+    "all_identical": ["same"] * 500,
+    "low_card": [f"lang{i % 7}" for i in range(2000)],
+    "runs": sum(([f"v{i}"] * 37 for i in range(30)), []),
+    "all_distinct": [f"path/to/file_{i}.py" for i in range(3000)],
+    "non_ascii": ["héllo wörld", "日本語テキスト", "emoji 🎉🎊", "", "mixed é日🎉"] * 50,
+    "over_255_symbols": [bytes([i % 256, (i * 7) % 256]).decode("latin1") for i in range(1000)],
+    "big": ["def f():\n    return 42\n" * 200] * 20,
+    "code_like": [
+        "import numpy as np\n\ndef main(argv):\n    return np.sum(argv)\n" * (i % 9 + 1)
+        for i in range(300)
+    ],
+}
+
+
+def _roundtrip(arr: pa.Array, spec: str):
+    payload, meta = encode_array(arr, spec)
+    assert isinstance(payload, bytes)
+    import json
+
+    json.dumps(meta)  # meta must stay JSON-serializable
+    out = decode_array(payload, meta)
+    assert out.cast(arr.type).equals(arr), f"{spec} mismatch"
+    return payload, meta
+
+
+@pytest.mark.parametrize("case", list(INT_CASES))
+@pytest.mark.parametrize("spec", ["raw", "for", "rle", "for+zlib", "rle+zlib"])
+def test_int_roundtrip(case, spec):
+    vals = INT_CASES[case]
+    _roundtrip(pa.array(vals, type=pa.int64()), spec)
+
+
+@pytest.mark.parametrize("case", ["all_identical", "runs", "small_nonneg", "empty"])
+def test_bitpack_roundtrip(case):
+    _roundtrip(pa.array(INT_CASES[case], type=pa.int64()), "bitpack")
+
+
+def test_bitpack_rejects_negative():
+    with pytest.raises(ValueError):
+        encode_array(pa.array([-1, 2], type=pa.int64()), "bitpack")
+
+
+@pytest.mark.parametrize("t", [pa.int8(), pa.int16(), pa.int32(), pa.uint16(), pa.date32()])
+def test_narrow_int_types(t):
+    vals = [0, 1, 2, 100, 127]
+    _roundtrip(pa.array(vals, type=t), "for")
+    _roundtrip(pa.array(vals, type=t), "rle")
+
+
+def test_timestamp_roundtrip():
+    arr = pa.array([1, 2, 3, 10**15], type=pa.timestamp("us"))
+    _roundtrip(arr, "for")
+
+
+def test_bool_roundtrip():
+    arr = pa.array([True, False, True, True] * 100, type=pa.bool_())
+    _roundtrip(arr, "rle")
+    _roundtrip(arr, "bitpack")
+
+
+@pytest.mark.parametrize("t", [pa.float32(), pa.float64()])
+def test_float_roundtrip(t):
+    arr = pa.array(rng.normal(size=1000), type=t)
+    _roundtrip(arr, "raw")
+    _roundtrip(arr, "raw+zlib")
+
+
+@pytest.mark.parametrize("case", list(STR_CASES))
+@pytest.mark.parametrize("spec", ["raw", "dict", "fsst", "fsst+zlib", "dict+zlib"])
+def test_string_roundtrip(case, spec):
+    arr = pa.array(STR_CASES[case], type=pa.string())
+    _roundtrip(arr, spec)
+
+
+def test_binary_roundtrip():
+    blobs = [bytes(rng.integers(0, 256, n, dtype=np.uint8)) for n in [0, 1, 100, 5000]]
+    arr = pa.array(blobs, type=pa.binary())
+    for spec in ["raw", "fsst", "dict"]:
+        _roundtrip(arr, spec)
+
+
+def test_nulls_roundtrip():
+    arr = pa.array([1, None, 3, None, 5], type=pa.int64())
+    _roundtrip(arr, "for")
+    sarr = pa.array(["a", None, "c"], type=pa.string())
+    _roundtrip(sarr, "dict")
+    _roundtrip(sarr, "fsst")
+
+
+def test_dict_compresses_low_cardinality():
+    arr = pa.array([f"lang{i % 5}" for i in range(10000)])
+    p_dict, _ = encode_array(arr, "dict")
+    p_raw, _ = encode_array(arr, "raw")
+    assert len(p_dict) < len(p_raw) / 10
+
+
+def test_rle_compresses_runs():
+    arr = pa.array(np.repeat(np.arange(10, dtype=np.int64), 10000), type=pa.int64())
+    p_rle, _ = encode_array(arr, "rle")
+    p_raw, _ = encode_array(arr, "raw")
+    assert len(p_rle) < len(p_raw) / 100
+
+
+def test_fsst_compresses_code():
+    text = "def function_name(argument):\n    return argument + 1\n" * 40
+    arr = pa.array([text] * 50)
+    p, meta = encode_array(arr, "fsst")
+    p_raw, _ = encode_array(arr, "raw")
+    assert meta["inner" if "inner" in meta else "c"]
+    assert len(p) < len(p_raw) / 2, (len(p), len(p_raw))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), max_size=300))
+def test_int_roundtrip_property(xs):
+    arr = pa.array(np.array(xs, dtype=np.int64) if xs else np.zeros(0, np.int64), type=pa.int64())
+    for spec in ["for", "rle"]:
+        payload, meta = encode_array(arr, spec)
+        assert decode_array(payload, meta).equals(arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=200), max_size=100))
+def test_string_roundtrip_property(xs):
+    arr = pa.array(xs, type=pa.string())
+    for spec in ["dict", "fsst", "raw"]:
+        payload, meta = encode_array(arr, spec)
+        assert decode_array(payload, meta).cast(pa.string()).equals(arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**50), min_size=0, max_size=200),
+    st.integers(1, 64),
+)
+def test_pack_uints_property(xs, extra_w):
+    vals = np.array(xs, dtype=np.uint64)
+    w = max(int(vals.max()).bit_length() if len(vals) else 0, 1)
+    w = min(max(w, extra_w % 64 + 1), 64)
+    if len(vals) and int(vals.max()).bit_length() > w:
+        vals = vals >> np.uint64(64 - w)
+    buf = pack_uints(vals, w)
+    out = unpack_uints(buf, len(vals), w)
+    assert np.array_equal(out, vals)
+
+
+def test_run_split_expand():
+    vals = np.array([5, 5, 5, 2, 2, 9], dtype=np.int64)
+    rv, rl = run_split(vals)
+    assert rv.tolist() == [5, 2, 9] and rl.tolist() == [3, 2, 1]
+    assert np.array_equal(run_expand(rv, rl), vals)

@@ -1,0 +1,475 @@
+"""encode_table / decode_table — the Spark jobs at the heart of the engine.
+
+Physical layout of an encoded table at ``out_dir``:
+
+    _table_meta.json                     # schema, config, key columns
+    blocks/col=<column>/part_<id>.parquet   # one blocks file per (column, part)
+    blocks/col=_checkpoint/part_<id>.parquet# lineage row, written LAST per part
+
+Each blocks file holds rows ``(col, part_id, block_id, codec, n_rows,
+raw_bytes, enc_bytes, meta json, payload binary)``. This is the Spark
+translation of the reference's one-HDF5-dataset-per-column layout
+(src/circuit/sonata_file.cpp:45-65) with block addressing replacing the
+MPI global-offset choreography (src/parquet2hdf5.cpp:97-110): blocks are
+independent, so no collective "create datasets up front" step exists and
+an atomic per-part rename + checkpoint-last protocol replaces it.
+
+Scale design:
+- logical partition = hash(cluster_key) ⊕ salt, where giant cluster keys
+  (e.g. one repo with 30% of rows) get a per-key salt fan-out derived
+  from a cheap count aggregation — explicit skew defusal (north rule);
+- rows are sorted within partitions by the cluster/sort key so dict/RLE
+  see runs (the reference gets this for free from its per-neuron input
+  order, src/touches/touch_reader.cpp:79-145);
+- the encode kernel is one ``mapInArrow`` pass: payloads never transit a
+  shuffle or the driver — each task writes its parts' block files
+  directly and emits only tiny summary rows;
+- decode parallelism = parts; each task reads whole per-column files
+  (no shuffle), prunes columns at the file level, and emits Arrow
+  batches block-group by block-group;
+- resume = skip parts whose checkpoint file exists (per-partition
+  checkpoints with lineage, north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codecs import decode_array, encode_array
+from .codecs.api import type_name
+from .select import choose_codec
+
+PART_COL = "__sc_part"
+FILE_COL = "__sc_file"
+CHECKPOINT_COL = "_checkpoint"
+
+BLOCKS_ARROW_SCHEMA = pa.schema(
+    [
+        ("col", pa.string()),
+        ("part_id", pa.int32()),
+        ("block_id", pa.int32()),
+        ("codec", pa.string()),
+        ("n_rows", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("meta", pa.string()),
+        ("payload", pa.large_binary()),
+    ]
+)
+
+SUMMARY_SPARK_SCHEMA = (
+    "part_id int, n_rows long, n_blocks int, raw_bytes long, enc_bytes long, "
+    "wall_ms double, lineage string"
+)
+
+
+# ---------------------------------------------------------------------------
+# partition assignment (skew-aware, deterministic)
+
+
+def assign_partitions(
+    df: DataFrame,
+    num_parts: int,
+    cluster_by: list[str] | None,
+    salt_by: list[str] | None,
+    target_part_rows: int,
+) -> DataFrame:
+    """Add PART_COL: a deterministic, skew-defused logical partition id.
+
+    part = pmod(xxhash64(cluster_key) * PRIME + salt, P) with
+    salt = pmod(xxhash64(salt_key), fanout(cluster_key)) and
+    fanout = ceil(count(cluster_key) / target_part_rows) from a cheap
+    pre-aggregation (broadcast-joined). Small cluster keys stay fully
+    co-located (runs for dict/RLE); giant ones spread over exactly the
+    number of parts their row count requires.
+    """
+    cols = df.columns
+    if not cluster_by or not all(c in cols for c in cluster_by):
+        key = [F.col(c) for c in (salt_by or cols) if c in cols] or [F.lit(0)]
+        return df.withColumn(PART_COL, F.pmod(F.xxhash64(*key), F.lit(num_parts)).cast("int"))
+    salt_cols = [c for c in (salt_by or []) if c in cols] or [c for c in cols if c not in cluster_by]
+    counts = df.groupBy(*cluster_by).agg(F.count(F.lit(1)).alias("__cnt"))
+    fanout = counts.withColumn(
+        "__fanout", F.greatest(F.lit(1), F.ceil(F.col("__cnt") / F.lit(target_part_rows))).cast("long")
+    ).drop("__cnt")
+    joined = df.join(F.broadcast(fanout), on=cluster_by, how="left")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.col("__fanout"))
+    # hash(cluster_key, salt): same key+salt -> same part; a key with
+    # fanout f spreads over exactly f distinct parts (overflow-safe under
+    # ANSI mode, unlike hash*prime+salt arithmetic)
+    part = F.pmod(
+        F.xxhash64(*[F.col(c) for c in cluster_by], salt), F.lit(num_parts)
+    ).cast("int")
+    return joined.withColumn(PART_COL, part).drop("__fanout")
+
+
+# ---------------------------------------------------------------------------
+# encode
+
+
+def _part_file(out_dir: str, col: str, part_id: int) -> str:
+    return os.path.join(out_dir, "blocks", f"col={col}", f"part_{part_id:06d}.parquet")
+
+
+def _atomic_write_blocks(path: str, rows: list[dict]) -> int:
+    """Write one (column, part) blocks file via tmp+rename; returns bytes."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    table = pa.Table.from_pylist(rows, schema=BLOCKS_ARROW_SCHEMA)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp, compression="none")  # payloads are pre-compressed
+    size = os.path.getsize(tmp)
+    os.replace(tmp, path)
+    return size
+
+
+def _encode_one_part(
+    part_id: int,
+    batches: list[pa.RecordBatch],
+    data_cols: list[str],
+    out_dir: str,
+    block_rows: int,
+    block_bytes: int,
+    input_files: set[str],
+) -> dict:
+    """Encode all columns of one logical partition and commit its files."""
+    t0 = time.time()
+    table = pa.Table.from_batches(batches)
+    n = table.num_rows
+    specs: dict[str, str] = {}
+    part_raw = part_enc = 0
+    n_blocks = 0
+    sym_sha = {}
+    for col in data_cols:
+        arr = table.column(col).combine_chunks()
+        spec, fsst_table = choose_codec(arr)
+        specs[col] = spec
+        rows_out: list[dict] = []
+        pos = 0
+        block_id = 0
+        while pos < n or (n == 0 and block_id == 0):
+            # size the block: row cap, then shrink if byte estimate blows up
+            take = min(block_rows, n - pos)
+            sl = arr.slice(pos, take)
+            if take and sl.nbytes > block_bytes and take > 1:
+                frac = max(1, int(take * block_bytes / sl.nbytes))
+                sl = arr.slice(pos, frac)
+                take = frac
+            payload, meta = encode_array(sl, spec, fsst_table=fsst_table)
+            rows_out.append(
+                {
+                    "col": col,
+                    "part_id": part_id,
+                    "block_id": block_id,
+                    "codec": spec,
+                    "n_rows": len(sl),
+                    "raw_bytes": sl.nbytes,
+                    "enc_bytes": len(payload),
+                    "meta": json.dumps(meta, separators=(",", ":")),
+                    "payload": payload,
+                }
+            )
+            part_raw += sl.nbytes
+            part_enc += len(payload)
+            block_id += 1
+            pos += take
+            if n == 0:
+                break
+        if fsst_table is not None and spec.startswith("fsst"):
+            sym_sha[col] = fsst_table.sha[:16]
+        n_blocks += block_id
+        _atomic_write_blocks(_part_file(out_dir, col, part_id), rows_out)
+
+    lineage = {
+        "part_id": part_id,
+        "n_rows": n,
+        "codecs": specs,
+        "symbol_tables": sym_sha,
+        "raw_bytes": part_raw,
+        "enc_bytes": part_enc,
+        "input_files": sorted(f for f in input_files if f),
+        "engine_version": "0.1.0",
+    }
+    # checkpoint file LAST: its existence marks the part durably complete
+    _atomic_write_blocks(
+        _part_file(out_dir, CHECKPOINT_COL, part_id),
+        [
+            {
+                "col": CHECKPOINT_COL,
+                "part_id": part_id,
+                "block_id": 0,
+                "codec": "",
+                "n_rows": n,
+                "raw_bytes": part_raw,
+                "enc_bytes": part_enc,
+                "meta": json.dumps(lineage, separators=(",", ":")),
+                "payload": b"",
+            }
+        ],
+    )
+    return {
+        "part_id": part_id,
+        "n_rows": n,
+        "n_blocks": n_blocks,
+        "raw_bytes": part_raw,
+        "enc_bytes": part_enc,
+        "wall_ms": (time.time() - t0) * 1000.0,
+        "lineage": json.dumps(lineage, separators=(",", ":")),
+    }
+
+
+def _make_encode_kernel(data_cols, out_dir, block_rows, block_bytes):
+    def kernel(batches):
+        cur_part = None
+        buf: list[pa.RecordBatch] = []
+        files: set[str] = set()
+        summaries: list[dict] = []
+
+        def flush():
+            if cur_part is not None and buf:
+                summaries.append(
+                    _encode_one_part(
+                        cur_part, buf, data_cols, out_dir, block_rows, block_bytes, files
+                    )
+                )
+
+        for batch in batches:
+            parts = batch.column(PART_COL).to_numpy()
+            fnames = batch.column(FILE_COL)
+            data = batch.select(data_cols)
+            # split the batch at part boundaries (input sorted by PART_COL)
+            bounds = np.flatnonzero(np.diff(parts)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(parts)]])
+            for s, e in zip(starts, ends):
+                pid = int(parts[s])
+                if pid != cur_part:
+                    flush()
+                    cur_part, buf, files = pid, [], set()
+                buf.append(data.slice(s, e - s))
+                fv = fnames[s].as_py()
+                if fv:
+                    files.add(fv)
+        flush()
+        if summaries:
+            yield pa.RecordBatch.from_pylist(
+                summaries,
+                schema=pa.schema(
+                    [
+                        ("part_id", pa.int32()),
+                        ("n_rows", pa.int64()),
+                        ("n_blocks", pa.int32()),
+                        ("raw_bytes", pa.int64()),
+                        ("enc_bytes", pa.int64()),
+                        ("wall_ms", pa.float64()),
+                        ("lineage", pa.string()),
+                    ]
+                ),
+            )
+
+    return kernel
+
+
+def completed_parts(out_dir: str) -> set[int]:
+    d = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for f in os.listdir(d):
+        if f.startswith("part_") and f.endswith(".parquet"):
+            out.add(int(f[len("part_") : -len(".parquet")]))
+    return out
+
+
+def encode_table(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    *,
+    num_parts: int | None = None,
+    cluster_by: list[str] | None = None,
+    salt_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    block_rows: int = 65536,
+    block_bytes: int = 32 << 20,
+    target_part_rows: int = 262_144,
+    resume: bool = True,
+) -> dict:
+    """Encode ``df`` into a blocks table at ``out_dir``; returns metrics.
+
+    Defaults fit the code_files shape: cluster by ``repo``, salt by
+    ``(path, commit)``, sort by the full key for deterministic output.
+    """
+    cols = df.columns
+    if cluster_by is None and "repo" in cols:
+        cluster_by = ["repo"]
+    if salt_by is None:
+        salt_by = [c for c in ("path", "commit") if c in cols] or None
+    if sort_by is None:
+        sort_by = (cluster_by or []) + (salt_by or [])
+
+    if num_parts is None:
+        approx_rows = df.count()
+        num_parts = max(1, int(np.ceil(approx_rows / target_part_rows)))
+
+    os.makedirs(out_dir, exist_ok=True)
+    meta = {
+        "schema": {c: type_name(f) for c, f in _spark_schema_arrow(df).items()},
+        "columns": cols,
+        "num_parts": num_parts,
+        "cluster_by": cluster_by,
+        "salt_by": salt_by,
+        "sort_by": sort_by,
+        "block_rows": block_rows,
+        "engine_version": "0.1.0",
+    }
+    with open(os.path.join(out_dir, "_table_meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+
+    work = assign_partitions(df, num_parts, cluster_by, salt_by, target_part_rows)
+    work = work.withColumn(FILE_COL, F.input_file_name())
+
+    done = completed_parts(out_dir) if resume else set()
+    if done:
+        done_df = spark.createDataFrame([(int(p),) for p in sorted(done)], f"{PART_COL} int")
+        work = work.join(F.broadcast(done_df), on=PART_COL, how="left_anti")
+
+    work = work.repartition(num_parts, PART_COL).sortWithinPartitions(PART_COL, *sort_by)
+
+    kernel = _make_encode_kernel(cols, out_dir, block_rows, block_bytes)
+    t0 = time.time()
+    summary = work.mapInArrow(kernel, SUMMARY_SPARK_SCHEMA).collect()
+    wall = time.time() - t0
+
+    rows = [r.asDict() for r in summary]
+    with open(os.path.join(out_dir, "_log.jsonl"), "a") as fh:
+        for r in rows:
+            fh.write(json.dumps({k: v for k, v in r.items()}) + "\n")
+    return {
+        "parts_encoded": len(rows),
+        "parts_skipped": len(done),
+        "n_rows": sum(r["n_rows"] for r in rows),
+        "raw_bytes": sum(r["raw_bytes"] for r in rows),
+        "enc_bytes": sum(r["enc_bytes"] for r in rows),
+        "wall_sec": wall,
+    }
+
+
+def _spark_schema_arrow(df: DataFrame) -> dict:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    sch = to_arrow_schema(df.schema)
+    return {f.name: f.type for f in sch}
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def _make_decode_kernel(out_dir: str, columns: list[str], arrow_schema: pa.Schema):
+    def kernel(batches):
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                per_col = {}
+                n_blocks = 0
+                for col in columns:
+                    t = pq.read_table(_part_file(out_dir, col, pid))
+                    t = t.sort_by("block_id")
+                    per_col[col] = t
+                    n_blocks = max(n_blocks, t.num_rows)
+                for b in range(n_blocks):
+                    arrays = []
+                    for col in columns:
+                        t = per_col[col]
+                        payload = t.column("payload")[b].as_py()
+                        meta = json.loads(t.column("meta")[b].as_py())
+                        arrays.append(decode_array(payload, meta).cast(arrow_schema.field(col).type))
+                    yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return kernel
+
+
+def decode_table(
+    spark: SparkSession,
+    out_dir: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Reconstruct the table (or a column subset — file-level pruning)."""
+    with open(os.path.join(out_dir, "_table_meta.json")) as fh:
+        meta = json.load(fh)
+    columns = columns or meta["columns"]
+    from .codecs.api import _PA_BY_NAME
+
+    arrow_schema = pa.schema([(c, _PA_BY_NAME[meta["schema"][c]]) for c in columns])
+    parts = sorted(completed_parts(out_dir))
+    parts_df = spark.createDataFrame([(p,) for p in parts], "part_id int").repartition(
+        max(1, len(parts))
+    )
+    spark_fields = ", ".join(
+        f"`{c}` {_SPARK_TYPE_OF[meta['schema'][c]]}" for c in columns
+    )
+    return parts_df.mapInArrow(
+        _make_decode_kernel(out_dir, columns, arrow_schema), spark_fields
+    )
+
+
+_SPARK_TYPE_OF = {
+    "i8": "tinyint",
+    "i16": "smallint",
+    "i32": "int",
+    "i64": "long",
+    "u8": "smallint",
+    "u16": "int",
+    "u32": "long",
+    "bool": "boolean",
+    "f32": "float",
+    "f64": "double",
+    "str": "string",
+    "lstr": "string",
+    "bin": "binary",
+    "lbin": "binary",
+    "date32": "date",
+    "ts_us": "timestamp_ntz",
+    "ts_us_utc": "timestamp",
+}
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-partition checkpoint/lineage rows as a DataFrame."""
+    path = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
+    return spark.read.parquet(path).select(
+        "part_id", "n_rows", "raw_bytes", "enc_bytes", F.col("meta").alias("lineage")
+    )
+
+
+def blocks_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-(column, codec) byte accounting over all block files (A7)."""
+    # recursiveFileLookup: the physical files already carry `col`; hive
+    # col= discovery would clash with it
+    path = os.path.join(out_dir, "blocks")
+    df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(
+            "col string, part_id int, block_id int, codec string, n_rows long, "
+            "raw_bytes long, enc_bytes long, meta string, payload binary"
+        )
+        .parquet(path)
+    )
+    return (
+        df.filter(F.col("col") != CHECKPOINT_COL)
+        .groupBy("col", "codec")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+    )

@@ -1,0 +1,130 @@
+"""Stats-driven codec auto-selection with a measured fallback.
+
+The reference hardcodes its physical encoding (Snappy, dictionary off —
+src/touches/parquet_writer.cpp:122-124); the north rule's value-add is
+choosing per column *from data statistics*. Strategy (SURVEY §7.4):
+
+1. cheap vectorized stats on a sample block (cardinality ratio, run
+   count, value range, string length / distinct-byte profile) narrow the
+   candidate list per north-rule routing (low-card → dict+RLE,
+   narrow/monotone ints → FoR+bit-pack, long text → FSST);
+2. every surviving candidate is *actually encoded* on the sample and the
+   smallest wins — statistics route, measurements decide.
+
+Selection runs once per (partition, column) and is recorded in lineage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import encode_array
+from .codecs.api import _FLOAT_LIKE, _INT_LIKE, _STR_LIKE, type_name
+from .codecs.fsst import SymbolTable, build_table
+from .codecs.kernels import string_parts
+
+# page compressor used behind lightweight codecs when it pays off
+DEFAULT_POST = "zlib"
+
+SAMPLE_ROWS = 2048
+SAMPLE_BYTES = 4 << 20
+
+
+def column_stats(arr: pa.Array) -> dict:
+    """Vectorized sample statistics driving candidate routing."""
+    tname = type_name(arr.type)
+    n = len(arr)
+    stats: dict = {"t": tname, "n": n}
+    if n == 0:
+        return stats
+    if arr.null_count:
+        arr = arr.drop_null()
+        n = len(arr)
+        if n == 0:
+            return stats
+    if tname in _STR_LIKE:
+        lens, blob = string_parts(arr)
+        card = len(arr.unique())
+        stats.update(
+            card=card,
+            card_ratio=card / n,
+            avg_len=float(lens.mean()) if n else 0.0,
+            total_bytes=int(lens.sum()),
+        )
+    elif tname in _INT_LIKE:
+        from .codecs.api import _to_int64
+
+        v = _to_int64(arr)
+        runs = int(np.count_nonzero(v[1:] != v[:-1]) + 1) if n > 1 else n
+        stats.update(
+            vmin=int(v.min()),
+            vmax=int(v.max()),
+            runs=runs,
+            run_ratio=runs / n,
+        )
+    return stats
+
+
+def candidates_for(stats: dict) -> list[str]:
+    """North-rule routing: stats → candidate codec specs (ordered)."""
+    tname = stats["t"]
+    if stats.get("n", 0) == 0:
+        return ["raw"]
+    if tname in _STR_LIKE:
+        out = []
+        if stats.get("card_ratio", 1.0) <= 0.5:
+            out.append("dict")  # low-cardinality: lang, repo, commit
+            out.append(f"dict+{DEFAULT_POST}")
+        if stats.get("avg_len", 0) >= 16:
+            out.append(f"fsst+{DEFAULT_POST}")  # long text: content
+            out.append("fsst")
+        out.append(f"raw+{DEFAULT_POST}")
+        return out
+    if tname in _INT_LIKE:
+        out = []
+        if stats.get("run_ratio", 1.0) <= 0.5:
+            out.append("rle")
+        out.append("for")
+        if stats.get("run_ratio", 1.0) > 0.3:
+            out.append(f"for+{DEFAULT_POST}")
+        return out
+    if tname in _FLOAT_LIKE:
+        return [f"raw+{DEFAULT_POST}", "raw"]
+    return ["raw"]
+
+
+def sample_block(arr: pa.Array) -> pa.Array:
+    """Bounded head sample of a block for measurement."""
+    s = arr.slice(0, SAMPLE_ROWS)
+    if s.nbytes > SAMPLE_BYTES:
+        # long strings: take fewer rows
+        k = max(8, int(SAMPLE_ROWS * SAMPLE_BYTES / s.nbytes))
+        s = arr.slice(0, k)
+    return s
+
+
+def choose_codec(
+    arr: pa.Array, fsst_table: SymbolTable | None = None
+) -> tuple[str, SymbolTable | None]:
+    """Pick the codec spec for a column by measuring candidates on a sample.
+
+    Returns (spec, fsst_table) — the table is built here (once per
+    partition) when FSST is a candidate, so blocks can share it.
+    """
+    sample = sample_block(arr)
+    stats = column_stats(sample)
+    cands = candidates_for(stats)
+    needs_fsst = any(c.startswith("fsst") for c in cands)
+    if needs_fsst and fsst_table is None:
+        lens, blob = string_parts(sample if sample.null_count == 0 else sample.fill_null(""))
+        fsst_table = build_table(lens, blob)
+    best_spec, best_size = None, None
+    for spec in cands:
+        try:
+            payload, _ = encode_array(sample, spec, fsst_table=fsst_table)
+        except (ValueError, TypeError):
+            continue
+        if best_size is None or len(payload) < best_size:
+            best_spec, best_size = spec, len(payload)
+    return best_spec or "raw", fsst_table

@@ -1,0 +1,66 @@
+"""SparkSession factory with the engine's standard local-mode config.
+
+Design-for-scale note: these settings express intent that carries to a
+real cluster (AQE, Arrow exchange, sane shuffle partition counts); the
+local[N] master is only the sandbox stand-in for N executors
+(BASELINE.md §B: local[8] vs local[32] proxies N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# glibc tuning: keep large numpy buffers in the heap arena instead of
+# mmap/munmap per allocation — first-touch page faults in constrained
+# sandboxes make fresh allocations ~40x slower otherwise. Public glibc
+# malloc tunables; harmless where faults are cheap.
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+}
+
+
+def get_spark(
+    cores: int | None = None,
+    app_name: str = "sparkcodec",
+    driver_memory: str = "48g",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession on ``local[cores]``.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all cores. Python workers
+    inherit the malloc tuning via executorEnv + os.environ (local mode
+    forks workers from this process tree).
+    """
+    os.environ.update(_MALLOC_ENV)
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in _MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,126 @@
+"""End-to-end engine tests: encode → decode → verify, size gate, resume.
+
+The Spark analog of the reference's fixture chain (touch2parquet →
+parquet2hdf5 → libsonata round-trip, tests/CMakeLists.txt:13-43 +
+tests/test_integration.py:77-101 in /root/reference).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from sparkcodec.engine import (
+    blocks_stats,
+    completed_parts,
+    decode_table,
+    encode_table,
+    read_lineage,
+)
+from sparkcodec.verify import size_gate, verify_roundtrip
+
+KEY = ["repo", "path", "commit"]
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, code_files_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc") / "code_files_enc")
+    df = spark.createDataFrame(code_files_small.to_pandas())
+    metrics = encode_table(spark, df, out, num_parts=8, target_part_rows=1000)
+    return out, df, metrics
+
+
+def test_encode_produces_blocks(encoded):
+    out, _df, metrics = encoded
+    assert metrics["parts_encoded"] >= 1
+    assert metrics["n_rows"] == 5000
+    assert metrics["enc_bytes"] > 0
+    files = glob.glob(os.path.join(out, "blocks", "col=*", "part_*.parquet"))
+    assert files
+    cols = {os.path.basename(os.path.dirname(f)) for f in files}
+    assert cols == {
+        "col=repo", "col=path", "col=commit", "col=lang", "col=content", "col=_checkpoint",
+    }
+
+
+def test_roundtrip_sha256(spark, encoded):
+    out, df, _ = encoded
+    decoded = decode_table(spark, out)
+    report = verify_roundtrip(df, decoded, KEY)
+    assert report["ok"], report
+
+
+def test_column_pruned_decode(spark, encoded):
+    out, df, _ = encoded
+    langs = decode_table(spark, out, columns=["lang"])
+    got = {r["lang"] for r in langs.distinct().collect()}
+    want = {r["lang"] for r in df.select("lang").distinct().collect()}
+    assert got == want
+    assert langs.count() == 5000
+
+
+def test_codec_routing(spark, encoded):
+    out, _df, _ = encoded
+    by_col = {}
+    for r in blocks_stats(spark, out).collect():
+        by_col.setdefault(r["col"], set()).add(r["codec"])
+    # north-rule routes: low-cardinality -> dict, content -> fsst
+    assert all(c.startswith("dict") for c in by_col["lang"]), by_col
+    assert all(c.startswith("dict") for c in by_col["repo"]), by_col
+    assert any(c.startswith("fsst") for c in by_col["content"]), by_col
+
+
+def test_lineage(spark, encoded):
+    out, _df, metrics = encoded
+    lin = read_lineage(spark, out).collect()
+    assert len(lin) == metrics["parts_encoded"]
+    rec = json.loads(lin[0]["lineage"])
+    assert set(rec) >= {"part_id", "codecs", "symbol_tables", "raw_bytes", "enc_bytes", "input_files"}
+    assert set(rec["codecs"]) == {"repo", "path", "commit", "lang", "content"}
+
+
+def test_size_gate(spark, encoded, tmp_path):
+    out, df, _ = encoded
+    gate = size_gate(spark, df, out, str(tmp_path / "zstd_baseline"))
+    assert gate["enc_le_zstd"], gate
+    assert gate["ratio_vs_raw"] > 1.5, gate
+
+
+def test_resume_skips_done_and_completes_missing(spark, code_files_small, tmp_path):
+    out = str(tmp_path / "enc2")
+    df = spark.createDataFrame(code_files_small.to_pandas())
+    m1 = encode_table(spark, df, out, num_parts=6, target_part_rows=1000)
+    done = completed_parts(out)
+    assert len(done) == m1["parts_encoded"]
+    # simulate a crash that lost one part: remove its checkpoint + one column
+    victim = sorted(done)[0]
+    os.remove(os.path.join(out, "blocks", "col=_checkpoint", f"part_{victim:06d}.parquet"))
+    os.remove(os.path.join(out, "blocks", "col=content", f"part_{victim:06d}.parquet"))
+    m2 = encode_table(spark, df, out, num_parts=6, target_part_rows=1000)
+    assert m2["parts_encoded"] == 1, m2
+    assert m2["parts_skipped"] == len(done) - 1
+    decoded = decode_table(spark, out)
+    report = verify_roundtrip(df, decoded, KEY)
+    assert report["ok"], report
+    # full rerun: nothing to do
+    m3 = encode_table(spark, df, out, num_parts=6, target_part_rows=1000)
+    assert m3["parts_encoded"] == 0
+
+
+def test_skew_fanout(spark, code_files_small, tmp_path):
+    """The giant repo (~30% of rows) must spread over multiple parts."""
+    out = str(tmp_path / "enc3")
+    df = spark.createDataFrame(code_files_small.to_pandas())
+    encode_table(spark, df, out, num_parts=16, target_part_rows=300)
+    lin = read_lineage(spark, out).collect()
+    giant_parts = 0
+    for r in lin:
+        rec = json.loads(r["lineage"])
+        giant_parts += 1
+    # with target 300 rows and ~1500 rows in the giant repo, it needs >=5 parts
+    rows_per_part = sorted(r["n_rows"] for r in lin)
+    assert len(lin) >= 8
+    assert rows_per_part[-1] < 5000 * 0.30, "giant repo not fanned out"

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""sparkcodec benchmark harness.
+
+Runs the headline jobs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "encode": {... two-parallelism throughput + scaling efficiency ...}}
+
+Each measurement runs in its own subprocess (fresh JVM) — session reuse
+across different local[N] masters measurably distorts timings. Scaling
+evidence (BASELINE.md §B): the same encode job on local[8] and local[32]
+over the same cached input is the sandbox proxy for N vs 4N executors;
+efficiency = gbps(4N) / (4 * gbps(N)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = "/tmp/sparkcodec_bench"
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+QUERY_NAMES = [
+    "profile_documents",
+    "run_length_lineitem",
+    "csr_offsets",
+    "synapse_ids",
+    "exact_dedup",
+    "token_stats",
+    "ann_cosine_topk",
+]
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_input(sf: float) -> tuple[str, int]:
+    rows = max(2000, int(600_000 * sf))  # sf0.1 -> 60k rows (~130 MB content)
+    path = os.path.join(CACHE, f"code_files_{rows}")
+    if not os.path.exists(path):
+        os.makedirs(CACHE, exist_ok=True)
+        from sparkcodec.tables import write_code_files
+
+        write_code_files(path + ".tmp", rows, seed=42, n_files=32)
+        os.replace(path + ".tmp", path)
+    return path, rows
+
+
+def benchjob(args: list[str]) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "sparkcodec.benchjob", *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCHJOB "):
+            return json.loads(line[len("BENCHJOB ") :])
+    raise RuntimeError(f"benchjob failed: {proc.stdout[-2000:]} {proc.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf = sf_of(SF_DIR)
+    input_path, rows = ensure_input(sf)
+    out8 = os.path.join(CACHE, "enc_n8")
+    outN = os.path.join(CACHE, f"enc_n{CPUS}")
+
+    enc8 = benchjob(["--mode", "encode", "--cores", "8", "--input", input_path, "--out", out8])
+    encN = benchjob(["--mode", "encode", "--cores", str(CPUS), "--input", input_path, "--out", outN])
+    dec = benchjob(["--mode", "decode", "--cores", str(CPUS), "--input", input_path, "--out", outN])
+    qres = benchjob(
+        ["--mode", "queries", "--cores", str(CPUS), "--sf-dir", SF_DIR, "--queries", ",".join(QUERY_NAMES)]
+    )
+
+    efficiency = encN["gbps"] / ((CPUS / 8) * enc8["gbps"])
+    queries = {
+        "encode_local8": enc8["wall"],
+        f"encode_local{CPUS}": encN["wall"],
+        "decode_verify": dec["wall"],
+        **qres,
+    }
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "headline suite wall time (encode@8 + encode@N + decode-verify + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "encode": {
+            "rows": rows,
+            "raw_bytes": encN["raw_bytes"],
+            "enc_bytes": encN["enc_bytes"],
+            "gbps_local8": enc8["gbps"],
+            f"gbps_local{CPUS}": encN["gbps"],
+            f"scaling_efficiency_8_to_{CPUS}": round(efficiency, 4),
+            "compression_ratio_vs_raw": round(encN["raw_bytes"] / max(1, encN["enc_bytes"]), 3),
+        },
+        "decode_checksum_match": dec["checksum_match"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

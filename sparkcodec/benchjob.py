@@ -1,0 +1,120 @@
+"""Single benchmark job, run in its own process for clean isolation
+(`python -m sparkcodec.benchjob --mode encode --cores N ...`).
+
+Prints one JSON line with the measurements; bench.py orchestrates.
+Each mode warms up once (imports, JIT, page cache) and reports both the
+cold and steady-state walls — GB/s is quoted on the steady run, which is
+what a long-running cluster job amortizes to.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
+
+def run_encode(cores: int, input_path: str, out_dir: str, num_parts: int) -> dict:
+    from sparkcodec.engine import encode_table
+    from sparkcodec.session import get_spark
+
+    spark = get_spark(cores=cores, app_name=f"bench-encode-{cores}")
+    df = spark.read.parquet(input_path)
+    df.count()
+    walls = []
+    m = {}
+    for _ in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        m = encode_table(
+            spark, df, out_dir, num_parts=num_parts, target_part_rows=1000, resume=False
+        )
+        walls.append(time.time() - t0)
+    return {
+        "cores": cores,
+        "wall_cold": round(walls[0], 3),
+        "wall": round(walls[-1], 3),
+        "raw_bytes": m["raw_bytes"],
+        "enc_bytes": m["enc_bytes"],
+        "gbps": round(m["raw_bytes"] / walls[-1] / 1e9, 4),
+    }
+
+
+def run_decode(cores: int, input_path: str, out_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_table
+    from sparkcodec.session import get_spark
+
+    spark = get_spark(cores=cores, app_name=f"bench-decode-{cores}")
+
+    def checksum(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in sorted(df.columns)]).cast("decimal(38,0)")
+            ).alias("chk"),
+        ).collect()[0]
+
+    walls, agg = [], None
+    for _ in range(2):
+        t0 = time.time()
+        agg = checksum(decode_table(spark, out_dir))
+        walls.append(time.time() - t0)
+    oagg = checksum(spark.read.parquet(input_path))
+    raw = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(out_dir)
+        for f in fs
+    )
+    return {
+        "cores": cores,
+        "wall_cold": round(walls[0], 3),
+        "wall": round(walls[-1], 3),
+        "rows": agg["n"],
+        "checksum_match": bool(agg["n"] == oagg["n"] and agg["chk"] == oagg["chk"]),
+        "blocks_disk_bytes": raw,
+    }
+
+
+def run_queries(cores: int, sf_dir: str, names: list[str]) -> dict:
+    from sparkcodec.queries import QUERIES
+    from sparkcodec.session import get_spark
+
+    spark = get_spark(cores=cores, app_name="bench-queries")
+    out = {}
+    for name in names:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", required=True, choices=["encode", "decode", "queries"])
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--input")
+    ap.add_argument("--out")
+    ap.add_argument("--sf-dir")
+    ap.add_argument("--num-parts", type=int, default=128)
+    ap.add_argument("--queries", default="")
+    args = ap.parse_args()
+    if args.mode == "encode":
+        res = run_encode(args.cores, args.input, args.out, args.num_parts)
+    elif args.mode == "decode":
+        res = run_decode(args.cores, args.input, args.out)
+    else:
+        res = run_queries(args.cores, args.sf_dir, args.queries.split(","))
+    print("BENCHJOB " + json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,9 +166,10 @@ def _merge_pass(seq: np.ndarray, a: int, b: int, new_code: int) -> np.ndarray:
 def build_table(
     lens: np.ndarray,
     blob: np.ndarray,
-    sample_bytes: int = 1 << 16,
-    max_strings: int = 512,
+    sample_bytes: int = 1 << 15,
+    max_strings: int = 256,
     min_pair_count: int = 4,
+    max_merges: int = 128,
 ) -> SymbolTable:
     """Build a symbol table from a sample of the block's strings.
 
@@ -206,8 +207,13 @@ def build_table(
     symbols: list[bytes] = [bytes([b]) for b in present]
     sym_of_code: dict[int, bytes] = {int(b): bytes([b]) for b in present}
     next_code = 256
-    budget = MAX_SYMBOLS - len(symbols)
+    budget = min(MAX_SYMBOLS - len(symbols), max_merges)
 
+    # batched BPE: count pair frequencies once per round, then apply up to
+    # 16 symbol-disjoint merges from that count (disjoint symbols -> their
+    # occurrence counts don't interfere), recount next round. ~16x fewer
+    # sort-based counting passes than merge-at-a-time BPE for the same table.
+    seen = set(symbols)
     while budget > 0:
         keys = (seq[:-1].astype(np.uint64) << np.uint64(32)) | seq[1:].astype(np.uint64)
         valid = (seq[:-1] != SENTINEL) & (seq[1:] != SENTINEL)
@@ -215,27 +221,30 @@ def build_table(
         if uniq.size == 0:
             break
         order = np.argsort(counts)[::-1]
-        chosen = None
-        for k in order[:32]:
-            if counts[k] < min_pair_count:
+        batch: list[tuple[int, int, bytes]] = []
+        used: set[int] = set()
+        for k in order[:64]:
+            if counts[k] < min_pair_count or len(batch) >= 16 or len(batch) >= budget:
                 break
             a = int(uniq[k] >> np.uint64(32))
             b = int(uniq[k] & np.uint64(0xFFFFFFFF))
+            if a in used or b in used:
+                continue
             sa, sb = sym_of_code.get(a), sym_of_code.get(b)
             if sa is None or sb is None or len(sa) + len(sb) > MAX_SYM_LEN:
                 continue
-            merged = sa + sb
-            chosen = (a, b, merged)
+            batch.append((a, b, sa + sb))
+            used.update((a, b))
+        if not batch:
             break
-        if chosen is None:
-            break
-        a, b, merged = chosen
-        if merged not in sym_of_code.values():  # dedup identical byte-strings
-            symbols.append(merged)
-            budget -= 1
-        sym_of_code[next_code] = merged
-        seq = _merge_pass(seq, a, b, next_code)
-        next_code += 1
+        for a, b, merged in batch:
+            if merged not in seen:
+                symbols.append(merged)
+                seen.add(merged)
+                budget -= 1
+            sym_of_code[next_code] = merged
+            seq = _merge_pass(seq, a, b, next_code)
+            next_code += 1
 
     return SymbolTable(symbols)
 

@@ -92,7 +92,7 @@ def assign_partitions(
     co-located (runs for dict/RLE); giant ones spread over exactly the
     number of parts their row count requires.
     """
-    cols = df.columns
+    cols = [c for c in df.columns if c not in (PART_COL, FILE_COL)]
     if not cluster_by or not all(c in cols for c in cluster_by):
         key = [F.col(c) for c in (salt_by or cols) if c in cols] or [F.lit(0)]
         return df.withColumn(PART_COL, F.pmod(F.xxhash64(*key), F.lit(num_parts)).cast("int"))
@@ -139,8 +139,16 @@ def _encode_one_part(
     block_rows: int,
     block_bytes: int,
     input_files: set[str],
+    select_cache: dict | None = None,
 ) -> dict:
-    """Encode all columns of one logical partition and commit its files."""
+    """Encode all columns of one logical partition and commit its files.
+
+    ``select_cache`` memoizes (codec spec, FSST table) per column across
+    the parts one Spark task processes: selection and symbol-table
+    sampling run on the task's first part and are reused after — the
+    "per-partition" granularity of the north rule is the Spark partition;
+    lineage records the choice either way.
+    """
     t0 = time.time()
     table = pa.Table.from_batches(batches)
     n = table.num_rows
@@ -150,7 +158,12 @@ def _encode_one_part(
     sym_sha = {}
     for col in data_cols:
         arr = table.column(col).combine_chunks()
-        spec, fsst_table = choose_codec(arr)
+        if select_cache is not None and col in select_cache:
+            spec, fsst_table = select_cache[col]
+        else:
+            spec, fsst_table = choose_codec(arr)
+            if select_cache is not None:
+                select_cache[col] = (spec, fsst_table)
         specs[col] = spec
         rows_out: list[dict] = []
         pos = 0
@@ -232,12 +245,14 @@ def _make_encode_kernel(data_cols, out_dir, block_rows, block_bytes):
         buf: list[pa.RecordBatch] = []
         files: set[str] = set()
         summaries: list[dict] = []
+        select_cache: dict = {}
 
         def flush():
             if cur_part is not None and buf:
                 summaries.append(
                     _encode_one_part(
-                        cur_part, buf, data_cols, out_dir, block_rows, block_bytes, files
+                        cur_part, buf, data_cols, out_dir, block_rows, block_bytes,
+                        files, select_cache,
                     )
                 )
 
@@ -334,8 +349,10 @@ def encode_table(
     with open(os.path.join(out_dir, "_table_meta.json"), "w") as fh:
         json.dump(meta, fh, indent=1)
 
-    work = assign_partitions(df, num_parts, cluster_by, salt_by, target_part_rows)
-    work = work.withColumn(FILE_COL, F.input_file_name())
+    # input_file_name() must bind below any multi-source join, so attach it
+    # to the scan before partition assignment (lineage: input files per part)
+    src = df.withColumn(FILE_COL, F.input_file_name())
+    work = assign_partitions(src, num_parts, cluster_by, salt_by, target_part_rows)
 
     done = completed_parts(out_dir) if resume else set()
     if done:

@@ -1,0 +1,552 @@
+"""Driver-contract query suite: each entry is a Spark implementation of an
+operator from SURVEY.md §2 (or a training-pipeline op), paired with an
+ANSI-SQL oracle that DuckDB runs on the same parquet tables.
+
+Conventions (driver compare: row count + schema + order-insensitive
+value hash):
+- every computed column is aliased identically in Spark and SQL;
+- float outputs are rounded to fixed decimals on BOTH sides;
+- no timestamp outputs (session-TZ pitfalls).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .index import csr_offsets, edge_ranges
+from .pipeline import unpack_branch_type, with_synapse_id
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# profiling / byte accounting (SURVEY §2.3 A1-A7, profile stage of the
+# codec selector expressed as an auditable aggregation)
+
+
+def q_profile_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+SQL_PROFILE_DOCUMENTS = """
+SELECT lang,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT text) AS n_distinct_texts,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_byte_accounting(spark, sf_dir):
+    """A7: per-group byte accounting (the blocks-table metric, auditable)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.sum(F.length("text")).alias("total_bytes"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+SQL_BYTE_ACCOUNTING = """
+SELECT lang, source, cast(sum(length(text)) AS BIGINT) AS total_bytes, count(*) AS n_docs
+FROM documents GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# run-length / CSR index operators (SURVEY §2.4 R1-R5)
+
+
+def q_run_length_lineitem(spark, sf_dir):
+    """R1: run-length grouping of l_returnflag over the natural sort order —
+    the vectorized _groupNodeRanges (index.cpp:114-137) as a window plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    prev = F.lag("l_returnflag").over(w)
+    new_run = F.when(prev.isNull() | (prev != F.col("l_returnflag")), 1).otherwise(0)
+    run_id = F.sum(new_run).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = (
+        li.select("l_returnflag", run_id.alias("run_id"))
+        .groupBy("run_id", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("run_len").alias("n_rows"),
+        F.max("run_len").alias("max_run"),
+    )
+
+
+SQL_RUN_LENGTH_LINEITEM = """
+WITH ordered AS (
+  SELECT l_returnflag,
+         row_number() OVER w AS rn,
+         CASE WHEN lag(l_returnflag) OVER w IS DISTINCT FROM l_returnflag THEN 1 ELSE 0 END AS new_run
+  FROM lineitem WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+), runs AS (
+  SELECT l_returnflag, sum(new_run) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM ordered
+), grouped AS (
+  SELECT run_id, l_returnflag, count(*) AS run_len FROM runs GROUP BY run_id, l_returnflag
+)
+SELECT l_returnflag, count(*) AS n_runs, cast(sum(run_len) AS BIGINT) AS n_rows, max(run_len) AS max_run
+FROM grouped GROUP BY l_returnflag
+"""
+
+
+def q_csr_ranges(spark, sf_dir):
+    """R1/R2: level-2 CSR ranges over orders keyed by customer."""
+    o = _t(spark, sf_dir, "orders")
+    return edge_ranges(o, "o_custkey", ["o_orderkey"])
+
+
+SQL_CSR_RANGES = """
+WITH pos AS (
+  SELECT o_custkey AS node_id,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS p,
+         CASE WHEN lag(o_custkey) OVER (ORDER BY o_orderkey) IS DISTINCT FROM o_custkey
+              THEN 1 ELSE 0 END AS new_run
+  FROM orders
+), runs AS (
+  SELECT node_id, p, sum(new_run) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS run_id FROM pos
+)
+SELECT node_id, min(p) AS range_start, max(p) + 1 AS range_end
+FROM runs GROUP BY run_id, node_id
+"""
+
+
+def q_csr_offsets(spark, sf_dir):
+    """R5: level-1 CSR offsets (cumulative range counts per node)."""
+    o = _t(spark, sf_dir, "orders")
+    return csr_offsets(edge_ranges(o, "o_custkey", ["o_orderkey"]))
+
+
+SQL_CSR_OFFSETS = """
+WITH pos AS (
+  SELECT o_custkey AS node_id,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS p,
+         CASE WHEN lag(o_custkey) OVER (ORDER BY o_orderkey) IS DISTINCT FROM o_custkey
+              THEN 1 ELSE 0 END AS new_run
+  FROM orders
+), runs AS (
+  SELECT node_id, p, sum(new_run) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS run_id FROM pos
+), ranges AS (
+  SELECT node_id, min(p) AS range_start FROM runs GROUP BY run_id, node_id
+), per_node AS (
+  SELECT node_id, count(*) AS n_ranges FROM ranges GROUP BY node_id
+)
+SELECT node_id,
+       coalesce(sum(n_ranges) OVER (ORDER BY node_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_start,
+       coalesce(sum(n_ranges) OVER (ORDER BY node_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_ranges AS offset_end
+FROM per_node
+"""
+
+
+# ---------------------------------------------------------------------------
+# derived columns (SURVEY §2.2 P3-P4)
+
+
+def q_synapse_ids(spark, sf_dir):
+    """P3: (gid << 24) + per-gid sequence over lineitem."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return with_synapse_id(li, "l_orderkey", ["l_linenumber"])
+
+
+SQL_SYNAPSE_IDS = """
+SELECT l_orderkey, l_linenumber,
+       l_orderkey * 16777216 + (row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1) AS synapse_id
+FROM lineitem
+"""
+
+
+def q_bitfield_unpack(spark, sf_dir):
+    """P4: nibble unpack of a packed byte (p_size % 256 as stand-in)."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_size") % 256).cast("int").alias("branch_type")
+    )
+    return unpack_branch_type(p).select(
+        "p_partkey",
+        F.col("efferent_section_type").cast("int").alias("pre_type"),
+        F.col("afferent_section_type").cast("int").alias("post_type"),
+    )
+
+
+SQL_BITFIELD_UNPACK = """
+SELECT p_partkey,
+       ((p_size % 256) // 16) % 16 + 1 AS pre_type,
+       (p_size % 16) + 1 AS post_type
+FROM part
+"""
+
+
+def q_dict_codes(spark, sf_dir):
+    """P8: the '@library' dictionary — sorted distinct values get dense codes."""
+    d = _t(spark, sf_dir, "documents").select("lang").distinct()
+    return d.select(
+        "lang", (F.dense_rank().over(Window.orderBy("lang")) - 1).alias("code")
+    )
+
+
+SQL_DICT_CODES = """
+SELECT lang, dense_rank() OVER (ORDER BY lang) - 1 AS code
+FROM (SELECT DISTINCT lang FROM documents) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline ops: dedup / text analysis / similarity
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup via content hash groupBy (scale path: sha2 over text)."""
+    d = _t(spark, sf_dir, "documents")
+    groups = d.groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") - 1).alias("n_duplicates"),
+        F.max("n").alias("max_group"),
+    )
+
+
+SQL_EXACT_DEDUP = """
+WITH g AS (SELECT text, count(*) AS n FROM documents GROUP BY text)
+SELECT count(*) AS n_distinct, cast(sum(n) AS BIGINT) AS n_docs, cast(sum(n - 1) AS BIGINT) AS n_duplicates, max(n) AS max_group
+FROM g
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) per lang."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.groupBy("lang").agg(
+        F.sum(toks).alias("total_tokens"),
+        F.max(toks).alias("max_tokens"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT lang,
+       cast(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       max(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens,
+       round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality scoring: length + whitespace-ratio buckets per source."""
+    d = _t(spark, sf_dir, "documents")
+    ws_ratio = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))) / F.nullif(
+        F.length("text"), F.lit(0)
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_chars") < 100).cast("long")).alias("n_short"),
+        F.round(F.avg(ws_ratio), 4).alias("avg_ws_ratio"),
+    )
+
+
+SQL_QUALITY_SCORES = """
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       round(avg((length(text) - length(replace(text, ' ', ''))) * 1.0 / nullif(length(text), 0)), 4) AS avg_ws_ratio
+FROM documents GROUP BY source
+"""
+
+
+def q_top_docs_per_lang(spark, sf_dir):
+    """Top-3 longest docs per lang (window top-k)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )
+
+
+SQL_TOP_DOCS_PER_LANG = """
+SELECT lang, doc_id, n_chars, rnk FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+) t WHERE rnk <= 3
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against the vec_id=0 query vector.
+
+    Spark-side dot/norm via array ops (no Python in the hot path);
+    scores rounded before ranking so both engines agree at float ulp.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    scored = joined.select(
+        "vec_id", F.round(dot / (norm("embedding") * norm("qv")), 4).alias("cos")
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(list_dot_product(e.embedding, q.qv) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk
+FROM scored QUALIFY rnk <= 10
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword containment) — counts per verdict."""
+    d = _t(spark, sf_dir, "documents")
+    verdict = (
+        F.when(F.col("text").contains(" the "), F.lit("en_like"))
+        .when(F.col("text").contains(" der "), F.lit("de_like"))
+        .otherwise(F.lit("other"))
+    )
+    return d.groupBy(verdict.alias("verdict")).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_LANG_ID = """
+SELECT CASE WHEN text LIKE '% the %' THEN 'en_like'
+            WHEN text LIKE '% der %' THEN 'de_like'
+            ELSE 'other' END AS verdict,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation parity ops (SURVEY §2.3) on TPC-H-ish tables
+
+
+def q_global_counts(spark, sf_dir):
+    """A1/A4: global reductions (count, max-key) the reference does with
+    MPI_Allreduce (parquet2hdf5.cpp:89-95, index.cpp:208-213)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("l_orderkey").alias("max_key"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+SQL_GLOBAL_COUNTS = """
+SELECT count(*) AS n_rows, max(l_orderkey) AS max_key,
+       count(DISTINCT l_partkey) AS n_parts, sum(l_quantity) AS sum_qty
+FROM lineitem
+"""
+
+
+def q_prefix_offsets(spark, sf_dir):
+    """A3/A6: gather→scan→scatter offset choreography as a window cumsum:
+    per-group counts become each group's global write offset."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("o_orderpriority").rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        "o_orderpriority",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("write_offset"),
+    )
+
+
+SQL_PREFIX_OFFSETS = """
+WITH c AS (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, cnt,
+       coalesce(sum(cnt) OVER (ORDER BY o_orderpriority ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS write_offset
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship: the codec engine itself in the correctness gate
+
+
+def q_encode_roundtrip_stats(spark, sf_dir):
+    """Encode documents with the real engine, decode, aggregate — the
+    oracle aggregates the source directly, so any encode/decode
+    corruption breaks the match."""
+    from .engine import decode_table, encode_table
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sparkcodec_rt_{abs(hash(sf_dir)) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark,
+        d,
+        out,
+        cluster_by=["lang"],
+        salt_by=["doc_id"],
+        sort_by=["lang", "doc_id"],
+        num_parts=8,
+        resume=False,
+    )
+    dec = decode_table(spark, out)
+    return dec.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_text_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+SQL_ENCODE_ROUNDTRIP_STATS = """
+SELECT lang, count(*) AS n_docs, cast(sum(length(text)) AS BIGINT) AS total_text_chars,
+       cast(sum(n_chars) AS BIGINT) AS total_chars, count(DISTINCT source) AS n_sources,
+       max(doc_id) AS max_doc_id
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only checks): MinHash LSH + SimHash dedup
+
+
+def q_minhash_buckets(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 5-gram shingles → 8 minhashes →
+    2 bands → bucket join. Hash functions are Spark-side xxhash64, so no
+    portable SQL oracle exists (rows-only check)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+                lambda i: F.col("text").substr(i, F.lit(5)),
+            )
+        ).alias("shingle"),
+    ).filter(F.length("shingle") == 5)
+    hashes = sh.select(
+        "doc_id",
+        *[F.xxhash64(F.col("shingle"), F.lit(seed)).alias(f"h{seed}") for seed in range(8)],
+    )
+    mins = hashes.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(8)]
+    )
+    bands = mins.select(
+        "doc_id",
+        F.xxhash64("m0", "m1", "m2", "m3").alias("band0"),
+        F.xxhash64("m4", "m5", "m6", "m7").alias("band1"),
+    )
+    b = bands.selectExpr("doc_id", "stack(2, 0, band0, 1, band1) as (band, sig)")
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash per doc from token hashes (rows-only check)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+    th = tok.select("doc_id", F.xxhash64("t").alias("h"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(16)  # 16 bits is enough to demo; full 64 at scale
+    ]
+    agg = th.groupBy("doc_id").agg(*bit_cols)
+    sim = agg.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{b}") > 0, 1).otherwise(0) * (1 << b)) for b in range(16)
+        ).alias("simhash"),
+    )
+    return sim
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "profile_documents": q_profile_documents,
+    "byte_accounting": q_byte_accounting,
+    "run_length_lineitem": q_run_length_lineitem,
+    "csr_ranges": q_csr_ranges,
+    "csr_offsets": q_csr_offsets,
+    "synapse_ids": q_synapse_ids,
+    "bitfield_unpack": q_bitfield_unpack,
+    "dict_codes": q_dict_codes,
+    "exact_dedup": q_exact_dedup,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lang_id": q_lang_id,
+    "global_counts": q_global_counts,
+    "prefix_offsets": q_prefix_offsets,
+    "encode_roundtrip_stats": q_encode_roundtrip_stats,
+    "minhash_buckets": q_minhash_buckets,
+    "simhash": q_simhash,
+}
+
+ORACLES = {
+    "profile_documents": SQL_PROFILE_DOCUMENTS,
+    "byte_accounting": SQL_BYTE_ACCOUNTING,
+    "run_length_lineitem": SQL_RUN_LENGTH_LINEITEM,
+    "csr_ranges": SQL_CSR_RANGES,
+    "csr_offsets": SQL_CSR_OFFSETS,
+    "synapse_ids": SQL_SYNAPSE_IDS,
+    "bitfield_unpack": SQL_BITFIELD_UNPACK,
+    "dict_codes": SQL_DICT_CODES,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "lang_id": SQL_LANG_ID,
+    "global_counts": SQL_GLOBAL_COUNTS,
+    "prefix_offsets": SQL_PREFIX_OFFSETS,
+    "encode_roundtrip_stats": SQL_ENCODE_ROUNDTRIP_STATS,
+    # minhash_buckets / simhash: Spark-side hash functions, rows-only check
+}

@@ -27,8 +27,8 @@ from .codecs.kernels import string_parts
 # page compressor used behind lightweight codecs when it pays off
 DEFAULT_POST = "zlib"
 
-SAMPLE_ROWS = 2048
-SAMPLE_BYTES = 4 << 20
+SAMPLE_ROWS = 1024
+SAMPLE_BYTES = 512 << 10
 
 
 def column_stats(arr: pa.Array) -> dict:
@@ -73,11 +73,14 @@ def candidates_for(stats: dict) -> list[str]:
         return ["raw"]
     if tname in _STR_LIKE:
         out = []
-        if stats.get("card_ratio", 1.0) <= 0.5:
+        low_card = stats.get("card_ratio", 1.0) <= 0.5
+        if low_card:
             out.append("dict")  # low-cardinality: lang, repo, commit
             out.append(f"dict+{DEFAULT_POST}")
-        if stats.get("avg_len", 0) >= 16:
-            out.append(f"fsst+{DEFAULT_POST}")  # long text: content
+        if stats.get("avg_len", 0) >= 16 and stats.get("card_ratio", 1.0) > 0.1:
+            # long, mostly-distinct text (content, paths); low-card columns
+            # never reach FSST — dict dominates and the table build isn't free
+            out.append(f"fsst+{DEFAULT_POST}")
             out.append("fsst")
         out.append(f"raw+{DEFAULT_POST}")
         return out
@@ -112,19 +115,29 @@ def choose_codec(
     Returns (spec, fsst_table) — the table is built here (once per
     partition) when FSST is a candidate, so blocks can share it.
     """
+    from .codecs.api import parse_spec
+    from .codecs.primitives import post_compress
+
     sample = sample_block(arr)
     stats = column_stats(sample)
-    cands = candidates_for(stats)
-    needs_fsst = any(c.startswith("fsst") for c in cands)
-    if needs_fsst and fsst_table is None:
+    # group candidates by base codec: encode each base ONCE on the sample,
+    # then size the +post variants by compressing that payload
+    by_base: dict[str, set] = {}
+    for spec in candidates_for(stats):
+        base, post = parse_spec(spec)
+        by_base.setdefault(base, set()).add(post)
+    if "fsst" in by_base and fsst_table is None:
         lens, blob = string_parts(sample if sample.null_count == 0 else sample.fill_null(""))
         fsst_table = build_table(lens, blob)
     best_spec, best_size = None, None
-    for spec in cands:
+    for base, posts in by_base.items():
         try:
-            payload, _ = encode_array(sample, spec, fsst_table=fsst_table)
+            payload, _ = encode_array(sample, base, fsst_table=fsst_table)
         except (ValueError, TypeError):
             continue
-        if best_size is None or len(payload) < best_size:
-            best_spec, best_size = spec, len(payload)
+        for post in posts:
+            blob, eff = post_compress(payload, post)
+            spec = base if eff is None else f"{base}+{eff}"
+            if best_size is None or len(blob) < best_size:
+                best_spec, best_size = spec, len(blob)
     return best_spec or "raw", fsst_table

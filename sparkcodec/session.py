@@ -25,7 +25,10 @@ _MALLOC_ENV = {
 def get_spark(
     cores: int | None = None,
     app_name: str = "sparkcodec",
-    driver_memory: str = "48g",
+    # modest heap on purpose: payload bytes live in Python workers, not the
+    # JVM, and an oversized heap spreads allocations over fresh pages —
+    # measurably slower where page faults are expensive (see BENCH notes)
+    driver_memory: str = "16g",
     extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession on ``local[cores]``.
@@ -50,6 +53,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # shuffle/spill on RAM-backed storage: the sandbox stand-in for the
+        # NVMe shuffle volumes a real cluster would have (spinning /tmp
+        # serializes the exchange at ~100 MB/s)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     for k, v in _MALLOC_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)

@@ -18,6 +18,8 @@ reference's generated-then-golden-compared fixtures
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -179,12 +181,25 @@ def code_files_arrow(n_rows: int, seed: int = 42, n_repos: int = 50) -> pa.Table
     )
 
 
-def write_code_files(path: str, n_rows: int, seed: int = 42, n_repos: int = 50) -> str:
-    """Materialize the synthetic table as a parquet file; returns path."""
+def write_code_files(
+    path: str, n_rows: int, seed: int = 42, n_repos: int = 50, n_files: int = 16
+) -> str:
+    """Materialize the synthetic table as a parquet dataset directory.
+
+    Multiple files so Spark's scan parallelizes like a real table layout
+    would (one 28 MB file = one input split = a serial map stage).
+    """
     import pyarrow.parquet as pq
 
     t = code_files_arrow(n_rows, seed=seed, n_repos=n_repos)
-    pq.write_table(t, path, compression="snappy")
+    os.makedirs(path, exist_ok=True)
+    n = t.num_rows
+    step = max(1, (n + n_files - 1) // n_files)
+    for i in range(0, n_files):
+        sl = t.slice(i * step, step)
+        if sl.num_rows == 0:
+            break
+        pq.write_table(sl, os.path.join(path, f"part-{i:04d}.parquet"), compression="snappy")
     return path
 
 

@@ -45,8 +45,7 @@ def sf_of(path: str) -> float:
         return 0.1
 
 
-def ensure_input(sf: float) -> tuple[str, int]:
-    rows = max(2000, int(600_000 * sf))  # sf0.1 -> 60k rows (~130 MB content)
+def ensure_input(rows: int) -> str:
     path = os.path.join(CACHE, f"code_files_{rows}")
     if not os.path.exists(path):
         os.makedirs(CACHE, exist_ok=True)
@@ -54,7 +53,7 @@ def ensure_input(sf: float) -> tuple[str, int]:
 
         write_code_files(path + ".tmp", rows, seed=42, n_files=32)
         os.replace(path + ".tmp", path)
-    return path, rows
+    return path
 
 
 def benchjob(args: list[str]) -> dict:
@@ -76,18 +75,29 @@ def benchjob(args: list[str]) -> dict:
 
 def main() -> None:
     sf = sf_of(SF_DIR)
-    input_path, rows = ensure_input(sf)
+    rows = max(2000, int(600_000 * sf))  # sf0.1 -> 60k rows (~130 MB content)
+    # scaling runs use a larger input so compute dominates job overheads —
+    # the regime a real N vs 4N cluster comparison lives in
+    scale_rows = max(rows, 150_000)
+    input_path = ensure_input(rows)
+    scale_path = ensure_input(scale_rows)
     out8 = os.path.join(CACHE, "enc_n8")
     outN = os.path.join(CACHE, f"enc_n{CPUS}")
 
-    enc8 = benchjob(["--mode", "encode", "--cores", "8", "--input", input_path, "--out", out8])
-    encN = benchjob(["--mode", "encode", "--cores", str(CPUS), "--input", input_path, "--out", outN])
-    dec = benchjob(["--mode", "decode", "--cores", str(CPUS), "--input", input_path, "--out", outN])
+    cal = benchjob(["--mode", "calibrate", "--cores", str(CPUS)])
+    enc8 = benchjob(["--mode", "encode", "--cores", "8", "--input", scale_path, "--out", out8])
+    encN = benchjob(["--mode", "encode", "--cores", str(CPUS), "--input", scale_path, "--out", outN])
+    dec = benchjob(["--mode", "decode", "--cores", str(CPUS), "--input", scale_path, "--out", outN])
     qres = benchjob(
         ["--mode", "queries", "--cores", str(CPUS), "--sf-dir", SF_DIR, "--queries", ",".join(QUERY_NAMES)]
     )
 
-    efficiency = encN["gbps"] / ((CPUS / 8) * enc8["gbps"])
+    speedup = encN["gbps"] / enc8["gbps"]
+    efficiency = speedup / (CPUS / 8)
+    # hardware ceiling: throughput speedup embarrassingly-parallel pure-CPU
+    # work shows for the same core pair on this host (calibrate runs N
+    # fixed-size units on N procs, so per-unit throughput is N/wall)
+    hw_speedup = (CPUS / cal[str(CPUS)]) / (8 / cal["8"]) if cal.get(str(CPUS)) else None
     queries = {
         "encode_local8": enc8["wall"],
         f"encode_local{CPUS}": encN["wall"],
@@ -102,12 +112,20 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "encode": {
-            "rows": rows,
+            "rows": scale_rows,
             "raw_bytes": encN["raw_bytes"],
             "enc_bytes": encN["enc_bytes"],
             "gbps_local8": enc8["gbps"],
             f"gbps_local{CPUS}": encN["gbps"],
+            "walls_local8": enc8["walls"],
+            f"walls_local{CPUS}": encN["walls"],
+            "speedup_8_to_N": round(speedup, 3),
             f"scaling_efficiency_8_to_{CPUS}": round(efficiency, 4),
+            "hw_calibration_walls": cal,
+            "hw_calibration_speedup_8_to_N": round(hw_speedup, 3) if hw_speedup else None,
+            "scaling_efficiency_vs_hw_ceiling": (
+                round(speedup / hw_speedup, 4) if hw_speedup else None
+            ),
             "compression_ratio_vs_raw": round(encN["raw_bytes"] / max(1, encN["enc_bytes"]), 3),
         },
         "decode_checksum_match": dec["checksum_match"],

@@ -281,7 +281,11 @@ def encode_with_table(
     seg_start = str_starts[seg_str] + within * seg
     seg_end = np.minimum(seg_start + seg, str_starts[seg_str + 1])
 
-    words = _words8(blob)
+    # pad once; 8-byte words are gathered lazily at cursor positions each
+    # iteration — a full words8 precompute costs an 8x-blob allocation per
+    # block, which dominates page-fault traffic on fault-bound hosts
+    pad = np.zeros(n_bytes + MAX_SYM_LEN, dtype=np.uint8)
+    pad[:n_bytes] = blob
     # one output code per token and tokens consume >=1 byte, so each
     # segment's region [seg_start, seg_end) can never overflow; escaped raw
     # bytes live in the parallel `exc` buffer at the same positions
@@ -303,8 +307,11 @@ def encode_with_table(
     hmask = np.int64((1 << 11) - 1)
     hmul = np.uint64(0x9E3779B97F4A7C15)
     hshift = np.uint64(64 - 11)
+    shifts = [np.uint64(8 * j) for j in range(MAX_SYM_LEN)]
     while cur_a.size:
-        w = words[cur_a]
+        w = pad[cur_a].astype(np.uint64)
+        for j in range(1, MAX_SYM_LEN):
+            w |= pad[cur_a + j].astype(np.uint64) << shifts[j]
         rem = end_a - cur_a
         # fused 1/2-byte lookup: one gather yields code | len<<8
         p2 = (w & u16).astype(np.int64)

@@ -316,6 +316,7 @@ def encode_table(
     block_rows: int = 65536,
     block_bytes: int = 32 << 20,
     target_part_rows: int = 262_144,
+    shuffle_tasks: int | None = None,
     resume: bool = True,
 ) -> dict:
     """Encode ``df`` into a blocks table at ``out_dir``; returns metrics.
@@ -359,7 +360,15 @@ def encode_table(
         done_df = spark.createDataFrame([(int(p),) for p in sorted(done)], f"{PART_COL} int")
         work = work.join(F.broadcast(done_df), on=PART_COL, how="left_anti")
 
-    work = work.repartition(num_parts, PART_COL).sortWithinPartitions(PART_COL, *sort_by)
+    # logical parts (checkpoint/resume granularity) are decoupled from
+    # shuffle tasks (scheduling granularity): each task handles several
+    # parts sequentially — 1000 tiny tasks cost more in Python handoff
+    # than they buy in balance, while parts must stay small enough that a
+    # straggler part can't dominate a wave
+    if shuffle_tasks is None:
+        par = spark.sparkContext.defaultParallelism
+        shuffle_tasks = max(1, min(num_parts, 4 * par))
+    work = work.repartition(shuffle_tasks, PART_COL).sortWithinPartitions(PART_COL, *sort_by)
 
     kernel = _make_encode_kernel(cols, out_dir, block_rows, block_bytes)
     t0 = time.time()

@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -550,3 +552,169 @@ ORACLES = {
     "encode_roundtrip_stats": SQL_ENCODE_ROUNDTRIP_STATS,
     # minhash_buckets / simhash: Spark-side hash functions, rows-only check
 }
+
+
+# ---------------------------------------------------------------------------
+# similarity search & near-dup detection (training-pipeline ops, batch 2)
+
+
+def q_cosine_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.35 — chosen from
+    the test corpus's cosine distribution so the check is non-trivial;
+    rounded before compare). Brute-force all-pairs is the correctness
+    baseline; the LSH variant below is the 10^12-scale path."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda side: F.sqrt(
+        F.aggregate(
+            F.col(f"{side}.embedding"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x
+        )
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (nrm("a") * nrm("b")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+    )
+    return pairs
+
+
+SQL_COSINE_NEARDUP_PAIRS = """
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.embedding, b.embedding) /
+               (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+) t WHERE cos >= 0.35
+"""
+
+
+def q_ngram_jaccard_candidates(spark, sf_dir):
+    """Character-3-gram Jaccard near-dup candidates (>= 0.9) over the
+    documents table: explode distinct shingles, equi-join on shingle,
+    jaccard = |shared| / (|a| + |b| - |shared|)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = d.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+                    lambda i: F.col("text").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("g"),
+    ).filter(F.length("g") == 3)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        grams.alias("x")
+        .join(grams.alias("y"), "g")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.9)
+    )
+    return out
+
+
+SQL_NGRAM_JACCARD_CANDIDATES = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
+        FROM documents) src
+  WHERE length(substr(text, i, 3)) = 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+  FROM grams x JOIN grams y USING (g)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / (sa.n_grams + sb.n_grams - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared * 1.0 / (sa.n_grams + sb.n_grams - shared) >= 0.9
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane LSH buckets + in-bucket cosine.
+
+    4 signed projections (sized so buckets hold ~n/16 vectors at this
+    corpus size; at 10^12 scale use more bits + multiprobe) -> one bucket
+    id per vector; the query probes
+    only its own bucket. Hyperplanes are seeded numpy, evaluated in a
+    vectorized pandas UDF (Arrow batches) — no portable SQL oracle
+    (rows-only check); the exact counterpart is q_ann_cosine_topk."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(e.first()["embedding"])
+    rng = __import__("numpy").random.default_rng(7)
+    planes = rng.normal(size=(4, dim))
+    bplanes = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("long")
+    def bucket(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = np.vstack(emb.to_numpy())
+        bits = (m @ bplanes.value.T) > 0
+        return pd.Series((bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype("int64"))
+
+    with_b = e.withColumn("bucket", bucket("embedding"))
+    q = with_b.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qb"), F.col("embedding").alias("qv")
+    )
+    cands = with_b.join(F.broadcast(q), F.col("bucket") == F.col("qb")).filter(
+        F.col("vec_id") != 0
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    scored = cands.select("vec_id", F.round(dot / (nrm("embedding") * nrm("qv")), 4).alias("cos"))
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+QUERIES.update(
+    {
+        "cosine_neardup_pairs": q_cosine_neardup_pairs,
+        "ngram_jaccard_candidates": q_ngram_jaccard_candidates,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
+)
+ORACLES.update(
+    {
+        "cosine_neardup_pairs": SQL_COSINE_NEARDUP_PAIRS,
+        "ngram_jaccard_candidates": SQL_NGRAM_JACCARD_CANDIDATES,
+        # ann_lsh_topk: Spark-side seeded hyperplanes, rows-only check
+    }
+)

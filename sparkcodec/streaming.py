@@ -1,0 +1,79 @@
+"""Structured Streaming operators over the events stream table.
+
+The reference is batch-only (SURVEY §2.6) and the north rule needs no
+streaming, but a complete engine for training-data pipelines ingests
+event streams too: watermarked windowed aggregation and a stateful-ish
+sessionization, both expressed as standard Structured Streaming plans
+(file source here; kafka on a real cluster — same logical plan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned — no
+    inference on a stream)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source watches a DIRECTORY; filter to the events
+    # file. Watermarks require TIMESTAMP event time (parquet ts is NTZ).
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — late rows
+    beyond the watermark are dropped, state is bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-based) — the streaming counterpart
+    of the batch lag/cumsum sessionization pattern."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
+    """Drive a bounded file-source stream to completion synchronously and
+    return the materialized sink as a batch DataFrame."""
+    # complete mode so a bounded source also surfaces sessions still
+    # behind the watermark (append would hold them as pending state)
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

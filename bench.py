@@ -87,6 +87,11 @@ def main() -> None:
     cal = benchjob(["--mode", "calibrate", "--cores", str(CPUS)])
     enc8 = benchjob(["--mode", "encode", "--cores", "8", "--input", scale_path, "--out", out8])
     encN = benchjob(["--mode", "encode", "--cores", str(CPUS), "--input", scale_path, "--out", outN])
+    os.environ["SPARKCODEC_BENCH_LAYOUT"] = "aligned"
+    encA = benchjob(
+        ["--mode", "encode", "--cores", str(CPUS), "--input", scale_path, "--out", outN + "_aligned"]
+    )
+    del os.environ["SPARKCODEC_BENCH_LAYOUT"]
     dec = benchjob(["--mode", "decode", "--cores", str(CPUS), "--input", scale_path, "--out", outN])
     qres = benchjob(
         ["--mode", "queries", "--cores", str(CPUS), "--sf-dir", SF_DIR, "--queries", ",".join(QUERY_NAMES)]
@@ -125,6 +130,10 @@ def main() -> None:
             "hw_calibration_speedup_8_to_N": round(hw_speedup, 3) if hw_speedup else None,
             "scaling_efficiency_vs_hw_ceiling": (
                 round(speedup / hw_speedup, 4) if hw_speedup else None
+            ),
+            f"gbps_aligned_local{CPUS}": encA["gbps"],
+            "aligned_compression_ratio": round(
+                encA["raw_bytes"] / max(1, encA["enc_bytes"]), 3
             ),
             "compression_ratio_vs_raw": round(encN["raw_bytes"] / max(1, encN["enc_bytes"]), 3),
         },

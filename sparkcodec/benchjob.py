@@ -35,11 +35,14 @@ def run_encode(
     df = spark.read.parquet(input_path)
     df.count()
 
+    layout = os.environ.get("SPARKCODEC_BENCH_LAYOUT", "clustered")
+
     def one():
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         metrics = encode_table(
-            spark, df, out_dir, num_parts=4096, target_part_rows=1500, resume=False
+            spark, df, out_dir, num_parts=4096, target_part_rows=1500,
+            layout=layout, resume=False,
         )
         return time.time() - t0, metrics
 

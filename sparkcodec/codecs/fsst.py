@@ -303,25 +303,28 @@ def encode_with_table(
     tab12, gate2 = table.tab12, table.gate2
     hkeys, hcodes, hprobe = table.hkeys, table.hcodes, table.hprobe
     any_long = any(k is not None for k in hkeys)
-    u16 = np.uint64(0xFFFF)
     hmask = np.int64((1 << 11) - 1)
     hmul = np.uint64(0x9E3779B97F4A7C15)
     hshift = np.uint64(64 - 11)
     shifts = [np.uint64(8 * j) for j in range(MAX_SYM_LEN)]
     while cur_a.size:
-        w = pad[cur_a].astype(np.uint64)
-        for j in range(1, MAX_SYM_LEN):
-            w |= pad[cur_a + j].astype(np.uint64) << shifts[j]
+        # hot path gathers only the 2 prefix bytes; the full 8-byte word
+        # is assembled just for the (few) gate-qualified cursors
+        b0 = pad[cur_a].astype(np.int64)
+        b1 = pad[cur_a + 1].astype(np.int64)
+        p2 = b0 | (b1 << 8)
         rem = end_a - cur_a
         # fused 1/2-byte lookup: one gather yields code | len<<8
-        p2 = (w & u16).astype(np.int64)
         t = tab12[p2]
         best_code = t & 0xFF
         best_len = t >> 8
         if any_long:
             cand = np.flatnonzero(gate2[p2] & (rem >= 3))
             if cand.size:
-                wc = w[cand]
+                cpos = cur_a[cand]
+                wc = pad[cpos].astype(np.uint64)
+                for j in range(1, MAX_SYM_LEN):
+                    wc |= pad[cpos + j].astype(np.uint64) << shifts[j]
                 remc = rem[cand]
                 for L in range(3, MAX_SYM_LEN + 1):
                     hk = hkeys[L]
@@ -340,8 +343,7 @@ def encode_with_table(
         # downgrade those to the 1-byte literal
         over = np.flatnonzero(best_len > rem)
         if over.size:
-            bl = blob[cur_a[over]].astype(np.int64)
-            best_code[over] = table.lit_code[bl]
+            best_code[over] = table.lit_code[b0[over]]
             best_len[over] = 1
         out[ptr_a] = best_code.astype(np.uint8)
         escaped = np.flatnonzero(best_code == ESC)

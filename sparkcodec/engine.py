@@ -317,12 +317,26 @@ def encode_table(
     block_bytes: int = 32 << 20,
     target_part_rows: int = 262_144,
     shuffle_tasks: int | None = None,
+    layout: str = "clustered",
     resume: bool = True,
 ) -> dict:
     """Encode ``df`` into a blocks table at ``out_dir``; returns metrics.
 
     Defaults fit the code_files shape: cluster by ``repo``, salt by
     ``(path, commit)``, sort by the full key for deterministic output.
+
+    ``layout``:
+    - ``"clustered"`` (default): hash exchange on the skew-defused
+      cluster key + local sort — maximizes run locality for dict/RLE;
+      one full shuffle of the data.
+    - ``"aligned"``: zero-shuffle — logical parts are the input splits
+      (the reference's static file split, parquet2hdf5.cpp:45-55, as
+      Spark's scan planning). Right when the input is already laid out
+      well (repo dumps arrive grouped); skew-free by construction
+      because splits are uniform bytes. Resume still skips completed
+      parts, but must rescan (filter, not partition-prune) their rows;
+      part ids are deterministic for a fixed file listing and
+      maxPartitionBytes.
     """
     cols = df.columns
     if cluster_by is None and "repo" in cols:
@@ -333,14 +347,18 @@ def encode_table(
         sort_by = (cluster_by or []) + (salt_by or [])
 
     if num_parts is None:
-        approx_rows = df.count()
-        num_parts = max(1, int(np.ceil(approx_rows / target_part_rows)))
+        if layout == "aligned":
+            num_parts = -1  # parts = input splits; modulus unused
+        else:
+            approx_rows = df.count()
+            num_parts = max(1, int(np.ceil(approx_rows / target_part_rows)))
 
     os.makedirs(out_dir, exist_ok=True)
     meta = {
         "schema": {c: type_name(f) for c, f in _spark_schema_arrow(df).items()},
         "columns": cols,
         "num_parts": num_parts,
+        "layout": layout,
         "cluster_by": cluster_by,
         "salt_by": salt_by,
         "sort_by": sort_by,
@@ -353,22 +371,60 @@ def encode_table(
     # input_file_name() must bind below any multi-source join, so attach it
     # to the scan before partition assignment (lineage: input files per part)
     src = df.withColumn(FILE_COL, F.input_file_name())
-    work = assign_partitions(src, num_parts, cluster_by, salt_by, target_part_rows)
-
     done = completed_parts(out_dir) if resume else set()
-    if done:
-        done_df = spark.createDataFrame([(int(p),) for p in sorted(done)], f"{PART_COL} int")
-        work = work.join(F.broadcast(done_df), on=PART_COL, how="left_anti")
 
-    # logical parts (checkpoint/resume granularity) are decoupled from
-    # shuffle tasks (scheduling granularity): each task handles several
-    # parts sequentially — 1000 tiny tasks cost more in Python handoff
-    # than they buy in balance, while parts must stay small enough that a
-    # straggler part can't dominate a wave
-    if shuffle_tasks is None:
-        par = spark.sparkContext.defaultParallelism
-        shuffle_tasks = max(1, min(num_parts, 4 * par))
-    work = work.repartition(shuffle_tasks, PART_COL).sortWithinPartitions(PART_COL, *sort_by)
+    if layout == "aligned":
+        # split composition depends on the file listing AND the session's
+        # parallelism/maxPartitionBytes — resuming under a different plan
+        # would map part ids to different rows. Fingerprint and refuse.
+        import hashlib
+
+        fp_src = json.dumps(
+            [
+                sorted(df.inputFiles()),
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"),
+                spark.sparkContext.defaultParallelism,
+            ]
+        )
+        fingerprint = hashlib.sha256(fp_src.encode()).hexdigest()[:16]
+        fp_path = os.path.join(out_dir, "_aligned_fingerprint")
+        if resume and os.path.exists(fp_path):
+            prev = open(fp_path).read().strip()
+            if prev != fingerprint:
+                raise ValueError(
+                    "aligned-layout resume refused: input files or scan "
+                    "parallelism changed since the checkpointed run "
+                    f"({prev} != {fingerprint}); rerun with resume=False "
+                    "or restore the original session parallelism"
+                )
+        else:
+            with open(fp_path, "w") as fh:
+                fh.write(fingerprint)
+        work = src.withColumn(PART_COL, F.spark_partition_id())
+        if done:
+            done_df = spark.createDataFrame(
+                [(int(p),) for p in sorted(done)], f"{PART_COL} int"
+            )
+            work = work.join(F.broadcast(done_df), on=PART_COL, how="left_anti")
+        # no exchange: rows stay in scan order within each split
+    else:
+        work = assign_partitions(src, num_parts, cluster_by, salt_by, target_part_rows)
+        if done:
+            done_df = spark.createDataFrame(
+                [(int(p),) for p in sorted(done)], f"{PART_COL} int"
+            )
+            work = work.join(F.broadcast(done_df), on=PART_COL, how="left_anti")
+        # logical parts (checkpoint/resume granularity) are decoupled from
+        # shuffle tasks (scheduling granularity): each task handles several
+        # parts sequentially — 1000 tiny tasks cost more in Python handoff
+        # than they buy in balance, while parts must stay small enough that
+        # a straggler part can't dominate a wave
+        if shuffle_tasks is None:
+            par = spark.sparkContext.defaultParallelism
+            shuffle_tasks = max(1, min(num_parts, 4 * par))
+        work = work.repartition(shuffle_tasks, PART_COL).sortWithinPartitions(
+            PART_COL, *sort_by
+        )
 
     kernel = _make_encode_kernel(cols, out_dir, block_rows, block_bytes)
     t0 = time.time()

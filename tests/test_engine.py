@@ -124,3 +124,66 @@ def test_skew_fanout(spark, code_files_small, tmp_path):
     rows_per_part = sorted(r["n_rows"] for r in lin)
     assert len(lin) >= 8
     assert rows_per_part[-1] < 5000 * 0.30, "giant repo not fanned out"
+
+
+def test_aligned_layout_roundtrip(spark, code_files_small, tmp_path):
+    """Zero-shuffle layout: parts = input splits; round-trip still exact."""
+    src = str(tmp_path / "src_parquet")
+    spark.createDataFrame(code_files_small.to_pandas()).repartition(6).write.parquet(src)
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "enc_aligned")
+    m = encode_table(spark, df, out, layout="aligned")
+    assert m["n_rows"] == 5000
+    decoded = decode_table(spark, out)
+    report = verify_roundtrip(df, decoded, KEY)
+    assert report["ok"], report
+    # resume: all parts complete -> nothing encoded
+    m2 = encode_table(spark, df, out, layout="aligned")
+    assert m2["parts_encoded"] == 0 and m2["parts_skipped"] == m["parts_encoded"]
+
+
+def test_aligned_resume_guard(spark, code_files_small, tmp_path):
+    """Resuming an aligned run over a changed input plan must refuse."""
+    src = str(tmp_path / "src_a")
+    spark.createDataFrame(code_files_small.to_pandas()).repartition(4).write.parquet(src)
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "enc_guard")
+    encode_table(spark, df, out, layout="aligned")
+    # different file set -> different fingerprint -> refuse resume
+    src2 = str(tmp_path / "src_b")
+    spark.createDataFrame(code_files_small.to_pandas()).repartition(5).write.parquet(src2)
+    df2 = spark.read.parquet(src2)
+    with pytest.raises(ValueError, match="resume refused"):
+        encode_table(spark, df2, out, layout="aligned")
+
+
+def test_numeric_table_roundtrip(spark, tmp_path):
+    """Reference-shaped numeric table (FIXTURES.md §2: narrow ints +
+    floats + derived id) through the full engine — exercises FoR/RLE/
+    bitpack routing and float raw paths end to end."""
+    import pandas as pd
+    import numpy as np
+
+    from sparkcodec.binsource import synthesize_records
+    from sparkcodec.engine import blocks_stats
+
+    rec = synthesize_records(20000, version=2, seed=9)
+    pdf = pd.DataFrame({n: rec[n] for n in rec.dtype.names if not n.startswith("_")})
+    pdf["synapse_id"] = pdf["pre_gid"].astype("int64") * (1 << 24) + pdf.groupby("pre_gid").cumcount()
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path / "enc_num")
+    m = encode_table(
+        spark, df, out,
+        cluster_by=["pre_gid"], salt_by=["synapse_id"], sort_by=["pre_gid", "synapse_id"],
+        num_parts=8, target_part_rows=4000,
+    )
+    assert m["n_rows"] == 20000
+    decoded = decode_table(spark, out)
+    report = verify_roundtrip(df, decoded, ["synapse_id"], content_cols=[])
+    # no string columns: rely on checksum + row counts
+    assert report["rows_decoded"] == 20000
+    assert report["checksum_original"] == report["checksum_decoded"]
+    # narrow ints must land on integer codecs, not raw
+    routes = {r["col"]: r["codec"] for r in blocks_stats(spark, out).collect()}
+    for c in ("pre_gid", "pre_section", "branch_order"):
+        assert routes[c].split("+")[0] in {"for", "rle", "bitpack"}, routes

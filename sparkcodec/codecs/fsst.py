@@ -166,10 +166,10 @@ def _merge_pass(seq: np.ndarray, a: int, b: int, new_code: int) -> np.ndarray:
 def build_table(
     lens: np.ndarray,
     blob: np.ndarray,
-    sample_bytes: int = 1 << 15,
+    sample_bytes: int = 1 << 16,
     max_strings: int = 256,
     min_pair_count: int = 4,
-    max_merges: int = 128,
+    max_merges: int = 200,
 ) -> SymbolTable:
     """Build a symbol table from a sample of the block's strings.
 

@@ -365,7 +365,22 @@ def encode_table(
         "block_rows": block_rows,
         "engine_version": "0.1.0",
     }
-    with open(os.path.join(out_dir, "_table_meta.json"), "w") as fh:
+    # part ids are only meaningful under the partitioning config that
+    # produced them — resuming under different num_parts / keys / layout
+    # would skip the wrong rows. Refuse instead.
+    meta_path = os.path.join(out_dir, "_table_meta.json")
+    part_keys = ("num_parts", "layout", "cluster_by", "salt_by", "columns")
+    if resume and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            prev = json.load(fh)
+        diffs = {k: (prev.get(k), meta[k]) for k in part_keys if prev.get(k) != meta[k]}
+        if diffs and completed_parts(out_dir):
+            raise ValueError(
+                f"resume refused: partitioning config changed since the "
+                f"checkpointed run: {diffs}; rerun with resume=False to "
+                f"re-encode from scratch"
+            )
+    with open(meta_path, "w") as fh:
         json.dump(meta, fh, indent=1)
 
     # input_file_name() must bind below any multi-source join, so attach it

@@ -187,3 +187,15 @@ def test_numeric_table_roundtrip(spark, tmp_path):
     routes = {r["col"]: r["codec"] for r in blocks_stats(spark, out).collect()}
     for c in ("pre_gid", "pre_section", "branch_order"):
         assert routes[c].split("+")[0] in {"for", "rle", "bitpack"}, routes
+
+
+def test_resume_config_guard(spark, code_files_small, tmp_path):
+    """Resume under a different partitioning config must refuse."""
+    out = str(tmp_path / "enc_cfg")
+    df = spark.createDataFrame(code_files_small.to_pandas())
+    encode_table(spark, df, out, num_parts=6, target_part_rows=1000)
+    with pytest.raises(ValueError, match="resume refused"):
+        encode_table(spark, df, out, num_parts=12, target_part_rows=1000)
+    # resume=False overrides cleanly
+    m = encode_table(spark, df, out, num_parts=12, target_part_rows=1000, resume=False)
+    assert m["n_rows"] == 5000

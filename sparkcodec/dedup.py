@@ -1,0 +1,191 @@
+"""Document deduplication pipelines for training-data curation.
+
+Batch ops sized for 10^12-row tables — every stage is joins/aggregations
+Catalyst can plan, no driver-side materialization:
+
+- :func:`exact_dedup` — hash-groupBy survivor selection (one shuffle).
+- :func:`minhash_candidates` — shingles → minhashes → LSH bands →
+  bucket self-join (the classic candidate generator; shuffle on band
+  signatures, skew-safe because buckets are capped by band width).
+- :func:`jaccard_verify` — exact shingle-set Jaccard on candidate pairs
+  only (semi-joined shingle lists, never all-pairs).
+- :func:`near_dedup` — candidate pairs → connected components via
+  iterative min-label propagation (converges in O(log component
+  diameter) joins; components here are tiny clusters of near-dups) →
+  keep the smallest key per component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Keep one row (smallest key) per exact text value; sha2 groups so
+    the wide text column itself never rides the shuffle."""
+    h = F.sha2(F.col(text_col).cast("binary"), 256)
+    keep = (
+        df.select(F.col(key_col).alias("__k"), h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("__k").alias(key_col))
+        .select(key_col)
+    )
+    return df.join(keep, on=key_col, how="left_semi")
+
+
+def _shingles(df: DataFrame, text_col: str, key_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
+                    lambda i: F.col(text_col).substr(i, F.lit(k)),
+                )
+            )
+        ).alias("shingle"),
+    ).filter(F.length("shingle") == k)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n_hashes: int = 8,
+    n_bands: int = 2,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """LSH candidate pairs (key_a < key_b). n_hashes/n_bands set the
+    similarity threshold curve; per-band signatures are xxhash64 of the
+    band's minhashes, so the join key is a single long."""
+    per_band = n_hashes // n_bands
+    sh = _shingles(df, text_col, key_col, shingle_k)
+    hashed = sh.select(
+        "key", *[F.xxhash64("shingle", F.lit(s)).alias(f"h{s}") for s in range(n_hashes)]
+    )
+    mins = hashed.groupBy("key").agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(n_hashes)])
+    bands = mins.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[f"m{b * per_band + j}" for j in range(per_band)]).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("key", "bs.band", "bs.sig")
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "sig"])
+        .filter(F.col("a.key") < F.col("b.key"))
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    key_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact shingle Jaccard, computed only for candidate pairs."""
+    keys = candidates.select(F.col("key_a").alias("key")).union(
+        candidates.select(F.col("key_b").alias("key"))
+    ).distinct()
+    sh = _shingles(df.join(keys.withColumnRenamed("key", key_col), key_col, "left_semi"),
+                   text_col, key_col, shingle_k)
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.key") < F.col("y.key"))
+        .groupBy(F.col("x.key").alias("key_a"), F.col("y.key").alias("key_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(candidates, ["key_a", "key_b"], "left_semi")
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("key", "key_a").withColumnRenamed("n", "na"), "key_a")
+        .join(sizes.withColumnRenamed("key", "key_b").withColumnRenamed("n", "nb"), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            (F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """(key, component) via min-label propagation over undirected pairs.
+
+    Near-dup components are small, so a handful of join rounds reaches
+    the fixpoint; each round is one shuffle. Stops early when stable.
+    """
+    edges = pairs.select(
+        F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+    ).union(pairs.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst")))
+    edges = edges.cache()
+    labels = (
+        edges.select(F.col("src").alias("key"))
+        .distinct()
+        .withColumn("component", F.col("key"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.key)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.key == neighbor_min.src, "left")
+            .select(
+                "key",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "key")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 8,
+    n_bands: int = 2,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Full near-dup removal: LSH candidates → exact-Jaccard verify →
+    components → keep the smallest key per component."""
+    cands = minhash_candidates(df, text_col, key_col, n_hashes, n_bands, shingle_k)
+    verified = jaccard_verify(df, cands, text_col, key_col, threshold, shingle_k)
+    comps = connected_components(verified)
+    drop = (
+        comps.groupBy("component")
+        .agg(F.min("key").alias("__keep"))
+        .join(comps, "component")
+        .filter(F.col("key") != F.col("__keep"))
+        .select(F.col("key").alias(key_col))
+    )
+    return df.join(drop, on=key_col, how="left_anti")

@@ -718,3 +718,19 @@ ORACLES.update(
         # ann_lsh_topk: Spark-side seeded hyperplanes, rows-only check
     }
 )
+
+
+def q_near_dedup_stats(spark, sf_dir):
+    """Full near-dedup pipeline over documents (LSH -> exact-Jaccard
+    verify -> components -> survivor selection); Spark-side hashes, so
+    rows-only check."""
+    from .dedup import near_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = near_dedup(d, "text", "doc_id", threshold=0.8)
+    return spark.createDataFrame(
+        [(d.count(), out.count())], "n_before long, n_after long"
+    ).withColumn("n_removed", F.col("n_before") - F.col("n_after"))
+
+
+QUERIES["near_dedup_stats"] = q_near_dedup_stats

@@ -1,0 +1,83 @@
+"""Dedup pipeline tests with planted exact and near duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcodec.dedup import (
+    connected_components,
+    exact_dedup,
+    jaccard_verify,
+    minhash_candidates,
+    near_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "def encode(values):\n    return [v * 2 for v in values]\n" * 8,
+        "class Reader:\n    def __init__(self, path):\n        self.path = path\n" * 8,
+        "import os\nfor f in os.listdir('.'):\n    print(f)\n" * 8,
+        "SELECT key, count(*) FROM events GROUP BY key ORDER BY 2 DESC\n" * 8,
+    ]
+    rows = []
+    k = 0
+    for i, text in enumerate(base):
+        rows.append((k, text)); k += 1                      # original
+        rows.append((k, text)); k += 1                      # exact dup
+        rows.append((k, text[:-10] + "# changed\n")); k += 1  # near dup
+    for j in range(20):  # unrelated unique docs
+        rows.append((k, f"unique document {j} with its own words {j*7} " * 10)); k += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs, "text", "doc_id")
+    # 4 exact dups removed
+    assert out.count() == docs.count() - 4
+    # survivors are the smallest doc_id of each dup pair
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 0 in kept and 1 not in kept
+
+
+def test_minhash_candidates_find_planted_pairs(docs):
+    cands = minhash_candidates(docs, "text", "doc_id")
+    pairs = {(r["key_a"], r["key_b"]) for r in cands.collect()}
+    for base_id in (0, 3, 6, 9):
+        assert (base_id, base_id + 1) in pairs  # exact dup pair
+        assert (base_id, base_id + 2) in pairs or (base_id + 1, base_id + 2) in pairs
+
+
+def test_jaccard_verify(docs):
+    cands = minhash_candidates(docs, "text", "doc_id")
+    ver = jaccard_verify(docs, cands, "text", "doc_id", threshold=0.8)
+    rows = {(r["key_a"], r["key_b"]): r["jaccard"] for r in ver.collect()}
+    assert rows[(0, 1)] == pytest.approx(1.0)  # exact dup
+    # near dup scores high but below 1
+    near = [v for (a, b), v in rows.items() if b - a == 2 or b - a == 1]
+    assert all(v >= 0.8 for v in rows.values())
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "key_a long, key_b long",
+    )
+    comps = {r["key"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[10] == comps[11] == 10
+    assert comps[20] == comps[21] == comps[22] == comps[23] == 20
+
+
+def test_near_dedup_end_to_end(docs):
+    out = near_dedup(docs, "text", "doc_id", threshold=0.8)
+    kept = {r["doc_id"] for r in out.collect()}
+    # each planted triple collapses to its smallest id
+    for base_id in (0, 3, 6, 9):
+        assert base_id in kept
+        assert base_id + 1 not in kept
+        assert base_id + 2 not in kept
+    # all unique docs survive
+    assert out.count() == 4 + 20

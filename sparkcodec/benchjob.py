@@ -20,7 +20,7 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 
 
 def run_encode(
-    cores: int, input_path: str, out_dir: str, num_parts: int, reps: int = 4
+    cores: int, input_path: str, out_dir: str, num_parts: int, reps: int = 5
 ) -> dict:
     """Warmup (JIT + worker imports) then `reps` timed runs; min + median.
 

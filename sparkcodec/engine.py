@@ -507,9 +507,10 @@ def decode_table(
 
     arrow_schema = pa.schema([(c, _PA_BY_NAME[meta["schema"][c]]) for c in columns])
     parts = sorted(completed_parts(out_dir))
-    parts_df = spark.createDataFrame([(p,) for p in parts], "part_id int").repartition(
-        max(1, len(parts))
-    )
+    # several parts per task: decode parallelism needs only ~4x the slots,
+    # and per-task Python handoff dominates with hundreds of tiny tasks
+    n_tasks = max(1, min(len(parts), 4 * spark.sparkContext.defaultParallelism))
+    parts_df = spark.createDataFrame([(p,) for p in parts], "part_id int").repartition(n_tasks)
     spark_fields = ", ".join(
         f"`{c}` {_SPARK_TYPE_OF[meta['schema'][c]]}" for c in columns
     )

@@ -475,21 +475,25 @@ def _make_decode_kernel(out_dir: str, columns: list[str], arrow_schema: pa.Schem
     def kernel(batches):
         for batch in batches:
             for pid in batch.column("part_id").to_pylist():
+                # block grids are per column (the byte cap can split a wide
+                # column finer than a narrow one), so reassemble each column
+                # independently as a chunked array — zero-copy concat — and
+                # let Arrow re-slice aligned output batches
                 per_col = {}
-                n_blocks = 0
                 for col in columns:
-                    t = pq.read_table(_part_file(out_dir, col, pid))
-                    t = t.sort_by("block_id")
-                    per_col[col] = t
-                    n_blocks = max(n_blocks, t.num_rows)
-                for b in range(n_blocks):
-                    arrays = []
-                    for col in columns:
-                        t = per_col[col]
-                        payload = t.column("payload")[b].as_py()
-                        meta = json.loads(t.column("meta")[b].as_py())
-                        arrays.append(decode_array(payload, meta).cast(arrow_schema.field(col).type))
-                    yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+                    t = pq.read_table(_part_file(out_dir, col, pid)).sort_by("block_id")
+                    chunks = [
+                        decode_array(
+                            t.column("payload")[b].as_py(),
+                            json.loads(t.column("meta")[b].as_py()),
+                        ).cast(arrow_schema.field(col).type)
+                        for b in range(t.num_rows)
+                    ]
+                    per_col[col] = pa.chunked_array(chunks, type=arrow_schema.field(col).type)
+                part_table = pa.Table.from_arrays(
+                    [per_col[c] for c in columns], schema=arrow_schema
+                )
+                yield from part_table.to_batches(max_chunksize=65536)
 
     return kernel
 

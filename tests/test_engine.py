@@ -199,3 +199,21 @@ def test_resume_config_guard(spark, code_files_small, tmp_path):
     # resume=False overrides cleanly
     m = encode_table(spark, df, out, num_parts=12, target_part_rows=1000, resume=False)
     assert m["n_rows"] == 5000
+
+
+def test_divergent_block_grids_roundtrip(spark, code_files_small, tmp_path):
+    """Regression: the byte cap splits wide columns into more blocks than
+    narrow ones within the same part — decode must reassemble per column
+    (caught live via spark-submit with one big part)."""
+    out = str(tmp_path / "enc_grid")
+    df = spark.createDataFrame(code_files_small.to_pandas())
+    # one part, tiny byte cap: content gets many blocks, lang gets one
+    m = encode_table(
+        spark, df, out, num_parts=1, target_part_rows=10**9,
+        block_bytes=1 << 18, resume=False,
+    )
+    assert m["parts_encoded"] == 1
+    stats = {r["col"]: r["n_blocks"] for r in blocks_stats(spark, out).collect()}
+    assert stats["content"] > stats["lang"], stats
+    report = verify_roundtrip(df, decode_table(spark, out), KEY)
+    assert report["ok"], report

@@ -3,11 +3,17 @@
 
 Cluster usage (north rule: spark-submit --py-files on N / 4N executors):
 
-    zip -r sparkcodec.zip sparkcodec
+    zip -r sparkcodec.zip sparkcodec   # run from the repo root
     spark-submit --py-files sparkcodec.zip \
         --conf spark.executorEnv.MALLOC_MMAP_THRESHOLD_=1073741824 \
-        jobs/encode_job.py --input s3://.../code_files --output s3://.../enc \
-        [--layout clustered|aligned] [--resume/--no-resume] [--verify]
+        jobs/encode_job.py --input /mnt/shared/code_files \
+        --output /mnt/shared/enc \
+        [--layout clustered|aligned] [--no-resume] [--verify]
+
+Input may be any Spark-readable parquet path; --output must be a shared
+POSIX filesystem visible to every executor (local dir in local mode,
+NFS/Lustre/fuse mount on a cluster) — block files are written with
+local filesystem APIs and object-store URLs are rejected.
 
 Local smoke: spark-submit --master local[8] --py-files sparkcodec.zip ...
 The job prints one JSON line with the encode metrics (and the verify

@@ -41,7 +41,7 @@ def run_encode(
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         metrics = encode_table(
-            spark, df, out_dir, num_parts=4096, target_part_rows=1500,
+            spark, df, out_dir, num_parts=num_parts, target_part_rows=1500,
             layout=layout, resume=False,
         )
         return time.time() - t0, metrics
@@ -155,7 +155,7 @@ def main() -> None:
     ap.add_argument("--input")
     ap.add_argument("--out")
     ap.add_argument("--sf-dir")
-    ap.add_argument("--num-parts", type=int, default=128)
+    ap.add_argument("--num-parts", type=int, default=4096)
     ap.add_argument("--queries", default="")
     args = ap.parse_args()
     if args.mode == "encode":

@@ -117,9 +117,14 @@ def encode_array(arr: pa.Array, spec: str, fsst_table=None) -> tuple[bytes, dict
     if arr.null_count > 0:
         null_idx = np.flatnonzero(np.asarray(arr.is_null()))
         null_sec, null_meta = enc_for(null_idx)
-        fill = "" if tname in _STR_LIKE else 0
         if tname in {"bin", "lbin"}:
             fill = b""
+        elif tname in _STR_LIKE:
+            fill = ""
+        elif tname == "bool":
+            fill = False
+        else:
+            fill = 0
         arr = arr.fill_null(fill)
 
     if tname in _STR_LIKE:

@@ -249,15 +249,6 @@ def build_table(
     return SymbolTable(symbols)
 
 
-def _words8(blob: np.ndarray) -> np.ndarray:
-    """Little-endian 8-byte word starting at every position of blob."""
-    n = len(blob)
-    pad = np.zeros(n + MAX_SYM_LEN, dtype=np.uint8)
-    pad[:n] = blob
-    win = np.lib.stride_tricks.sliding_window_view(pad, MAX_SYM_LEN)[:n]
-    return np.ascontiguousarray(win).view(np.uint64).ravel()
-
-
 def encode_with_table(
     lens: np.ndarray, blob: np.ndarray, table: SymbolTable, seg: int = 512
 ) -> tuple[np.ndarray, np.ndarray]:

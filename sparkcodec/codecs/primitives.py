@@ -82,19 +82,6 @@ def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
     return out
 
 
-def zigzag_encode(vals: np.ndarray) -> np.ndarray:
-    """Map signed int64 -> uint64 so small magnitudes stay small."""
-    v = vals.astype(np.int64, copy=False)
-    return (v.astype(np.uint64) << np.uint64(1)) ^ (v >> np.int64(63)).astype(np.uint64)
-
-
-def zigzag_decode(vals: np.ndarray) -> np.ndarray:
-    u = vals.astype(np.uint64, copy=False)
-    return ((u >> np.uint64(1)) ^ (-(u & np.uint64(1)).astype(np.int64)).astype(np.uint64)).astype(
-        np.int64
-    )
-
-
 # ---------------------------------------------------------------------------
 # frame-of-reference on raw uint64 (wrap-around arithmetic => full-range safe)
 

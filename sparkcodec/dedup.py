@@ -103,13 +103,18 @@ def jaccard_verify(
     sh = _shingles(df.join(keys.withColumnRenamed("key", key_col), key_col, "left_semi"),
                    text_col, key_col, shingle_k)
     sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    # prune to candidate pairs BEFORE the count aggregation: a boilerplate
+    # shingle shared by C keys would otherwise materialize O(C^2) pair
+    # groups; the semi-join keeps the aggregated stream bounded by the
+    # LSH candidate set
     shared = (
         sh.alias("x")
         .join(sh.alias("y"), "shingle")
         .filter(F.col("x.key") < F.col("y.key"))
-        .groupBy(F.col("x.key").alias("key_a"), F.col("y.key").alias("key_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(F.col("x.key").alias("key_a"), F.col("y.key").alias("key_b"))
         .join(candidates, ["key_a", "key_b"], "left_semi")
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
     return (
         shared.join(sizes.withColumnRenamed("key", "key_a").withColumnRenamed("n", "na"), "key_a")
@@ -123,11 +128,14 @@ def jaccard_verify(
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """(key, component) via min-label propagation over undirected pairs.
 
-    Near-dup components are small, so a handful of join rounds reaches
-    the fixpoint; each round is one shuffle. Stops early when stable.
+    Converges in O(diameter) rounds (near-dup components are tiny); each
+    round's labels are materialized with localCheckpoint so the lineage —
+    and therefore each round's cost — stays flat instead of replaying all
+    prior rounds. Raises if max_iter rounds don't converge (silently
+    returning partial components would merge/keep the wrong documents).
     """
     edges = pairs.select(
         F.col("key_a").alias("src"), F.col("key_b").alias("dst")
@@ -137,7 +145,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         edges.select(F.col("src").alias("key"))
         .distinct()
         .withColumn("component", F.col("key"))
+        .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.key)
@@ -152,6 +162,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
                     "component"
                 ),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -162,8 +173,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (component diameter exceeds it)"
+        )
     return labels
 
 

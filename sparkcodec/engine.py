@@ -257,6 +257,8 @@ def _make_encode_kernel(data_cols, out_dir, block_rows, block_bytes):
                 )
 
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
             parts = batch.column(PART_COL).to_numpy()
             fnames = batch.column(FILE_COL)
             data = batch.select(data_cols)
@@ -353,6 +355,22 @@ def encode_table(
             approx_rows = df.count()
             num_parts = max(1, int(np.ceil(approx_rows / target_part_rows)))
 
+    if "://" in out_dir:
+        raise ValueError(
+            "encode_table writes block files through local filesystem APIs; "
+            "out_dir must be a shared-filesystem path (local/NFS/fuse mount), "
+            f"not a URL: {out_dir!r}"
+        )
+    # a fresh (resume=False) run must not leave stale parts from an earlier
+    # run behind: completed_parts() would blend them into decode output
+    if not resume and os.path.isdir(os.path.join(out_dir, "blocks")):
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "blocks"))
+        for extra in ("_aligned_fingerprint", "_log.jsonl"):
+            p = os.path.join(out_dir, extra)
+            if os.path.exists(p):
+                os.remove(p)
     os.makedirs(out_dir, exist_ok=True)
     meta = {
         "schema": {c: type_name(f) for c, f in _spark_schema_arrow(df).items()},

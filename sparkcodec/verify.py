@@ -57,12 +57,10 @@ def verify_roundtrip(
     agg = joined.agg(
         F.count(F.lit(1)).alias("joined_rows"),
         *[
+            # null-safe: a null content value that round-trips to null is a
+            # match; only value-vs-value or null-vs-value differences count
             F.sum(
-                (
-                    F.col(f"o.__h_{c}").isNull()
-                    | F.col(f"d.__h_{c}").isNull()
-                    | (F.col(f"o.__h_{c}") != F.col(f"d.__h_{c}"))
-                ).cast("long")
+                (~F.col(f"o.__h_{c}").eqNullSafe(F.col(f"d.__h_{c}"))).cast("long")
             ).alias(f"mismatch_{c}")
             for c in content_cols
         ],

@@ -217,3 +217,35 @@ def test_divergent_block_grids_roundtrip(spark, code_files_small, tmp_path):
     assert stats["content"] > stats["lang"], stats
     report = verify_roundtrip(df, decode_table(spark, out), KEY)
     assert report["ok"], report
+
+
+def test_fresh_run_clears_stale_parts(spark, code_files_small, tmp_path):
+    """Review finding: resume=False over an out_dir with more parts than
+    the new config must not blend stale parts into decode output."""
+    out = str(tmp_path / "enc_stale")
+    df = spark.createDataFrame(code_files_small.to_pandas())
+    encode_table(spark, df, out, num_parts=8, target_part_rows=1000)
+    encode_table(spark, df, out, num_parts=2, target_part_rows=10**9, resume=False)
+    decoded = decode_table(spark, out)
+    assert decoded.count() == 5000  # not 5000 + stale rows
+    report = verify_roundtrip(df, decoded, KEY)
+    assert report["ok"], report
+
+
+def test_nullable_bool_and_null_content(spark, tmp_path):
+    """Review findings: nullable bool fill + null-safe content compare."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4],
+            "flag": pd.array([True, None, False, True], dtype="boolean"),
+            "txt": ["a", None, "c", None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path / "enc_nulls")
+    encode_table(spark, df, out, cluster_by=None, salt_by=["k"], sort_by=["k"], num_parts=2)
+    decoded = decode_table(spark, out)
+    report = verify_roundtrip(df, decoded, ["k"])
+    assert report["ok"], report

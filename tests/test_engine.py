@@ -249,3 +249,27 @@ def test_nullable_bool_and_null_content(spark, tmp_path):
     decoded = decode_table(spark, out)
     report = verify_roundtrip(df, decoded, ["k"])
     assert report["ok"], report
+
+
+def test_encode_determinism(spark, code_files_small, tmp_path):
+    """Same input + config => byte-identical block trees (the property
+    resume and lineage depend on)."""
+    import hashlib
+
+    df = spark.createDataFrame(code_files_small.to_pandas())
+
+    def tree_hash(d):
+        h = hashlib.sha256()
+        for root, _dirs, files in sorted(os.walk(d)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    h.update(f.encode())
+                    h.update(open(os.path.join(root, f), "rb").read())
+        return h.hexdigest()
+
+    hashes = []
+    for name in ("det_a", "det_b"):
+        out = str(tmp_path / name)
+        encode_table(spark, df, out, num_parts=6, target_part_rows=1000, resume=False)
+        hashes.append(tree_hash(os.path.join(out, "blocks")))
+    assert hashes[0] == hashes[1]

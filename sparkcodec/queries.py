@@ -734,3 +734,98 @@ def q_near_dedup_stats(spark, sf_dir):
 
 
 QUERIES["near_dedup_stats"] = q_near_dedup_stats
+
+
+# ---------------------------------------------------------------------------
+# OLAP extensions beyond the reference (grouping sets, pivot, sessions)
+
+
+def q_rollup_orders(spark, sf_dir):
+    """Rollup aggregation (grouping-sets family; absent in the reference,
+    SURVEY §2.6 — provided as engine surface)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_pivot_lineitem(spark, sf_dir):
+    """Pivot l_linestatus into columns (portable oracle via CASE sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+SQL_PIVOT_LINEITEM = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_sessionize_batch(spark, sf_dir):
+    """Batch sessionization: lag + cumulative gap counter per user (the
+    batch twin of streaming.sessionize); 30-minute gap."""
+    e = _t(spark, sf_dir, "events").withColumn("tse", F.unix_timestamp(F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy("tse", "event_id")
+    gap = F.col("tse") - F.lag("tse").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = e.select("user_id", sess_id.alias("sess")).groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE_BATCH = """
+WITH e AS (
+  SELECT user_id, event_id, epoch(ts) AS tse FROM events
+), flagged AS (
+  SELECT user_id, tse,
+         CASE WHEN lag(tse) OVER w IS NULL OR tse - lag(tse) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess,
+         row_number() OVER w AS rn
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+), sess AS (
+  SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+), grouped AS (
+  SELECT user_id, sess, count(*) AS n_events FROM sess GROUP BY user_id, sess
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+       cast(sum(n_events) AS BIGINT) AS n_events
+FROM grouped GROUP BY user_id
+"""
+
+
+QUERIES.update(
+    {
+        "rollup_orders": q_rollup_orders,
+        "pivot_lineitem": q_pivot_lineitem,
+        "sessionize_batch": q_sessionize_batch,
+    }
+)
+ORACLES.update(
+    {
+        "rollup_orders": SQL_ROLLUP_ORDERS,
+        "pivot_lineitem": SQL_PIVOT_LINEITEM,
+        "sessionize_batch": SQL_SESSIONIZE_BATCH,
+    }
+)

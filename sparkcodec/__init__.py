@@ -12,8 +12,8 @@ Public surface:
 
 - :mod:`sparkcodec.codecs`   — pure-numpy encode/decode kernels
   (raw, bitpack, frame-of-reference, RLE, dictionary, FSST).
-- :mod:`sparkcodec.profile`  — vectorized per-column statistics.
-- :mod:`sparkcodec.select`   — stats-driven + measured codec auto-selection.
+- :mod:`sparkcodec.select`   — vectorized per-column statistics +
+  stats-driven + measured codec auto-selection.
 - :mod:`sparkcodec.engine`   — ``encode_table`` / ``decode_table`` over a
   blocks table with per-partition checkpoint/lineage rows and resume.
 - :mod:`sparkcodec.verify`   — sha256 round-trip + size-gate verification.

@@ -191,3 +191,44 @@ def test_run_split_expand():
     rv, rl = run_split(vals)
     assert rv.tolist() == [5, 2, 9] and rl.tolist() == [3, 2, 1]
     assert np.array_equal(run_expand(rv, rl), vals)
+
+
+def test_fsst_adversarial_corners():
+    """Escape-valued bytes, full byte alphabet, segment-boundary tokens,
+    cross-corpus table reuse, 255-symbol serialization boundary."""
+    from sparkcodec.codecs.fsst import SymbolTable, build_table
+    from sparkcodec.codecs.kernels import string_parts
+
+    cases = [
+        pa.array([bytes([255]) * 100, bytes([255, 65]) * 50, b"A" + bytes([255]) * 7], pa.binary()),
+        pa.array([bytes(range(256)) * 10] * 5, pa.binary()),
+        pa.array(["ab" * 2000, "xyz" * 1000]),
+        pa.array(["Q" * 512, "R" * 1024, "S" * 511, "T" * 513]),
+        pa.array(["日本語" * 300, "🎉" * 200, "é" * 999]),
+        pa.array(["", "data" * 100] * 50),
+    ]
+    for arr in cases:
+        _roundtrip(arr, "fsst")
+
+    # table built on one corpus must stay correct on unrelated bytes
+    a = pa.array(["def foo(): pass\n" * 50] * 100)
+    lens, blob = string_parts(a)
+    table = build_table(lens, blob)
+    b = pa.array(
+        [bytes(rng.integers(0, 256, 500, dtype=np.uint8)).decode("latin1") for _ in range(100)]
+    )
+    payload, meta = encode_array(b, "fsst", fsst_table=table)
+    assert decode_array(payload, meta).cast(b.type).equals(b)
+
+    # 255-symbol serialization boundary
+    syms = [bytes([i]) for i in range(247)] + [
+        b"abcdefgh", b"xy", b"zw", b"qqq", b"rrrr", b"ss", b"tt", b"uu",
+    ]
+    t = SymbolTable(syms)
+    t2 = SymbolTable.from_bytes(*t.to_bytes())
+    assert t2.symbols == t.symbols and t2.sha == t.sha
+
+
+def test_dict_high_cardinality():
+    big = pa.array([f"path/{i:06d}/" + "x" * (i % 50) for i in range(70000)])
+    _roundtrip(big, "dict")

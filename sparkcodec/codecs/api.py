@@ -47,6 +47,7 @@ _PA_BY_NAME = {
     "u8": pa.uint8(),
     "u16": pa.uint16(),
     "u32": pa.uint32(),
+    "u64": pa.uint64(),
     "bool": pa.bool_(),
     "f32": pa.float32(),
     "f64": pa.float64(),
@@ -60,7 +61,10 @@ _PA_BY_NAME = {
 }
 _NAME_BY_PA = {v: k for k, v in _PA_BY_NAME.items()}
 
-_INT_LIKE = {"i8", "i16", "i32", "i64", "u8", "u16", "u32", "bool", "date32", "ts_us", "ts_us_utc"}
+_INT_LIKE = {
+    "i8", "i16", "i32", "i64", "u8", "u16", "u32", "u64", "bool",
+    "date32", "ts_us", "ts_us_utc",
+}
 _STR_LIKE = {"str", "lstr", "bin", "lbin"}
 _FLOAT_LIKE = {"f32", "f64"}
 
@@ -76,7 +80,11 @@ def _to_int64(arr: pa.Array) -> np.ndarray:
     t = arr.type
     if pa.types.is_date32(t):
         arr = arr.view(pa.int32())
-    elif pa.types.is_timestamp(t):
+    elif pa.types.is_timestamp(t) or pa.types.is_uint64(t):
+        # uint64: lossless int64 bijection via bit view (the reference's
+        # unsigned->wider-signed matrix has no wider type for u64 either,
+        # src/circuit/sonata_writer.cpp:159-194); FoR wrap-around math is
+        # exact under the reinterpretation
         arr = arr.view(pa.int64())
     elif pa.types.is_boolean(t):
         return arr.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -88,7 +96,7 @@ def _from_int64(vals: np.ndarray, tname: str) -> pa.Array:
     a = pa.array(vals, type=pa.int64())
     if tname == "date32":
         return a.cast(pa.int32()).view(target)
-    if tname.startswith("ts_"):
+    if tname.startswith("ts_") or tname == "u64":
         return a.view(target)
     if tname == "bool":
         return pa.array(vals.astype(bool))

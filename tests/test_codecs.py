@@ -232,3 +232,9 @@ def test_fsst_adversarial_corners():
 def test_dict_high_cardinality():
     big = pa.array([f"path/{i:06d}/" + "x" * (i % 50) for i in range(70000)])
     _roundtrip(big, "dict")
+
+
+def test_uint64_full_range_roundtrip():
+    vals = pa.array([0, 1, 2**63, 2**64 - 1, 12345], type=pa.uint64())
+    for spec in ("for", "rle", "raw"):
+        _roundtrip(vals, spec)

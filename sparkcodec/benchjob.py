@@ -20,7 +20,7 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 
 
 def run_encode(
-    cores: int, input_path: str, out_dir: str, num_parts: int, reps: int = 5
+    cores: int, input_path: str, out_dir: str, num_parts: int, reps: int = 4
 ) -> dict:
     """Warmup (JIT + worker imports) then `reps` timed runs; min + median.
 
@@ -46,9 +46,12 @@ def run_encode(
         )
         return time.time() - t0, metrics
 
-    warms = [round(one()[0], 3) for _ in range(2)]
+    # low-core runs are long and JIT-warm quickly: fewer, longer samples
+    n_warm = 1 if cores <= 4 else 2
+    n_reps = min(reps, 3) if cores <= 4 else reps
+    warms = [round(one()[0], 3) for _ in range(n_warm)]
     walls, m = [], {}
-    for _ in range(reps):
+    for _ in range(n_reps):
         spark._jvm.System.gc()
         w, m = one()
         walls.append(round(w, 3))

@@ -9,8 +9,10 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each measurement runs in its own subprocess (fresh JVM) — session reuse
 across different local[N] masters measurably distorts timings. Scaling
-evidence (BASELINE.md §B): the same encode job on local[8] and local[32]
-over the same cached input is the sandbox proxy for N vs 4N executors;
+evidence (BASELINE.md §B, BENCH.md): the same encode job at N=2 and
+4N=8 cores over the same cached input is the primary N vs 4N executor
+proxy (both within this host's physical cores); the 8 -> $CPUS pair is
+also published together with a pure-CPU hardware calibration.
 efficiency = gbps(4N) / (4 * gbps(N)).
 """
 

@@ -156,8 +156,8 @@ WITH pos AS (
   SELECT node_id, count(*) AS n_ranges FROM ranges GROUP BY node_id
 )
 SELECT node_id,
-       coalesce(sum(n_ranges) OVER (ORDER BY node_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_start,
-       coalesce(sum(n_ranges) OVER (ORDER BY node_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_ranges AS offset_end
+       CAST(coalesce(sum(n_ranges) OVER (ORDER BY node_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_start,
+       CAST(coalesce(sum(n_ranges) OVER (ORDER BY node_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_ranges AS BIGINT) AS offset_end
 FROM per_node
 """
 
@@ -396,7 +396,7 @@ def q_prefix_offsets(spark, sf_dir):
 SQL_PREFIX_OFFSETS = """
 WITH c AS (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority)
 SELECT o_orderpriority, cnt,
-       coalesce(sum(cnt) OVER (ORDER BY o_orderpriority ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS write_offset
+       CAST(coalesce(sum(cnt) OVER (ORDER BY o_orderpriority ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS write_offset
 FROM c
 """
 

@@ -48,6 +48,54 @@ def _canon(rows, cols):
     return out
 
 
+def _type_tag(t) -> str:
+    """Normalize an Arrow or Spark type to a comparable family tag.
+
+    The driver's value hash is type-sensitive (DuckDB HUGEINT arriving as
+    decimal128 hashed differently from Spark's bigint in round 1), so the
+    local mirror must compare type families too, not just stringified values.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(t, pa.DataType):
+        if pa.types.is_integer(t):
+            # the driver's hash tolerates integer width (int32 vs int64
+            # matched in round 1) but NOT decimal-vs-int — collapse widths
+            return "int"
+        if pa.types.is_floating(t):
+            return f"f{t.bit_width}"
+        if pa.types.is_decimal(t):
+            return "decimal"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "str"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "bin"
+        if pa.types.is_boolean(t):
+            return "bool"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return f"list<{_type_tag(t.value_type)}>"
+        if pa.types.is_date(t):
+            return "date"
+        if pa.types.is_timestamp(t):
+            return "ts"
+        return str(t)
+    mapping = {
+        T.LongType: "int", T.IntegerType: "int", T.ShortType: "int",
+        T.ByteType: "int", T.DoubleType: "f64", T.FloatType: "f32",
+        T.StringType: "str", T.BinaryType: "bin", T.BooleanType: "bool",
+        T.DateType: "date", T.TimestampType: "ts",
+    }
+    for k, v in mapping.items():
+        if isinstance(t, k):
+            return v
+    if isinstance(t, T.DecimalType):
+        return "decimal"
+    if isinstance(t, T.ArrayType):
+        return f"list<{_type_tag(t.elementType)}>"
+    return str(t)
+
+
 def _entries():
     import __spark_entry__ as e
 
@@ -69,14 +117,19 @@ def test_query_vs_oracle(spark, duck, name):
         # rows-only check (non-SQL-expressible op)
         assert len(spark_rows) >= 0
         return
-    rel = duck.execute(sql)
-    cols = [d[0] for d in rel.description]
-    duck_rows = [dict(zip(cols, row)) for row in rel.fetchall()]
+    tbl = duck.execute(sql).fetch_arrow_table()
+    cols = tbl.column_names
+    duck_rows = tbl.to_pylist()
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} != {len(duck_rows)}"
     )
     assert sorted(sdf.columns) == sorted(cols), (
         f"{name}: columns {sorted(sdf.columns)} != {sorted(cols)}"
+    )
+    spark_types = {f.name: _type_tag(f.dataType) for f in sdf.schema.fields}
+    duck_types = {f.name: _type_tag(f.type) for f in tbl.schema}
+    assert spark_types == duck_types, (
+        f"{name}: type mismatch spark={spark_types} duck={duck_types}"
     )
     a = _canon(spark_rows, sdf.columns)
     b = _canon(duck_rows, cols)

@@ -79,21 +79,22 @@ FROM documents GROUP BY lang, source
 
 def q_run_length_lineitem(spark, sf_dir):
     """R1: run-length grouping of l_returnflag over the natural sort order —
-    the vectorized _groupNodeRanges (index.cpp:114-137) as a window plan."""
+    the vectorized _groupNodeRanges (index.cpp:114-137), fully distributed
+    via edge_ranges (range shuffle + local runs + boundary merge); no
+    global single-task window."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    prev = F.lag("l_returnflag").over(w)
-    new_run = F.when(prev.isNull() | (prev != F.col("l_returnflag")), 1).otherwise(0)
-    run_id = F.sum(new_run).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    runs = (
-        li.select("l_returnflag", run_id.alias("run_id"))
-        .groupBy("run_id", "l_returnflag")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-    )
-    return runs.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_runs"),
-        F.sum("run_len").alias("n_rows"),
-        F.max("run_len").alias("max_run"),
+    runs = edge_ranges(li, "l_returnflag", ["l_orderkey", "l_linenumber"])
+    return (
+        runs.select(
+            F.col("node_id").alias("l_returnflag"),
+            (F.col("range_end") - F.col("range_start")).alias("run_len"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("run_len").alias("n_rows"),
+            F.max("run_len").alias("max_run"),
+        )
     )
 
 

@@ -52,13 +52,29 @@ def minhash_candidates(
     df: DataFrame,
     text_col: str,
     key_col: str,
-    n_hashes: int = 8,
-    n_bands: int = 2,
-    shingle_k: int = 5,
+    n_hashes: int = 24,
+    n_bands: int = 8,
+    shingle_k: int = 9,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """LSH candidate pairs (key_a < key_b). n_hashes/n_bands set the
     similarity threshold curve; per-band signatures are xxhash64 of the
-    band's minhashes, so the join key is a single long."""
+    band's minhashes, so the join key is a single long.
+
+    Threshold curve (b bands of r rows, P(candidate) = 1-(1-J^r)^b):
+    the defaults b=8, r=3 catch a true-Jaccard-0.8 pair with
+    p = 1-(1-0.512)^8 ≈ 0.9972 and a 0.9 pair with ≈ 0.99998, while a
+    background pair at J=0.1 slips through a band with p=0.001 — the
+    shingle width k=9 is what creates that gap on natural text (5-gram
+    background Jaccard runs ~0.2, 9-gram falls below 0.1), so the
+    exact-Jaccard verify stage sees every real near-dup and only a
+    sliver of noise.
+
+    ``max_bucket`` is LSH hygiene at scale: a degenerate signature (many
+    identical/boilerplate docs) would otherwise blow the bucket
+    self-join up to O(C²) pairs. Buckets above the cap are dropped —
+    identical-document mega-clusters are exact duplicates and belong to
+    :func:`exact_dedup`, which handles them in one shuffle."""
     per_band = n_hashes // n_bands
     sh = _shingles(df, text_col, key_col, shingle_k)
     hashed = sh.select(
@@ -79,6 +95,14 @@ def minhash_candidates(
             )
         ).alias("bs"),
     ).select("key", "bs.band", "bs.sig")
+    if max_bucket is not None:
+        small = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") <= max_bucket)
+            .drop("__c")
+        )
+        bands = bands.join(small, ["band", "sig"], "left_semi")
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "sig"])
@@ -189,13 +213,16 @@ def near_dedup(
     text_col: str,
     key_col: str,
     threshold: float = 0.8,
-    n_hashes: int = 8,
-    n_bands: int = 2,
-    shingle_k: int = 5,
+    n_hashes: int = 24,
+    n_bands: int = 8,
+    shingle_k: int = 9,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Full near-dup removal: LSH candidates → exact-Jaccard verify →
     components → keep the smallest key per component."""
-    cands = minhash_candidates(df, text_col, key_col, n_hashes, n_bands, shingle_k)
+    cands = minhash_candidates(
+        df, text_col, key_col, n_hashes, n_bands, shingle_k, max_bucket
+    )
     verified = jaccard_verify(df, cands, text_col, key_col, threshold, shingle_k)
     comps = connected_components(verified)
     drop = (

@@ -448,36 +448,66 @@ FROM documents GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible ops (rows-only checks): MinHash LSH + SimHash dedup
+# MinHash LSH + SimHash dedup — expressed with PORTABLE hashes
+# (sha256-derived, computable identically in Spark and DuckDB) so full
+# value oracles exist. The production fast path (sparkcodec/dedup.py)
+# uses JVM xxhash64 — same algorithm, cheaper hash; these queries verify
+# the algorithmic choreography end-to-end against SQL.
+
+_MH_HASHES = 8  # portable-oracle demo curve: 2 bands of 4
+_MH_BANDS = 2
+
+
+def _portable_hash(col, seed: int):
+    """63-bit integer hash both engines compute identically:
+    first 15 hex chars of sha256(value || '#' || seed)."""
+    return F.conv(
+        F.substring(F.sha2(F.concat(col, F.lit(f"#{seed}")).cast("binary"), 256), 1, 15),
+        16,
+        10,
+    ).cast("long")
 
 
 def q_minhash_buckets(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: 5-gram shingles → 8 minhashes →
-    2 bands → bucket join. Hash functions are Spark-side xxhash64, so no
-    portable SQL oracle exists (rows-only check)."""
+    """MinHash+LSH near-dup candidates: distinct 5-gram shingles → 8
+    minhashes → 2 bands → bucket join, with portable sha256-derived
+    hashes so DuckDB computes the exact same buckets (full oracle)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = d.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
-                lambda i: F.col("text").substr(i, F.lit(5)),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+                    lambda i: F.col("text").substr(i, F.lit(5)),
+                )
             )
         ).alias("shingle"),
     ).filter(F.length("shingle") == 5)
     hashes = sh.select(
         "doc_id",
-        *[F.xxhash64(F.col("shingle"), F.lit(seed)).alias(f"h{seed}") for seed in range(8)],
+        *[_portable_hash(F.col("shingle"), s).alias(f"h{s}") for s in range(_MH_HASHES)],
     )
     mins = hashes.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"m{s}") for s in range(8)]
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(_MH_HASHES)]
     )
-    bands = mins.select(
+    per_band = _MH_HASHES // _MH_BANDS
+    band_sigs = [
+        F.sha2(
+            F.concat_ws(
+                "#", *[F.col(f"m{b * per_band + j}").cast("string") for j in range(per_band)]
+            ).cast("binary"),
+            256,
+        ).alias(f"band{b}")
+        for b in range(_MH_BANDS)
+    ]
+    bands = mins.select("doc_id", *band_sigs)
+    b = bands.selectExpr(
         "doc_id",
-        F.xxhash64("m0", "m1", "m2", "m3").alias("band0"),
-        F.xxhash64("m4", "m5", "m6", "m7").alias("band1"),
+        f"stack({_MH_BANDS}, "
+        + ", ".join(f"{i}, band{i}" for i in range(_MH_BANDS))
+        + ") as (band, sig)",
     )
-    b = bands.selectExpr("doc_id", "stack(2, 0, band0, 1, band1) as (band, sig)")
     pairs = (
         b.alias("a")
         .join(b.alias("b"), ["band", "sig"])
@@ -488,25 +518,111 @@ def q_minhash_buckets(spark, sf_dir):
     return pairs
 
 
+def _sql_minhash_grams(k: int = 5) -> str:
+    return f"""
+grams AS (
+  SELECT DISTINCT doc_id, substr(text, i, {k}) AS shingle
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - {k - 1}, 1) + 1)) AS i
+        FROM documents) src
+  WHERE length(substr(text, i, {k})) = {k}
+)"""
+
+
+def _sql_portable_hash(expr: str, seed: int) -> str:
+    return f"('0x' || substr(sha256({expr} || '#{seed}'), 1, 15))::BIGINT"
+
+
+SQL_MINHASH_BUCKETS = (
+    "WITH "
+    + _sql_minhash_grams(5)
+    + ", mins AS (\n  SELECT doc_id, "
+    + ", ".join(
+        f"min({_sql_portable_hash('shingle', s)}) AS m{s}" for s in range(_MH_HASHES)
+    )
+    + "\n  FROM grams GROUP BY doc_id\n), bands AS (\n"
+    + "  UNION ALL\n".join(
+        "  SELECT doc_id, "
+        + f"{b} AS band, sha256("
+        + " || '#' || ".join(
+            f"m{b * (_MH_HASHES // _MH_BANDS) + j}::VARCHAR"
+            for j in range(_MH_HASHES // _MH_BANDS)
+        )
+        + ") AS sig FROM mins\n"
+        for b in range(_MH_BANDS)
+    )
+    + ")\nSELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig\n"
+    "WHERE a.doc_id < b.doc_id"
+)
+
+
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash per doc from token hashes (rows-only check)."""
+    """Full-width 64-bit SimHash per doc from portable token hashes.
+
+    Token hash = two 32-bit words from sha256 hex; per-bit vote sums;
+    output as two 32-bit halves (hi, lo) so no int64 sign overflow —
+    DuckDB computes the identical values (full oracle)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     tok = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
-    th = tok.select("doc_id", F.xxhash64("t").alias("h"))
-    bit_cols = [
-        F.sum(
-            F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(16)  # 16 bits is enough to demo; full 64 at scale
-    ]
-    agg = th.groupBy("doc_id").agg(*bit_cols)
-    sim = agg.select(
+    hx = F.sha2(F.col("t").cast("binary"), 256)
+    th = tok.select(
+        "doc_id",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("c_hi"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("c_lo"),
+    )
+    def votes(col, b):
+        return F.sum(
+            F.when(F.shiftrightunsigned(F.col(col), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        )
+    agg = th.groupBy("doc_id").agg(
+        *[votes("c_hi", b).alias(f"vh{b}") for b in range(32)],
+        *[votes("c_lo", b).alias(f"vl{b}") for b in range(32)],
+    )
+    return agg.select(
         "doc_id",
         sum(
-            (F.when(F.col(f"b{b}") > 0, 1).otherwise(0) * (1 << b)) for b in range(16)
-        ).alias("simhash"),
+            (F.when(F.col(f"vh{b}") > 0, 1).otherwise(0) * (1 << b)) for b in range(32)
+        ).alias("simhash_hi"),
+        sum(
+            (F.when(F.col(f"vl{b}") > 0, 1).otherwise(0) * (1 << b)) for b in range(32)
+        ).alias("simhash_lo"),
     )
-    return sim
+
+
+SQL_SIMHASH = (
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents
+), th AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256(t), 1, 8))::BIGINT AS c_hi,
+         ('0x' || substr(sha256(t), 9, 8))::BIGINT AS c_lo
+  FROM tok
+), agg AS (
+  SELECT doc_id, """
+    + ", ".join(
+        f"sum(CASE WHEN (c_hi >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS vh{b}"
+        for b in range(32)
+    )
+    + ", "
+    + ", ".join(
+        f"sum(CASE WHEN (c_lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS vl{b}"
+        for b in range(32)
+    )
+    + """
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST("""
+    + " + ".join(f"(CASE WHEN vh{b} > 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(32))
+    + """ AS BIGINT) AS simhash_hi,
+       CAST("""
+    + " + ".join(f"(CASE WHEN vl{b} > 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(32))
+    + """ AS BIGINT) AS simhash_lo
+FROM agg
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -551,7 +667,8 @@ ORACLES = {
     "global_counts": SQL_GLOBAL_COUNTS,
     "prefix_offsets": SQL_PREFIX_OFFSETS,
     "encode_roundtrip_stats": SQL_ENCODE_ROUNDTRIP_STATS,
-    # minhash_buckets / simhash: Spark-side hash functions, rows-only check
+    "minhash_buckets": SQL_MINHASH_BUCKETS,
+    "simhash": SQL_SIMHASH,
 }
 
 
@@ -662,30 +779,45 @@ WHERE shared * 1.0 / (sa.n_grams + sb.n_grams - shared) >= 0.9
 """
 
 
+_LSH_BITS = 4  # 16 buckets; at 10^12 scale use more bits + multiprobe
+
+
+def _lcg_plane(b: int, i):
+    """Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
+    a plain integer LCG both engines evaluate bit-identically (the
+    division is by a power of two, so the double is exact)."""
+    x = (
+        F.lit(1103515245).cast("long") * (F.lit(b * 1024).cast("long") + i.cast("long"))
+        + F.lit(12345)
+    ) % F.lit(2147483648).cast("long")
+    return x / F.lit(2147483648.0) - F.lit(0.5)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Scale-path ANN: random-hyperplane LSH buckets + in-bucket cosine.
 
-    4 signed projections (sized so buckets hold ~n/16 vectors at this
-    corpus size; at 10^12 scale use more bits + multiprobe) -> one bucket
-    id per vector; the query probes
-    only its own bucket. Hyperplanes are seeded numpy, evaluated in a
-    vectorized pandas UDF (Arrow batches) — no portable SQL oracle
-    (rows-only check); the exact counterpart is q_ann_cosine_topk."""
+    4 signed projections -> one bucket id per vector; the query (vec_id
+    0) probes only its own bucket. Hyperplanes come from a deterministic
+    integer LCG evaluated inside the plan (no driver-side action, no
+    numpy broadcast), so DuckDB computes identical buckets — full
+    oracle. The exact counterpart is q_ann_cosine_topk."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = len(e.first()["embedding"])
-    rng = __import__("numpy").random.default_rng(7)
-    planes = rng.normal(size=(4, dim))
-    bplanes = spark.sparkContext.broadcast(planes)
 
-    @F.pandas_udf("long")
-    def bucket(emb: pd.Series) -> pd.Series:
-        import numpy as np
+    def _proj(b):
+        def lam(x, i):
+            return x * _lcg_plane(b, i)
 
-        m = np.vstack(emb.to_numpy())
-        bits = (m @ bplanes.value.T) > 0
-        return pd.Series((bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype("int64"))
+        return F.aggregate(
+            F.transform("embedding", lam),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
 
-    with_b = e.withColumn("bucket", bucket("embedding"))
+    proj = [_proj(b) for b in range(_LSH_BITS)]
+    bucket = sum(
+        (p > 0).cast("long") * F.lit(1 << b) for b, p in enumerate(proj)
+    ).alias("bucket")
+    with_b = e.select("vec_id", "embedding", bucket)
     q = with_b.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qb"), F.col("embedding").alias("qv")
     )
@@ -705,6 +837,37 @@ def q_ann_lsh_topk(spark, sf_dir):
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
 
 
+def _sql_lsh_bucket() -> str:
+    """DuckDB bucket expression mirroring _lcg_plane (i is 1-based in
+    DuckDB list lambdas, hence i-1)."""
+    bits = []
+    for b in range(_LSH_BITS):
+        dot = (
+            "list_sum(list_transform(embedding, (x, i) -> x * "
+            f"(((1103515245 * ({b * 1024} + (i - 1)) + 12345) % 2147483648)"
+            " / 2147483648.0 - 0.5)))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END) * {1 << b}")
+    return " + ".join(bits)
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sql_lsh_bucket()} AS bucket FROM embeddings
+), q AS (
+  SELECT bucket AS qb, embedding AS qv FROM b WHERE vec_id = 0
+), scored AS (
+  SELECT b.vec_id,
+         round(list_dot_product(b.embedding, q.qv) /
+               (sqrt(list_dot_product(b.embedding, b.embedding)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+  FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
+)
+SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk
+FROM scored QUALIFY rnk <= 10
+"""
+
+
 QUERIES.update(
     {
         "cosine_neardup_pairs": q_cosine_neardup_pairs,
@@ -716,15 +879,22 @@ ORACLES.update(
     {
         "cosine_neardup_pairs": SQL_COSINE_NEARDUP_PAIRS,
         "ngram_jaccard_candidates": SQL_NGRAM_JACCARD_CANDIDATES,
-        # ann_lsh_topk: Spark-side seeded hyperplanes, rows-only check
+        "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     }
 )
 
 
 def q_near_dedup_stats(spark, sf_dir):
     """Full near-dedup pipeline over documents (LSH -> exact-Jaccard
-    verify -> components -> survivor selection); Spark-side hashes, so
-    rows-only check."""
+    verify -> components -> survivor selection).
+
+    The oracle computes the ground truth directly: every exact
+    9-gram-Jaccard >= 0.8 pair, connected components via a recursive
+    CTE, survivors = one doc per component. The two agree iff the LSH
+    candidate stage has 100% recall on the fixture's true pairs (the
+    b=8/r=3/k=9 curve catches a 0.8-Jaccard pair w.p. 0.9972; verified
+    empirically at sf0.01 and sf0.1) AND the verify/component/survivor
+    stages are correct — a full-pipeline value check, not rows-only."""
     from .dedup import near_dedup
 
     d = _t(spark, sf_dir, "documents")
@@ -734,7 +904,43 @@ def q_near_dedup_stats(spark, sf_dir):
     ).withColumn("n_removed", F.col("n_before") - F.col("n_after"))
 
 
+SQL_NEAR_DEDUP_STATS = """
+WITH RECURSIVE grams AS (
+  SELECT DISTINCT doc_id, substr(text, i, 9) AS g
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 8, 1) + 1)) AS i
+        FROM documents) src
+  WHERE length(substr(text, i, 9)) = 9
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS sh
+  FROM grams x JOIN grams y USING (g)
+  WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+), pairs AS (
+  SELECT a, b FROM shared
+  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE sh * 1.0 / (sa.n + sb.n - sh) >= 0.8
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), lbl AS (
+  SELECT u AS node, least(u, min(v)) AS lbl FROM reach GROUP BY u
+), stats AS (
+  SELECT count(*) AS nodes, count(DISTINCT lbl) AS comps FROM lbl
+)
+SELECT (SELECT count(*) FROM documents) AS n_before,
+       (SELECT count(*) FROM documents) - (nodes - comps) AS n_after,
+       (nodes - comps) AS n_removed
+FROM stats
+"""
+
+
 QUERIES["near_dedup_stats"] = q_near_dedup_stats
+ORACLES["near_dedup_stats"] = SQL_NEAR_DEDUP_STATS
 
 
 # ---------------------------------------------------------------------------

@@ -81,3 +81,25 @@ def test_near_dedup_end_to_end(docs):
         assert base_id + 2 not in kept
     # all unique docs survive
     assert out.count() == 4 + 20
+
+
+def test_minhash_bucket_cap_prevents_pair_explosion(spark):
+    """LSH hygiene: 1000 identical docs land in one bucket per band; the
+    max_bucket cap must drop the mega-bucket instead of emitting ~500k
+    candidate pairs (VERDICT: degenerate-signature O(C^2) guard)."""
+    rows = [(i, "exactly the same boilerplate text repeated " * 20) for i in range(1000)]
+    rows += [(1000 + j, f"distinct filler number {j} " * 30) for j in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_candidates(df, "text", "doc_id")  # default max_bucket=256
+    n = capped.count()
+    assert n < 5000, f"pair explosion: {n} candidates"
+    # with the cap disabled the mega-bucket would alone contribute 1000*999/2
+    uncapped_bucket_pairs = 1000 * 999 // 2
+    assert n < uncapped_bucket_pairs / 50
+
+
+def test_minhash_cap_keeps_small_clusters(docs):
+    """The cap must not disturb normal-sized near-dup clusters."""
+    capped = minhash_candidates(docs, "text", "doc_id", max_bucket=256)
+    uncapped = minhash_candidates(docs, "text", "doc_id", max_bucket=None)
+    assert {tuple(r) for r in capped.collect()} == {tuple(r) for r in uncapped.collect()}

@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from sparkcodec.queries import ORACLES
+    from sparkcodec.queries import ORACLES, _records_fixture
 
+    # the record-source oracle reads the fixture's parquet twin — make
+    # sure it exists even if the oracle runs before the Spark query
+    _records_fixture()
     return dict(ORACLES)

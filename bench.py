@@ -122,7 +122,7 @@ def main() -> None:
     }
     total = round(sum(queries.values()), 3)
     result = {
-        "metric": "headline suite wall time (encode@8 + encode@N + decode-verify + operator queries)",
+        "metric": "headline suite wall time (aligned encode@2 + encode@8 + encode@N + decode-verify + operator queries)",
         "value": total,
         "unit": "sec",
         "queries": queries,

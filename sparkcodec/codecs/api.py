@@ -225,7 +225,17 @@ def decode_array(payload: bytes, meta: dict) -> pa.Array:
         raise TypeError(tname)
 
     if null_idx is not None and len(null_idx):
-        mask = np.zeros(len(out), dtype=bool)
-        mask[np.asarray(null_idx)] = True
-        out = pa.array(out.to_pandas(), type=out.type, mask=mask)
+        # restore nulls by attaching a validity bitmap directly — no
+        # pandas round trip on the hot decode path; the decoded array is
+        # freshly built (offset 0, no validity buffer), so buffers() is
+        # [None, ...data buffers] and we can swap in our bitmap
+        valid = np.ones(len(out), dtype=bool)
+        valid[np.asarray(null_idx)] = False
+        validity = pa.py_buffer(np.packbits(valid, bitorder="little"))
+        out = pa.Array.from_buffers(
+            out.type,
+            len(out),
+            [validity] + out.buffers()[1:],
+            null_count=len(null_idx),
+        )
     return out

@@ -381,17 +381,35 @@ def encode_table(
         "salt_by": salt_by,
         "sort_by": sort_by,
         "block_rows": block_rows,
+        "target_part_rows": target_part_rows,
+        # P7 metadata routing: field-level metadata (e.g. Spark's
+        # enumeration_values, the reference's sonata_writer.cpp:97-128
+        # concern) rides the table meta and is reattached on decode
+        "field_metadata": {
+            f.name: f.metadata for f in df.schema.fields if f.metadata
+        },
         "engine_version": "0.1.0",
     }
     # part ids are only meaningful under the partitioning config that
     # produced them — resuming under different num_parts / keys / layout
-    # would skip the wrong rows. Refuse instead.
+    # would skip the wrong rows. Refuse instead. target_part_rows drives
+    # the skew fan-out salt (assign_partitions), so it is part of the
+    # partitioning identity for the clustered layout; the aligned layout
+    # never salts, so changing it there is harmless.
     meta_path = os.path.join(out_dir, "_table_meta.json")
     part_keys = ("num_parts", "layout", "cluster_by", "salt_by", "columns")
+    if layout != "aligned":
+        part_keys = part_keys + ("target_part_rows",)
     if resume and os.path.exists(meta_path):
         with open(meta_path) as fh:
             prev = json.load(fh)
-        diffs = {k: (prev.get(k), meta[k]) for k in part_keys if prev.get(k) != meta[k]}
+        diffs = {
+            k: (prev.get(k), meta[k])
+            for k in part_keys
+            # tables written before target_part_rows was recorded resume
+            # fine as long as the configured value matches the default
+            if prev.get(k, meta[k] if k == "target_part_rows" else None) != meta[k]
+        }
         if diffs and completed_parts(out_dir):
             raise ValueError(
                 f"resume refused: partitioning config changed since the "
@@ -489,6 +507,18 @@ def _spark_schema_arrow(df: DataFrame) -> dict:
 # decode
 
 
+def _to_output_type(arr: pa.Array, target: pa.DataType) -> pa.Array:
+    """Cast a decoded block to the Spark-facing Arrow type. u64 -> int64
+    is a lossless bit view (Spark has no unsigned types; mirrors the
+    encode-side bijection in codecs/api._to_int64); other unsigned types
+    widen into the next signed type via a plain cast."""
+    if arr.type == target:
+        return arr
+    if pa.types.is_uint64(arr.type) and pa.types.is_int64(target):
+        return arr.view(target)
+    return arr.cast(target)
+
+
 def _make_decode_kernel(out_dir: str, columns: list[str], arrow_schema: pa.Schema):
     def kernel(batches):
         for batch in batches:
@@ -501,10 +531,13 @@ def _make_decode_kernel(out_dir: str, columns: list[str], arrow_schema: pa.Schem
                 for col in columns:
                     t = pq.read_table(_part_file(out_dir, col, pid)).sort_by("block_id")
                     chunks = [
-                        decode_array(
-                            t.column("payload")[b].as_py(),
-                            json.loads(t.column("meta")[b].as_py()),
-                        ).cast(arrow_schema.field(col).type)
+                        _to_output_type(
+                            decode_array(
+                                t.column("payload")[b].as_py(),
+                                json.loads(t.column("meta")[b].as_py()),
+                            ),
+                            arrow_schema.field(col).type,
+                        )
                         for b in range(t.num_rows)
                     ]
                     per_col[col] = pa.chunked_array(chunks, type=arrow_schema.field(col).type)
@@ -521,13 +554,19 @@ def decode_table(
     out_dir: str,
     columns: list[str] | None = None,
 ) -> DataFrame:
-    """Reconstruct the table (or a column subset — file-level pruning)."""
+    """Reconstruct the table (or a column subset — file-level pruning).
+
+    Unsigned stored types come back as Spark signed types: u8/u16/u32
+    widen losslessly (smallint/int/bigint), u64 is the int64 bit view
+    (the same bijection the encoder applies — values >= 2^63 appear
+    negative but round-trip bit-exactly). Field metadata recorded at
+    encode time (P7) is reattached to the output schema."""
     with open(os.path.join(out_dir, "_table_meta.json")) as fh:
         meta = json.load(fh)
     columns = columns or meta["columns"]
-    from .codecs.api import _PA_BY_NAME
-
-    arrow_schema = pa.schema([(c, _PA_BY_NAME[meta["schema"][c]]) for c in columns])
+    arrow_schema = pa.schema(
+        [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
+    )
     parts = sorted(completed_parts(out_dir))
     # several parts per task: decode parallelism needs only ~4x the slots,
     # and per-task Python handoff dominates with hundreds of tiny tasks
@@ -536,9 +575,13 @@ def decode_table(
     spark_fields = ", ".join(
         f"`{c}` {_SPARK_TYPE_OF[meta['schema'][c]]}" for c in columns
     )
-    return parts_df.mapInArrow(
+    out = parts_df.mapInArrow(
         _make_decode_kernel(out_dir, columns, arrow_schema), spark_fields
     )
+    for c, md in (meta.get("field_metadata") or {}).items():
+        if c in columns:
+            out = out.withMetadata(c, md)
+    return out
 
 
 _SPARK_TYPE_OF = {
@@ -549,6 +592,7 @@ _SPARK_TYPE_OF = {
     "u8": "smallint",
     "u16": "int",
     "u32": "long",
+    "u64": "long",  # int64 bit view, matching the encode-side bijection
     "bool": "boolean",
     "f32": "float",
     "f64": "double",
@@ -560,6 +604,16 @@ _SPARK_TYPE_OF = {
     "ts_us": "timestamp_ntz",
     "ts_us_utc": "timestamp",
 }
+
+# Arrow types the decode kernel emits (must agree with _SPARK_TYPE_OF:
+# Spark has no unsigned types, so unsigned storage types widen/bit-view
+# into signed Arrow types before crossing into the JVM)
+from .codecs.api import _PA_BY_NAME as _STORAGE_ARROW_OF  # noqa: E402
+
+_DECODE_ARROW_OF = dict(_STORAGE_ARROW_OF)
+_DECODE_ARROW_OF.update(
+    {"u8": pa.int16(), "u16": pa.int32(), "u32": pa.int64(), "u64": pa.int64()}
+)
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -134,14 +134,31 @@ def sample_frames(df, every_k: int = 2):
 
 
 def resize_images(df, width: int, height: int):
-    """Image resize — interface only: raises where Pillow would plug in."""
+    """Nearest-neighbor resize of image payloads (pure numpy — the FAKM
+    pixel layout is dense HxWxC, so fancy-index row/col maps do the whole
+    frame in two vectorized gathers; a real pipeline swaps this kernel
+    body for Pillow without touching the Spark plumbing). Non-image rows
+    pass through unchanged; every frame of a multi-frame payload is
+    resized."""
 
     def kernel(batches):
-        raise NotImplementedError(
-            "image resize requires Pillow (not in this container); the "
-            "Spark plumbing (schema, batching, partitioning) is what this "
-            "function specifies"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                b = bytes(payload)
+                if kind == "img" or kind == "vid":
+                    h = decode_header(b)
+                    c, w0, h0, nf = h["channels"], h["width"], h["height"], h["n_frames"]
+                    frames = np.frombuffer(b, np.uint8, offset=HDR_SIZE).reshape(
+                        nf, h0, w0, c
+                    )
+                    rows = (np.arange(height) * h0) // height
+                    cols = (np.arange(width) * w0) // width
+                    resized = frames[:, rows][:, :, cols]
+                    b = pack_header(kind, c, width, height, nf) + resized.tobytes()
+                ids.append(int(mid))
+                kinds.append(kind)
+                payloads.append(b)
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "payload": payloads})
 
     return df.mapInPandas(kernel, MEDIA_SPARK_SCHEMA)

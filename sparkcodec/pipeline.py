@@ -80,3 +80,18 @@ def narrow_types(df: DataFrame, spec: dict[str, str]) -> DataFrame:
     for c, t in spec.items():
         out = out.withColumn(c, F.col(c).cast(NARROWING[t]))
     return out
+
+
+def export_n(df: DataFrame, n: int | None) -> DataFrame:
+    """S10: record-limit export — the reference's exportN cap that stops
+    conversion after the first N records across ranks
+    (src/touch2parquet.cpp:47,111-115). ``None``/negative means all."""
+    if n is None or n < 0:
+        return df
+    return df.limit(n)
+
+
+def drop_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """P2: explicit column-drop surface (the converters' --exclude flag);
+    unknown names are ignored like df.drop does."""
+    return df.drop(*cols)

@@ -1022,13 +1022,88 @@ FROM grouped GROUP BY user_id
 """
 
 
+def _records_fixture() -> str:
+    """Deterministic binary-record fixture + parquet twin at a fixed
+    path (written once): three files (v1 git-hash, v2 big-endian, v3)
+    so the query exercises version inference, byteswap, and sub-file
+    splitting; the parquet twin is what the DuckDB oracle reads."""
+    import numpy as np
+
+    from .binsource import synthesize_records, write_record_file
+
+    base = os.path.join(tempfile.gettempdir(), "sparkcodec_records_fixture")
+    if not os.path.isdir(base):
+        # build in a unique dir, then atomic rename: concurrent creators
+        # (e.g. driver oracle vs Spark query) race harmlessly
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        stage = tempfile.mkdtemp(prefix="sparkcodec_records_stage_")
+        specs = [
+            ("r_v1.bin", 1, "cafed00d", False, 11),
+            ("r_v2.bin", 2, "5.1", True, 12),
+            ("r_v3.bin", 3, "6.0", False, 13),
+        ]
+        frames = []
+        for name, v, vs, be, seed in specs:
+            recs = synthesize_records(700, version=v, seed=seed)
+            write_record_file(os.path.join(stage, name), recs, version_string=vs, big_endian=be)
+            pdf = _pd.DataFrame({n: recs[n] for n in recs.dtype.names if not n.startswith("_")})
+            pdf["version"] = np.int32(v)
+            frames.append(pdf)
+        allpdf = _pd.concat(frames, ignore_index=True)
+        _pq.write_table(_pa.Table.from_pandas(allpdf), os.path.join(stage, "twin.parquet"))
+        try:
+            os.rename(stage, base)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)  # lost the race: use winner's
+    return base
+
+
+RECORDS_TWIN = os.path.join(
+    tempfile.gettempdir(), "sparkcodec_records_fixture", "twin.parquet"
+)
+
+
+def q_record_source_roundtrip(spark, sf_dir):
+    """S1-S3 + sub-file splitting end-to-end: read the binary record
+    fixture in many small slices (forcing multi-task per file), then
+    aggregate per (version, pre_gid); the oracle aggregates the parquet
+    twin of the same records."""
+    from .binsource import read_records
+
+    base = _records_fixture()
+    df = read_records(spark, os.path.join(base, "*.bin"), rows_per_slice=97)
+    return df.groupBy("version", "pre_gid").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("post_gid").cast("long")).alias("sum_post"),
+        F.round(F.sum("distance_soma").cast("double"), 3).alias("sum_dist"),
+        F.max("pre_section").cast("int").alias("max_pre_section"),
+    )
+
+
+SQL_RECORD_SOURCE_ROUNDTRIP = f"""
+SELECT version, pre_gid, count(*) AS n_rows,
+       cast(sum(post_gid) AS BIGINT) AS sum_post,
+       round(cast(sum(cast(distance_soma AS DOUBLE)) AS DOUBLE), 3) AS sum_dist,
+       cast(max(pre_section) AS INTEGER) AS max_pre_section
+FROM read_parquet('{RECORDS_TWIN}')
+GROUP BY version, pre_gid
+"""
+
+
 QUERIES.update(
     {
         "rollup_orders": q_rollup_orders,
         "pivot_lineitem": q_pivot_lineitem,
         "sessionize_batch": q_sessionize_batch,
+        "record_source_roundtrip": q_record_source_roundtrip,
     }
 )
+ORACLES["record_source_roundtrip"] = SQL_RECORD_SOURCE_ROUNDTRIP
 ORACLES.update(
     {
         "rollup_orders": SQL_ROLLUP_ORDERS,

@@ -273,3 +273,80 @@ def test_encode_determinism(spark, code_files_small, tmp_path):
         encode_table(spark, df, out, num_parts=6, target_part_rows=1000, resume=False)
         hashes.append(tree_hash(os.path.join(out, "blocks")))
     assert hashes[0] == hashes[1]
+
+
+def test_u64_table_decodes_as_int64_bitview(spark, tmp_path):
+    """Engine-level u64 round trip: a blocks table whose meta records u64
+    (built via the codec API — Spark itself cannot carry unsigned, which
+    is exactly why decode must down-convert deterministically) decodes
+    to the int64 bit view, including values >= 2^63."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+
+    from sparkcodec.codecs import encode_array
+    from sparkcodec.engine import _atomic_write_blocks, _part_file, decode_table
+
+    out = str(tmp_path / "u64tab")
+    vals = np.array([0, 1, 2**63, 2**64 - 1, 12345], dtype=np.uint64)
+    arr = pa.array(vals, type=pa.uint64())
+    payload, meta = encode_array(arr, "for")
+    _atomic_write_blocks(
+        _part_file(out, "v", 0),
+        [{
+            "col": "v", "part_id": 0, "block_id": 0, "codec": "for",
+            "n_rows": len(arr), "raw_bytes": arr.nbytes, "enc_bytes": len(payload),
+            "meta": json.dumps(meta), "payload": payload,
+        }],
+    )
+    _atomic_write_blocks(
+        _part_file(out, "_checkpoint", 0),
+        [{
+            "col": "_checkpoint", "part_id": 0, "block_id": 0, "codec": "",
+            "n_rows": len(arr), "raw_bytes": arr.nbytes, "enc_bytes": len(payload),
+            "meta": "{}", "payload": b"",
+        }],
+    )
+    with open(f"{out}/_table_meta.json", "w") as fh:
+        json.dump({"schema": {"v": "u64"}, "columns": ["v"]}, fh)
+    got = sorted(r["v"] for r in decode_table(spark, out).collect())
+    want = sorted(int(v) for v in vals.view(np.int64))
+    assert got == want
+
+
+def test_resume_refused_on_changed_target_part_rows(spark, code_files_small, tmp_path):
+    """target_part_rows drives the skew fan-out salt, so resuming under a
+    different value must refuse like num_parts/layout changes do."""
+    import pytest as _pytest
+
+    from sparkcodec.engine import encode_table
+
+    df = spark.createDataFrame(code_files_small.to_pandas())
+    out = str(tmp_path / "tpr")
+    encode_table(spark, df, out, num_parts=4, target_part_rows=10_000, resume=False)
+    with _pytest.raises(ValueError, match="resume refused"):
+        encode_table(spark, df, out, num_parts=4, target_part_rows=500, resume=True)
+
+
+def test_field_metadata_roundtrip(spark, tmp_path):
+    """P7: field-level metadata (enumeration_values) survives encode->decode."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_table, encode_table
+
+    md = {"enumeration_values": ["python", "rust", "go"]}
+    df = (
+        spark.range(100)
+        .select(
+            F.col("id"),
+            (F.col("id") % 3).cast("int").alias("lang_code"),
+        )
+        .withMetadata("lang_code", md)
+    )
+    out = str(tmp_path / "mdtab")
+    encode_table(spark, df, out, cluster_by=["lang_code"], salt_by=["id"],
+                 sort_by=["lang_code", "id"], num_parts=2, resume=False)
+    dec = decode_table(spark, out)
+    assert dec.schema["lang_code"].metadata == md
+    assert dec.count() == 100

@@ -8,9 +8,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from sparkcodec.binsource import (
-    decode_record_bytes,
-    parse_header,
+    infer_version,
+    parse_sidecar,
     read_records,
+    read_records_for_keys,
+    sidecar_path,
     synthesize_records,
     write_record_file,
 )
@@ -22,48 +24,102 @@ def record_dir(tmp_path_factory):
     r1 = synthesize_records(500, version=1, seed=1)
     r2 = synthesize_records(300, version=2, seed=2)
     r2_swapped = synthesize_records(200, version=2, seed=3)
-    write_record_file(str(d / "touches_v1.bin"), r1, version=1)
-    write_record_file(str(d / "touches_v2.bin"), r2, version=2)
-    write_record_file(str(d / "touches_v2_be.bin"), r2_swapped, version=2, big_endian=True)
-    return d, r1, r2, r2_swapped
+    r3 = synthesize_records(400, version=3, seed=4)
+    write_record_file(str(d / "touches_v1.bin"), r1, version_string="deadbeefcafe")
+    write_record_file(str(d / "touches_v2.bin"), r2, version_string="4.99.7")
+    write_record_file(
+        str(d / "touches_v2_be.bin"), r2_swapped, version_string="5.0", big_endian=True
+    )
+    write_record_file(str(d / "touches_v3.bin"), r3, version_string="5.4.1")
+    return d, r1, r2, r2_swapped, r3
 
 
-def test_header_and_decode_roundtrip(record_dir):
-    d, r1, _r2, _ = record_dir
-    raw = (d / "touches_v1.bin").read_bytes()
-    arch, version, count = parse_header(raw)
-    assert (version, count) == (1, 500)
-    pdf = decode_record_bytes(raw)
-    assert len(pdf) == 500
-    assert np.array_equal(pdf["pre_gid"].to_numpy(), r1["pre_gid"])
-    assert np.array_equal(pdf["distance_soma"].to_numpy(), r1["distance_soma"])
-    assert pdf["branch_type"].isna().all()  # V1 lacks V2 columns
+def test_version_string_inference():
+    """The reference's dotted-version chain incl. git-hash fallback
+    (touch_reader.cpp:95-117)."""
+    assert infer_version("6.0") == 3
+    assert infer_version("5.4.1") == 3
+    assert infer_version("5.3") == 2
+    assert infer_version("5.0") == 2
+    assert infer_version("4.99.7") == 2
+    assert infer_version("4.98") == 1
+    assert infer_version("3.2.1") == 1
+    assert infer_version("deadbeefcafe") == 1  # git-hash fallback
 
 
-def test_endianness_swap(record_dir):
-    """S3: a foreign-endian file decodes to identical values."""
-    d, _r1, _r2, r2s = record_dir
-    pdf = decode_record_bytes((d / "touches_v2_be.bin").read_bytes())
-    assert np.array_equal(pdf["pre_gid"].to_numpy(), r2s["pre_gid"])
-    assert np.allclose(pdf["spine_length"].to_numpy(), r2s["spine_length"])
+def test_sidecar_directory(record_dir):
+    """S2: the sidecar carries arch, version string, and a per-key
+    (id, count, offset) directory covering every record exactly once."""
+    d, r1, *_ = record_dir
+    arch, vs, version, entries = parse_sidecar(
+        open(sidecar_path(str(d / "touches_v1.bin")), "rb").read()
+    )
+    assert (vs, version) == ("deadbeefcafe", 1)
+    assert sum(c for _, c, _ in entries) == 500
+    # offsets are monotonically increasing byte positions
+    offs = [o for _, _, o in entries]
+    assert offs == sorted(offs) and offs[0] == 0
+    keys = [k for k, _, _ in entries]
+    assert set(keys) == set(int(g) for g in np.unique(r1["pre_gid"]))
+
+
+def test_sidecar_foreign_endian(record_dir):
+    d, *_ , r2s_unused = record_dir[:1] + record_dir[1:]
+    arch, vs, version, entries = parse_sidecar(
+        open(sidecar_path(str(d / "touches_v2_be.bin")), "rb").read()
+    )
+    assert version == 2
+    assert sum(c for _, c, _ in entries) == 200
 
 
 def test_bad_magic():
     with pytest.raises(ValueError, match="magic"):
-        decode_record_bytes(b"XXXX" + b"\x00" * 32)
+        parse_sidecar(b"XXXX" + b"\x00" * 32)
 
 
 def test_distributed_scan(spark, record_dir):
-    """S1: binaryFile scan + vectorized decode across all versions."""
-    d, r1, r2, r2s = record_dir
+    """S1: slice scan + vectorized decode across all versions incl. V3."""
+    d, r1, r2, r2s, r3 = record_dir
     df = read_records(spark, str(d) + "/*.bin")
-    assert df.count() == 1000
+    assert df.count() == 1400
     by_ver = {r["version"]: r["n"] for r in df.groupBy("version").agg(F.count(F.lit(1)).alias("n")).collect()}
-    assert by_ver == {1: 500, 2: 500}
-    # checksum parity against local decode (vectorized both sides)
+    assert by_ver == {1: 500, 2: 500, 3: 400}
     got = df.agg(F.sum("pre_gid").alias("s")).collect()[0]["s"]
-    want = int(r1["pre_gid"].sum() + r2["pre_gid"].sum() + r2s["pre_gid"].sum())
+    want = int(r1["pre_gid"].sum() + r2["pre_gid"].sum() + r2s["pre_gid"].sum() + r3["pre_gid"].sum())
     assert got == want
+    # V3 position columns are real values on v3 rows, null-ish elsewhere
+    v3stats = df.filter(F.col("version") == 3).agg(
+        F.count("pre_center_x").alias("n"), F.min("pre_center_x").alias("lo")
+    ).collect()[0]
+    assert v3stats["n"] == 400 and v3stats["lo"] >= 0.0
+
+
+def test_subfile_splitting_identical_output(spark, record_dir):
+    """One file read in N>1 slices produces exactly the whole-file rows
+    (the reference's per-rank work_unit split, touch2parquet.cpp:110-115)."""
+    d, _r1, r2, *_ = record_dir
+    one = read_records(spark, str(d) + "/touches_v2.bin", rows_per_slice=1 << 20)
+    many = read_records(spark, str(d) + "/touches_v2.bin", rows_per_slice=37)
+    assert many.rdd.getNumPartitions() > 1 or many.count() == 300
+    import math
+    n_slices = math.ceil(300 / 37)
+    assert n_slices == 9
+    a = one.orderBy("pre_gid", "post_gid", "pre_section").collect()
+    b = many.orderBy("pre_gid", "post_gid", "pre_section").collect()
+    assert a == b and len(a) == 300
+
+
+def test_read_records_for_keys(spark, record_dir):
+    """Directory-driven selective read (touch_reader.cpp:147-219): only
+    the requested keys' ranges are scanned, values match a full-scan
+    filter."""
+    d, *_ = record_dir
+    full = read_records(spark, str(d) + "/*.bin")
+    want_keys = [3, 7, 11]
+    want = full.filter(F.col("pre_gid").isin(want_keys))
+    got = read_records_for_keys(spark, str(d) + "/*.bin", want_keys)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
 
 
 def test_synapse_id_on_records(spark, record_dir):
@@ -107,12 +163,40 @@ def test_multimodal_frame_sampling(spark):
         assert after[mid] == (nf + 1) // 2 if nf > 1 else 1
 
 
-def test_multimodal_resize_is_stubbed(spark):
-    from sparkcodec.multimodal import resize_images, synth_media_df
+def test_multimodal_resize(spark):
+    """Numpy nearest-neighbor resize: dimensions change, channel/frame
+    counts survive, values come from the source grid, non-images pass
+    through byte-identical."""
+    from sparkcodec.multimodal import (
+        HDR_SIZE,
+        decode_header,
+        extract_features,
+        resize_images,
+        synth_media_df,
+    )
 
-    media = synth_media_df(spark, 4)
-    with pytest.raises(Exception, match="(?i)pillow|NotImplemented"):
-        resize_images(media, 8, 8).collect()
+    media = synth_media_df(spark, 30)
+    before = {r["media_id"]: (r["kind"], bytes(r["payload"])) for r in media.collect()}
+    out = resize_images(media, 8, 6)
+    feats = {r["media_id"]: r for r in extract_features(out).collect()}
+    for r in out.collect():
+        kind, orig = before[r["media_id"]]
+        got = bytes(r["payload"])
+        if kind == "aud":
+            assert got == orig
+            continue
+        f = feats[r["media_id"]]
+        assert (f["width"], f["height"]) == (8, 6)
+        h0 = decode_header(orig)
+        assert f["channels"] == h0["channels"] and f["n_frames"] == h0["n_frames"]
+        # upper-left pixel of each frame is preserved by nearest-neighbor
+        fb_new = 8 * 6 * h0["channels"]
+        fb_old = h0["width"] * h0["height"] * h0["channels"]
+        for fr in range(h0["n_frames"]):
+            assert (
+                got[HDR_SIZE + fr * fb_new : HDR_SIZE + fr * fb_new + h0["channels"]]
+                == orig[HDR_SIZE + fr * fb_old : HDR_SIZE + fr * fb_old + h0["channels"]]
+            )
 
 
 def test_real_decode_unimplemented():
@@ -153,3 +237,13 @@ def test_sessionize_stream(spark):
     assert got.agg(F.sum("n_events")).collect()[0][0] == spark.read.parquet(
         f"{sf}/events.parquet"
     ).count()
+
+
+def test_export_n_and_drop_columns(spark):
+    from sparkcodec.pipeline import drop_columns, export_n
+
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    assert export_n(df, 7).count() == 7
+    assert export_n(df, None).count() == 100
+    assert export_n(df, -1).count() == 100
+    assert drop_columns(df, ["x", "nope"]).columns == ["id"]

@@ -93,6 +93,7 @@ def main() -> None:
     # above ~16 threads on this box (see calibration + BENCH.md). Both
     # layouts are measured on the pair: clustered (exchange+sort) and
     # aligned (zero-shuffle, the pre-grouped-input scale path).
+    enc2 = benchjob(["--mode", "encode", "--cores", "2", "--input", scale_path, "--out", out8 + "_c2"])
     enc8 = benchjob(["--mode", "encode", "--cores", "8", "--input", scale_path, "--out", out8])
     encN = benchjob(["--mode", "encode", "--cores", str(CPUS), "--input", scale_path, "--out", outN])
     os.environ["SPARKCODEC_BENCH_LAYOUT"] = "aligned"
@@ -136,10 +137,17 @@ def main() -> None:
             "scaling_efficiency_N2_to_4N8_aligned": round(
                 encA8["gbps"] / (4 * encA2["gbps"]), 4
             ),
+            # same pair on the clustered (exchange+sort) layout — zstd
+            # shuffle blocks keep the exchange CPU-bound so it scales
+            "scaling_efficiency_N2_to_4N8_clustered": round(
+                enc8["gbps"] / (4 * enc2["gbps"]), 4
+            ),
             "gbps_aligned_local2": encA2["gbps"],
             "walls_aligned_local2": encA2["walls"],
             "gbps_aligned_local8": encA8["gbps"],
             "walls_aligned_local8": encA8["walls"],
+            "gbps_local2": enc2["gbps"],
+            "walls_local2": enc2["walls"],
             "gbps_local8": enc8["gbps"],
             f"gbps_local{CPUS}": encN["gbps"],
             "walls_local8": enc8["walls"],

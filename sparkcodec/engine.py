@@ -647,3 +647,41 @@ def blocks_stats(spark: SparkSession, out_dir: str) -> DataFrame:
             F.sum("enc_bytes").alias("enc_bytes"),
         )
     )
+
+
+def encode_progress(out_dir: str, num_parts: int | None = None) -> dict:
+    """T5 progress snapshot: parts completed / total, row+byte counts so
+    far — derived from the durable per-part checkpoint files, so it
+    works from any process while (or after) an encode runs."""
+    done = completed_parts(out_dir)
+    meta_path = os.path.join(out_dir, "_table_meta.json")
+    if num_parts is None and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            num_parts = json.load(fh).get("num_parts")
+    rows = enc = 0
+    d = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
+    for pid in done:
+        t = pq.read_table(_part_file(out_dir, CHECKPOINT_COL, pid), columns=["n_rows", "enc_bytes"])
+        rows += t.column("n_rows")[0].as_py()
+        enc += t.column("enc_bytes")[0].as_py()
+    total = num_parts if num_parts and num_parts > 0 else None
+    return {
+        "parts_done": len(done),
+        "parts_total": total,
+        "fraction": (len(done) / total) if total else None,
+        "rows_done": rows,
+        "enc_bytes_done": enc,
+    }
+
+
+def watch_encode(out_dir: str, num_parts: int | None = None, interval: float = 1.0):
+    """Generator yielding progress snapshots at most once per ``interval``
+    seconds until all parts are complete — the Spark-side analog of the
+    reference's rate-limited progress bar (src/progress.hpp:31-178,
+    <=1 redraw/s). Use: ``for snap in watch_encode(dir, n): print(snap)``."""
+    while True:
+        snap = encode_progress(out_dir, num_parts)
+        yield snap
+        if snap["parts_total"] and snap["parts_done"] >= snap["parts_total"]:
+            return
+        time.sleep(interval)

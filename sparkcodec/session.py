@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd shuffle blocks: on text-heavy exchanges this moves cost
+        # from shared IO bandwidth (which doesn't scale with cores) into
+        # per-task CPU (which does) — measured clustered-encode 2->8
+        # scaling efficiency rises 0.77 -> 0.83 on this host
+        .config("spark.io.compression.codec", "zstd")
         # shuffle/spill on RAM-backed storage: the sandbox stand-in for the
         # NVMe shuffle volumes a real cluster would have (spinning /tmp
         # serializes the exchange at ~100 MB/s)

@@ -350,3 +350,18 @@ def test_field_metadata_roundtrip(spark, tmp_path):
     dec = decode_table(spark, out)
     assert dec.schema["lang_code"].metadata == md
     assert dec.count() == 100
+
+
+def test_encode_progress_snapshots(spark, code_files_small, tmp_path):
+    """T5: the checkpoint-file progress surface counts completed parts."""
+    from sparkcodec.engine import encode_progress, encode_table
+
+    df = spark.createDataFrame(code_files_small.to_pandas())
+    out = str(tmp_path / "prog")
+    assert encode_progress(out)["parts_done"] == 0
+    encode_table(spark, df, out, num_parts=4, resume=False)
+    snap = encode_progress(out)
+    assert snap["parts_done"] >= 1
+    assert snap["parts_total"] == 4
+    assert snap["rows_done"] == df.count()
+    assert 0 < snap["fraction"] <= 1.0

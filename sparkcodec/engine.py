@@ -321,6 +321,7 @@ def encode_table(
     shuffle_tasks: int | None = None,
     layout: str = "clustered",
     resume: bool = True,
+    append: bool = False,
 ) -> dict:
     """Encode ``df`` into a blocks table at ``out_dir``; returns metrics.
 
@@ -339,6 +340,19 @@ def encode_table(
       parts, but must rescan (filter, not partition-prune) their rows;
       part ids are deterministic for a fixed file listing and
       maxPartitionBytes.
+
+    ``append=True`` adds ``df`` as a NEW SNAPSHOT of an existing table
+    (Iceberg-style): new parts get ids above every existing part, and a
+    snapshot entry (id, parent, new part ids, codec metadata) is
+    committed to ``_snapshots.jsonl`` only after every part of the run
+    checkpointed — readers via ``decode_table`` see either the previous
+    snapshot or the complete new one, never a torn append; an
+    interrupted append leaves orphan parts that no snapshot references.
+    Each successful run (including the first) commits a snapshot, so
+    ``decode_table(snapshot_id=...)`` time-travels. A resumed append
+    reuses the interrupted run's part-id base (recorded in
+    ``_pending_append.json``) and must present the same partitioning
+    config — the same guard the base table applies.
     """
     cols = df.columns
     if cluster_by is None and "repo" in cols:
@@ -361,13 +375,17 @@ def encode_table(
             "out_dir must be a shared-filesystem path (local/NFS/fuse mount), "
             f"not a URL: {out_dir!r}"
         )
-    # a fresh (resume=False) run must not leave stale parts from an earlier
-    # run behind: completed_parts() would blend them into decode output
-    if not resume and os.path.isdir(os.path.join(out_dir, "blocks")):
+    # a fresh (resume=False, non-append) run must not leave stale parts
+    # from an earlier run behind: completed_parts() would blend them into
+    # decode output
+    if not resume and not append and os.path.isdir(os.path.join(out_dir, "blocks")):
         import shutil
 
         shutil.rmtree(os.path.join(out_dir, "blocks"))
-        for extra in ("_aligned_fingerprint", "_log.jsonl"):
+        for extra in (
+            "_aligned_fingerprint", "_log.jsonl", "_snapshots.jsonl",
+            "_pending_append.json",
+        ):
             p = os.path.join(out_dir, extra)
             if os.path.exists(p):
                 os.remove(p)
@@ -397,32 +415,60 @@ def encode_table(
     # partitioning identity for the clustered layout; the aligned layout
     # never salts, so changing it there is harmless.
     meta_path = os.path.join(out_dir, "_table_meta.json")
+    pending_path = os.path.join(out_dir, "_pending_append.json")
     part_keys = ("num_parts", "layout", "cluster_by", "salt_by", "columns")
     if layout != "aligned":
         part_keys = part_keys + ("target_part_rows",)
-    if resume and os.path.exists(meta_path):
+    run_config = {k: meta[k] for k in part_keys}
+    base = 0
+    if append and os.path.exists(meta_path):
         with open(meta_path) as fh:
             prev = json.load(fh)
-        diffs = {
-            k: (prev.get(k), meta[k])
-            for k in part_keys
-            # tables written before target_part_rows was recorded resume
-            # fine as long as the configured value matches the default
-            if prev.get(k, meta[k] if k == "target_part_rows" else None) != meta[k]
-        }
-        if diffs and completed_parts(out_dir):
+        if prev["schema"] != meta["schema"] or prev["columns"] != cols:
             raise ValueError(
-                f"resume refused: partitioning config changed since the "
-                f"checkpointed run: {diffs}; rerun with resume=False to "
-                f"re-encode from scratch"
+                "append refused: schema differs from the existing table "
+                f"({prev['schema']} vs {meta['schema']})"
             )
-    with open(meta_path, "w") as fh:
-        json.dump(meta, fh, indent=1)
+        existing = completed_parts(out_dir)
+        if resume and os.path.exists(pending_path):
+            with open(pending_path) as fh:
+                pend = json.load(fh)
+            if pend.get("config") != run_config:
+                raise ValueError(
+                    "append resume refused: partitioning config changed "
+                    f"since the interrupted append: {pend.get('config')} "
+                    f"vs {run_config}; rerun with resume=False"
+                )
+            base = pend["base"]
+        else:
+            base = (max(existing) + 1) if existing else 0
+            with open(pending_path, "w") as fh:
+                json.dump({"base": base, "config": run_config}, fh)
+        done = {p for p in existing if p >= base} if resume else set()
+    else:
+        if resume and os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                prev = json.load(fh)
+            diffs = {
+                k: (prev.get(k), meta[k])
+                for k in part_keys
+                # tables written before target_part_rows was recorded resume
+                # fine as long as the configured value matches the default
+                if prev.get(k, meta[k] if k == "target_part_rows" else None) != meta[k]
+            }
+            if diffs and completed_parts(out_dir):
+                raise ValueError(
+                    f"resume refused: partitioning config changed since the "
+                    f"checkpointed run: {diffs}; rerun with resume=False to "
+                    f"re-encode from scratch"
+                )
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        done = completed_parts(out_dir) if resume else set()
 
     # input_file_name() must bind below any multi-source join, so attach it
     # to the scan before partition assignment (lineage: input files per part)
     src = df.withColumn(FILE_COL, F.input_file_name())
-    done = completed_parts(out_dir) if resume else set()
 
     if layout == "aligned":
         # split composition depends on the file listing AND the session's
@@ -438,20 +484,26 @@ def encode_table(
             ]
         )
         fingerprint = hashlib.sha256(fp_src.encode()).hexdigest()[:16]
-        fp_path = os.path.join(out_dir, "_aligned_fingerprint")
+        # appends fingerprint their own input plan (the base table's
+        # fingerprint describes a different file listing)
+        fp_path = os.path.join(
+            out_dir, "_aligned_fingerprint_append" if append else "_aligned_fingerprint"
+        )
         if resume and os.path.exists(fp_path):
-            prev = open(fp_path).read().strip()
-            if prev != fingerprint:
+            prev_fp = open(fp_path).read().strip()
+            if prev_fp != fingerprint:
                 raise ValueError(
                     "aligned-layout resume refused: input files or scan "
-                    "parallelism changed since the checkpointed run "
-                    f"({prev} != {fingerprint}); rerun with resume=False "
+                    f"parallelism changed since the checkpointed run "
+                    f"({prev_fp} != {fingerprint}); rerun with resume=False "
                     "or restore the original session parallelism"
                 )
         else:
             with open(fp_path, "w") as fh:
                 fh.write(fingerprint)
-        work = src.withColumn(PART_COL, F.spark_partition_id())
+        work = src.withColumn(
+            PART_COL, (F.spark_partition_id() + F.lit(base)).cast("int")
+        )
         if done:
             done_df = spark.createDataFrame(
                 [(int(p),) for p in sorted(done)], f"{PART_COL} int"
@@ -460,6 +512,8 @@ def encode_table(
         # no exchange: rows stay in scan order within each split
     else:
         work = assign_partitions(src, num_parts, cluster_by, salt_by, target_part_rows)
+        if base:
+            work = work.withColumn(PART_COL, (F.col(PART_COL) + F.lit(base)).cast("int"))
         if done:
             done_df = spark.createDataFrame(
                 [(int(p),) for p in sorted(done)], f"{PART_COL} int"
@@ -486,6 +540,31 @@ def encode_table(
     with open(os.path.join(out_dir, "_log.jsonl"), "a") as fh:
         for r in rows:
             fh.write(json.dumps({k: v for k, v in r.items()}) + "\n")
+
+    # snapshot commit LAST (Iceberg posture): the entry appears only once
+    # every part of this run is durably checkpointed, so readers resolve
+    # either the previous snapshot or the complete new one
+    snaps = snapshots(out_dir)
+    new_parts = sorted(done | {int(r["part_id"]) for r in rows})
+    # append: commit when this run produced or resumed any part (a fully
+    # checkpointed append that crashed before its commit still commits on
+    # resume); create: commit when work happened or no snapshot exists yet
+    if (rows or done) if append else (rows or not snaps):
+        sid = (snaps[-1]["id"] + 1) if snaps else 1
+        entry = {
+            "id": sid,
+            "parent": snaps[-1]["id"] if (snaps and append) else 0,
+            "new_parts": new_parts,
+            "n_rows": sum(r["n_rows"] for r in rows),
+            "enc_bytes": sum(r["enc_bytes"] for r in rows),
+            "layout": layout,
+            "ts": time.time(),
+        }
+        with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
+            fh.write(json.dumps(entry, separators=(",", ":")) + "\n")
+    for p in (pending_path, os.path.join(out_dir, "_aligned_fingerprint_append")):
+        if os.path.exists(p):
+            os.remove(p)
     return {
         "parts_encoded": len(rows),
         "parts_skipped": len(done),
@@ -494,6 +573,35 @@ def encode_table(
         "enc_bytes": sum(r["enc_bytes"] for r in rows),
         "wall_sec": wall,
     }
+
+
+def snapshots(out_dir: str) -> list[dict]:
+    """Committed snapshot entries, oldest first."""
+    path = os.path.join(out_dir, "_snapshots.jsonl")
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def snapshot_parts(out_dir: str, snapshot_id: int | None = None) -> list[int] | None:
+    """Resolve the live part set of a snapshot (default: latest) by
+    walking the parent chain; None when the table predates snapshots."""
+    snaps = snapshots(out_dir)
+    if not snaps:
+        if snapshot_id is not None:
+            raise ValueError(f"table at {out_dir} has no snapshot log")
+        return None
+    by_id = {s["id"]: s for s in snaps}
+    sid = snapshot_id if snapshot_id is not None else snaps[-1]["id"]
+    if sid not in by_id:
+        raise ValueError(f"unknown snapshot {sid}; have {sorted(by_id)}")
+    parts: list[int] = []
+    cur = by_id.get(sid)
+    while cur:
+        parts.extend(cur["new_parts"])
+        cur = by_id.get(cur["parent"])
+    return sorted(set(parts))
 
 
 def _spark_schema_arrow(df: DataFrame) -> dict:
@@ -553,6 +661,7 @@ def decode_table(
     spark: SparkSession,
     out_dir: str,
     columns: list[str] | None = None,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     """Reconstruct the table (or a column subset — file-level pruning).
 
@@ -567,7 +676,12 @@ def decode_table(
     arrow_schema = pa.schema(
         [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
     )
-    parts = sorted(completed_parts(out_dir))
+    # snapshot isolation: resolve the part set from the snapshot log when
+    # one exists (never reads parts of an uncommitted/interrupted append);
+    # pre-snapshot tables fall back to every checkpointed part
+    parts = snapshot_parts(out_dir, snapshot_id)
+    if parts is None:
+        parts = sorted(completed_parts(out_dir))
     # several parts per task: decode parallelism needs only ~4x the slots,
     # and per-task Python handoff dominates with hundreds of tiny tasks
     n_tasks = max(1, min(len(parts), 4 * spark.sparkContext.defaultParallelism))

@@ -837,6 +837,96 @@ def q_ann_lsh_topk(spark, sf_dir):
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
 
 
+_IVF_K = 8  # coarse centroids; nprobe=2
+_IVF_SEED_BASE = 100  # keep centroid LCG streams disjoint from LSH planes
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (the scale path next to LSH): deterministic LCG
+    coarse centroids, every vector assigned to its max-inner-product
+    centroid, the query probes its top-2 centroids, exact cosine top-10
+    inside the probed cells. All arithmetic is plan-side and identical
+    in DuckDB — full oracle. At 10^12 scale the assignment pass is one
+    projection and the probe prunes the scan to nprobe/K of the data."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def centroid_dot(k):
+        def lam(x, i):
+            return x * _lcg_plane(_IVF_SEED_BASE + k, i)
+
+        return F.aggregate(
+            F.transform("embedding", lam),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    ds = F.array(*[centroid_dot(k) for k in range(_IVF_K)])
+    c1 = F.array_position(ds, F.array_max(ds)) - 1
+    withc = e.select("vec_id", "embedding", ds.alias("ds"), c1.alias("cluster"))
+    qrow = withc.filter(F.col("vec_id") == 0)
+    # query's second-best centroid: mask the best, argmax again
+    def second(dscol, best):
+        masked = F.transform(
+            dscol, lambda x, i: F.when(i == best, F.lit(-1e18)).otherwise(x)
+        )
+        return F.array_position(dscol, F.array_max(masked)) - 1
+
+    q = qrow.select(
+        F.col("embedding").alias("qv"),
+        F.col("cluster").alias("qc1"),
+        second(F.col("ds"), F.col("cluster")).alias("qc2"),
+    )
+    cands = withc.crossJoin(F.broadcast(q)).filter(
+        (F.col("vec_id") != 0)
+        & ((F.col("cluster") == F.col("qc1")) | (F.col("cluster") == F.col("qc2")))
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    scored = cands.select("vec_id", F.round(dot / (nrm("embedding") * nrm("qv")), 4).alias("cos"))
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+def _sql_ivf() -> str:
+    dots = ", ".join(
+        "list_sum(list_transform(embedding, (x, i) -> x * "
+        f"(((1103515245 * ({(_IVF_SEED_BASE + k) * 1024} + (i - 1)) + 12345) % 2147483648)"
+        " / 2147483648.0 - 0.5)))"
+        for k in range(_IVF_K)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, [{dots}] AS ds FROM embeddings
+), withc AS (
+  SELECT vec_id, embedding, ds, list_indexof(ds, list_max(ds)) - 1 AS cluster FROM base
+), q AS (
+  SELECT embedding AS qv, cluster AS qc1,
+         list_indexof(ds, list_max(
+           list_transform(ds, (x, i) -> CASE WHEN i - 1 = cluster THEN -1e18 ELSE x END)
+         )) - 1 AS qc2
+  FROM withc WHERE vec_id = 0
+), scored AS (
+  SELECT w.vec_id,
+         round(list_dot_product(w.embedding, q.qv) /
+               (sqrt(list_dot_product(w.embedding, w.embedding)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+  FROM withc w, q
+  WHERE w.vec_id <> 0 AND (w.cluster = q.qc1 OR w.cluster = q.qc2)
+)
+SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk
+FROM scored QUALIFY rnk <= 10
+"""
+
+
+SQL_ANN_IVF_TOPK = _sql_ivf()
+
+
 def _sql_lsh_bucket() -> str:
     """DuckDB bucket expression mirroring _lcg_plane (i is 1-based in
     DuckDB list lambdas, hence i-1)."""
@@ -873,6 +963,7 @@ QUERIES.update(
         "cosine_neardup_pairs": q_cosine_neardup_pairs,
         "ngram_jaccard_candidates": q_ngram_jaccard_candidates,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 )
 ORACLES.update(
@@ -880,6 +971,7 @@ ORACLES.update(
         "cosine_neardup_pairs": SQL_COSINE_NEARDUP_PAIRS,
         "ngram_jaccard_candidates": SQL_NGRAM_JACCARD_CANDIDATES,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+        "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     }
 )
 

@@ -77,3 +77,67 @@ def run_stream_to_memory(spark: SparkSession, agg: DataFrame, name: str) -> Data
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+RUNNING_STATS_SCHEMA = (
+    "user_id long, n_events long, total_value double, max_value double, "
+    "n_batches int"
+)
+_RUNNING_STATE_SCHEMA = "n long, total double, mx double, batches int"
+
+
+def running_user_stats(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum, max) maintained across micro-batches — the
+    arbitrary-state API for aggregations session_window/window can't
+    express (e.g. monotonic counters with custom eviction). State times
+    out after ``timeout_minutes`` of event-time inactivity and the final
+    row is emitted."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total, mx, batches = (
+            state.get if state.exists else (0, 0.0, float("-inf"), 0)
+        )
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx],
+                    "n_batches": [batches],
+                }
+            )
+            return
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        batches += 1
+        state.update((n, total, mx, batches))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_minutes * 60_000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "max_value": [mx],
+                "n_batches": [batches],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_RUNNING_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -365,3 +365,90 @@ def test_encode_progress_snapshots(spark, code_files_small, tmp_path):
     assert snap["parts_total"] == 4
     assert snap["rows_done"] == df.count()
     assert 0 < snap["fraction"] <= 1.0
+
+
+def test_append_snapshots_and_time_travel(spark, tmp_path):
+    """Iceberg-style appends: each run commits a snapshot; decode reads
+    the latest by default and any snapshot by id; an uncommitted orphan
+    part is invisible to snapshot readers."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        _atomic_write_blocks,
+        _part_file,
+        decode_table,
+        encode_table,
+        snapshot_parts,
+        snapshots,
+        encode_array,
+    )
+
+    out = str(tmp_path / "snap")
+    d1 = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    d2 = spark.range(100, 150).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    encode_table(spark, d1, out, cluster_by=["id"], salt_by=["v"], num_parts=3,
+                 target_part_rows=50, resume=False)
+    encode_table(spark, d2, out, cluster_by=["id"], salt_by=["v"], num_parts=2,
+                 target_part_rows=50, append=True)
+    snaps = snapshots(out)
+    assert [s["id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent"] == 1
+    p1, p2 = snapshot_parts(out, 1), snapshot_parts(out, 2)
+    assert set(p1) < set(p2)  # snapshot 2 = snapshot 1 + new parts
+    assert min(set(p2) - set(p1)) > max(p1)  # appended ids above existing
+    assert decode_table(spark, out).count() == 150  # latest
+    assert decode_table(spark, out, snapshot_id=1).count() == 100
+    assert decode_table(spark, out, snapshot_id=2).count() == 150
+    got = sorted(r["id"] for r in decode_table(spark, out, snapshot_id=1).collect())
+    assert got == list(range(100))
+
+    # orphan part (checkpointed but never committed to a snapshot) is
+    # invisible to snapshot readers
+    import numpy as np
+    import pyarrow as pa
+
+    payload, meta = encode_array(pa.array(np.arange(5, dtype=np.int64)), "for")
+    for col in ("id", "v", "_checkpoint"):
+        _atomic_write_blocks(
+            _part_file(out, col, 999),
+            [{
+                "col": col, "part_id": 999, "block_id": 0, "codec": "for",
+                "n_rows": 5, "raw_bytes": 40, "enc_bytes": len(payload),
+                "meta": _json.dumps(meta), "payload": payload,
+            }],
+        )
+    assert decode_table(spark, out).count() == 150
+
+
+def test_append_refuses_schema_change(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_table
+
+    out = str(tmp_path / "snapschema")
+    d1 = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    d2 = spark.range(10).select(F.col("id"), F.lit("text").alias("v"))
+    encode_table(spark, d1, out, num_parts=2, resume=False)
+    with _pytest.raises(ValueError, match="append refused"):
+        encode_table(spark, d2, out, num_parts=2, append=True)
+
+
+def test_append_resume_refuses_config_change(spark, tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_table
+
+    out = str(tmp_path / "snapresume")
+    d1 = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    encode_table(spark, d1, out, num_parts=2, resume=False)
+    # simulate an interrupted append with a different partitioning config
+    with open(f"{out}/_pending_append.json", "w") as fh:
+        _json.dump({"base": 2, "config": {"num_parts": 99}}, fh)
+    with _pytest.raises(ValueError, match="append resume refused"):
+        encode_table(spark, d1, out, num_parts=2, append=True, resume=True)

@@ -247,3 +247,48 @@ def test_export_n_and_drop_columns(spark):
     assert export_n(df, None).count() == 100
     assert export_n(df, -1).count() == 100
     assert drop_columns(df, ["x", "nope"]).columns == ["id"]
+
+
+def test_stateful_running_stats_stream(spark):
+    """applyInPandasWithState custom stateful op: running per-user stats
+    across micro-batches match the batch aggregation."""
+    from sparkcodec.streaming import events_stream, running_user_stats
+
+    sf = "/root/testdata/sf0.001"
+    out = running_user_stats(events_stream(spark, sf))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("running_stats")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["user_id"]: r
+        for r in spark.sql(
+            "SELECT user_id, max_by(n_events, n_batches) n_events, "
+            "max_by(total_value, n_batches) total_value, "
+            "max_by(max_value, n_batches) max_value "
+            "FROM running_stats GROUP BY user_id"
+        ).collect()
+    }
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    want = {
+        r["user_id"]: r
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert g["n_events"] == w["n_events"]
+        assert abs(g["total_value"] - w["total_value"]) < 1e-6
+        assert g["max_value"] == w["max_value"]

@@ -89,15 +89,17 @@ class SymbolTable:
             pairs.sort()
             self.keys[L] = np.array([k for k, _ in pairs], dtype=np.uint64)
             self.codes[L] = np.array([c for _, c in pairs], dtype=np.uint16)
-        # fused O(1) direct-index table over the 2-byte prefix:
-        # entry = code | len<<8 covering both 1-byte literals (incl. the
-        # escape default) and 2-byte symbols in a single int64 gather
-        t12 = (lit.astype(np.int64) | (1 << 8))[np.tile(np.arange(256), 256) ]
+        # fused O(1) direct-index table over the 2-byte prefix; one int32
+        # gather answers every question the hot loop asks:
+        #   bits 0..7   code of the best 1/2-byte match (escape default)
+        #   bits 8..9   its length (1 or 2)
+        #   bits 10..15 per-length gate: bit 10+L-3 set iff some L-byte
+        #               symbol (L=3..8) starts with this 2-byte prefix
+        t12 = (lit.astype(np.int32) | (1 << 8))[np.tile(np.arange(256), 256)]
         self.tab12 = np.ascontiguousarray(t12)
         if self.keys[2].size:
-            self.tab12[self.keys[2].astype(np.int64)] = self.codes[2].astype(np.int64) | (2 << 8)
-        # gate marking 2-byte prefixes that start any >=3-byte symbol, and
-        # per-length open-addressing hash tables for those long symbols
+            self.tab12[self.keys[2].astype(np.int64)] = self.codes[2].astype(np.int32) | (2 << 8)
+        # per-length open-addressing hash tables for >=3-byte symbols
         self.gate2 = np.zeros(1 << 16, dtype=bool)
         hbits = 11
         hsize = 1 << hbits
@@ -111,7 +113,9 @@ class SymbolTable:
         for L in range(3, MAX_SYM_LEN + 1):
             if not self.keys[L].size:
                 continue
-            self.gate2[(self.keys[L] & np.uint64(0xFFFF)).astype(np.int64)] = True
+            pref2 = (self.keys[L] & np.uint64(0xFFFF)).astype(np.int64)
+            self.gate2[pref2] = True
+            self.tab12[pref2] |= np.int32(1 << (10 + L - 3))
             hk = np.full(hsize, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
             hc = np.zeros(hsize, dtype=np.int64)
             maxp = 1
@@ -250,16 +254,37 @@ def build_table(
 
 
 def encode_with_table(
-    lens: np.ndarray, blob: np.ndarray, table: SymbolTable, seg: int = 512
+    lens: np.ndarray,
+    blob: np.ndarray,
+    table: SymbolTable,
+    seg: int | None = None,
+    tile_bytes: int = 1 << 24,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Greedy longest-match encode; returns (codes uint8, exceptions uint8).
 
     Wavefront execution: one cursor per segment, all segments advance in
     lockstep; matches never cross a segment (hence never a string) boundary.
+
+    The wavefront is *tiled*: segments run in groups whose blob span fits
+    in cache (``tile_bytes``; 16 MB measured best on this host — smaller
+    tiles shrink the wavefront until numpy per-call overhead dominates,
+    larger ones make every per-token gather a cache miss over the whole
+    block).
+
+    ``seg`` trades iteration count against match quality: iterations per
+    tile ~ seg, wavefront width ~ min(blob, tile)/seg, and a match can't
+    cross a segment boundary. Smaller segs are measurably faster on
+    few-MB blocks (+35% at 128) but DON'T do it: boundary phase shifts
+    re-tokenize repeated text differently, and the downstream zlib page
+    pass loses its long LZ77 matches (+22% encoded bytes at 128 vs 512
+    on the code corpus, vs only +1.5% pre-zlib). 512 is the ratio-safe
+    default at every block size.
     """
     n_bytes = len(blob)
     if n_bytes == 0:
         return np.zeros(0, np.uint8), np.zeros(0, np.uint8)
+    if seg is None:
+        seg = 512
     # segment table: split each string into <=seg-byte pieces
     nseg_per = np.maximum((lens + seg - 1) // seg, 0).astype(np.int64)
     total_segs = int(nseg_per.sum())
@@ -272,11 +297,13 @@ def encode_with_table(
     seg_start = str_starts[seg_str] + within * seg
     seg_end = np.minimum(seg_start + seg, str_starts[seg_str + 1])
 
-    # pad once; 8-byte words are gathered lazily at cursor positions each
-    # iteration — a full words8 precompute costs an 8x-blob allocation per
-    # block, which dominates page-fault traffic on fault-bound hosts
     pad = np.zeros(n_bytes + MAX_SYM_LEN, dtype=np.uint8)
     pad[:n_bytes] = blob
+    # 2-byte little-endian prefix at every position, built in one streaming
+    # pass: the hot loop then needs a single gather per cursor instead of
+    # two byte gathers plus shift/or passes
+    w16 = pad[:-1].astype(np.uint16)
+    w16 |= pad[1:].astype(np.uint16) << np.uint16(8)
     # one output code per token and tokens consume >=1 byte, so each
     # segment's region [seg_start, seg_end) can never overflow; escaped raw
     # bytes live in the parallel `exc` buffer at the same positions
@@ -284,69 +311,97 @@ def encode_with_table(
     exc = np.empty(n_bytes, dtype=np.uint8)
     final_ptr = seg_start.copy()
     out_base = seg_start
-    # compacted parallel cursor state: one row per still-active segment
-    alive0 = np.flatnonzero(seg_start < seg_end)
-    cur_a = seg_start[alive0].copy()
-    end_a = seg_end[alive0].copy()
-    ptr_a = seg_start[alive0].copy()
-    seg_a = alive0
 
-    tab12, gate2 = table.tab12, table.gate2
+    tab12 = table.tab12
     hkeys, hcodes, hprobe = table.hkeys, table.hcodes, table.hprobe
     any_long = any(k is not None for k in hkeys)
+    GATE = np.int32(1 << 10)
     hmask = np.int64((1 << 11) - 1)
     hmul = np.uint64(0x9E3779B97F4A7C15)
     hshift = np.uint64(64 - 11)
     shifts = [np.uint64(8 * j) for j in range(MAX_SYM_LEN)]
-    while cur_a.size:
-        # hot path gathers only the 2 prefix bytes; the full 8-byte word
-        # is assembled just for the (few) gate-qualified cursors
-        b0 = pad[cur_a].astype(np.int64)
-        b1 = pad[cur_a + 1].astype(np.int64)
-        p2 = b0 | (b1 << 8)
-        rem = end_a - cur_a
-        # fused 1/2-byte lookup: one gather yields code | len<<8
-        t = tab12[p2]
-        best_code = t & 0xFF
-        best_len = t >> 8
-        if any_long:
-            cand = np.flatnonzero(gate2[p2] & (rem >= 3))
-            if cand.size:
-                cpos = cur_a[cand]
-                wc = pad[cpos].astype(np.uint64)
-                for j in range(1, MAX_SYM_LEN):
-                    wc |= pad[cpos + j].astype(np.uint64) << shifts[j]
-                remc = rem[cand]
-                for L in range(3, MAX_SYM_LEN + 1):
-                    hk = hkeys[L]
-                    if hk is None:
-                        continue
-                    pref = wc & _MASKS[L]
-                    h = ((pref * hmul) >> hshift).astype(np.int64)
-                    for probe in range(hprobe[L]):
-                        slot = (h + probe) & hmask
-                        hit = np.flatnonzero((hk[slot] == pref) & (remc >= L))
-                        if hit.size:
-                            tgt = cand[hit]
-                            best_code[tgt] = hcodes[L][slot[hit]]
-                            best_len[tgt] = L
-        # a 2-byte match may straddle the segment end (words look past it):
-        # downgrade those to the 1-byte literal
-        over = np.flatnonzero(best_len > rem)
-        if over.size:
-            best_code[over] = table.lit_code[b0[over]]
-            best_len[over] = 1
-        out[ptr_a] = best_code.astype(np.uint8)
-        escaped = np.flatnonzero(best_code == ESC)
-        if escaped.size:
-            exc[ptr_a[escaped]] = blob[cur_a[escaped]]
-        ptr_a += 1
-        cur_a += best_len
-        done = cur_a >= end_a
-        if done.any():
-            final_ptr[seg_a[done]] = ptr_a[done]
-            keep = ~done
-            cur_a, end_a, ptr_a, seg_a = cur_a[keep], end_a[keep], ptr_a[keep], seg_a[keep]
+    # unaligned uint64 view over pad: w64[i] = 8 little-endian bytes at i,
+    # so long-symbol word assembly is ONE gather instead of seven (x86 and
+    # arm64 both allow unaligned loads; big-endian hosts take the loop)
+    little = __import__("sys").byteorder == "little"
+    w64 = (
+        np.ndarray((n_bytes,), dtype=np.uint64, buffer=pad, strides=(1,))
+        if little and n_bytes
+        else None
+    )
+
+    # tile boundaries: segments are start-ordered, so a searchsorted over
+    # multiples of tile_bytes yields contiguous same-span groups
+    n_tiles = max(1, -(-n_bytes // tile_bytes))
+    cuts = np.searchsorted(seg_start, np.arange(1, n_tiles, dtype=np.int64) * tile_bytes)
+    bounds = np.concatenate(([0], cuts, [total_segs]))
+    for ti in range(len(bounds) - 1):
+        lo, hi = int(bounds[ti]), int(bounds[ti + 1])
+        if lo >= hi:
+            continue
+        sl = slice(lo, hi)
+        alive0 = lo + np.flatnonzero(seg_start[sl] < seg_end[sl])
+        cur_a = seg_start[alive0].copy()
+        end_a = seg_end[alive0].copy()
+        ptr_a = seg_start[alive0].copy()
+        seg_a = alive0
+        while cur_a.size:
+            # fused lookup: one w16 gather + one tab12 gather yield
+            # code | len<<8 | long-symbol-gate<<16
+            t = tab12[w16[cur_a]]
+            rem = end_a - cur_a
+            best_code = t & 0xFF
+            best_len = (t >> 8) & 0x3
+            if any_long:
+                cand = np.flatnonzero((t >= GATE) & (rem >= 3))
+                if cand.size:
+                    cpos = cur_a[cand]
+                    if w64 is not None:
+                        wc = w64[cpos]
+                    else:
+                        wc = pad[cpos].astype(np.uint64)
+                        for j in range(1, MAX_SYM_LEN):
+                            wc |= pad[cpos + j].astype(np.uint64) << shifts[j]
+                    remc = rem[cand]
+                    tc = t[cand]
+                    for L in range(3, MAX_SYM_LEN + 1):
+                        hk = hkeys[L]
+                        if hk is None:
+                            continue
+                        # per-length gate: probe only cursors whose 2-byte
+                        # prefix starts some L-byte symbol
+                        sub = np.flatnonzero((tc >> (10 + L - 3)) & 1)
+                        if not sub.size:
+                            continue
+                        pref = wc[sub] & _MASKS[L]
+                        h = ((pref * hmul) >> hshift).astype(np.int64)
+                        remL = remc[sub]
+                        for probe in range(hprobe[L]):
+                            slot = (h + probe) & hmask
+                            hit = np.flatnonzero((hk[slot] == pref) & (remL >= L))
+                            if hit.size:
+                                tgt = cand[sub[hit]]
+                                best_code[tgt] = hcodes[L][slot[hit]]
+                                best_len[tgt] = L
+            # a 2-byte match may straddle the segment end (words look past
+            # it): downgrade those to the 1-byte literal
+            over = np.flatnonzero(best_len > rem)
+            if over.size:
+                best_code[over] = table.lit_code[blob[cur_a[over]]]
+                best_len[over] = 1
+            out[ptr_a] = best_code.astype(np.uint8)
+            escaped = np.flatnonzero(best_code == ESC)
+            if escaped.size:
+                exc[ptr_a[escaped]] = blob[cur_a[escaped]]
+            ptr_a += 1
+            cur_a += best_len
+            done = cur_a >= end_a
+            if done.any():
+                final_ptr[seg_a[done]] = ptr_a[done]
+                keep = ~done
+                cur_a, end_a, ptr_a, seg_a = (
+                    cur_a[keep], end_a[keep], ptr_a[keep], seg_a[keep],
+                )
 
     # compact per-segment regions
     out_lens = final_ptr - out_base
@@ -384,11 +439,13 @@ def decode_to_blob(codes: np.ndarray, exceptions: np.ndarray, table: SymbolTable
 # caller passes the same prebuilt table for all its blocks.
 
 
-def enc_fsst(arr: pa.Array, table: SymbolTable | None = None) -> tuple[bytes, dict]:
+def enc_fsst(
+    arr: pa.Array, table: SymbolTable | None = None, seg: int | None = None
+) -> tuple[bytes, dict]:
     lens, blob = string_parts(arr)
     if table is None:
         table = build_table(lens, blob)
-    codes, exceptions = encode_with_table(lens, blob, table)
+    codes, exceptions = encode_with_table(lens, blob, table, seg=seg)
     symdata, symlens = table.to_bytes()
     p_lens, m_lens = enc_for(lens)
     payload, secs = pack_sections(

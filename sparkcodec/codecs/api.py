@@ -18,15 +18,18 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from . import alp as alp_mod
 from . import fsst as fsst_mod
 from .kernels import (
     dec_bitpack,
+    dec_delta,
     dec_dict,
     dec_for,
     dec_raw_fixed,
     dec_raw_str,
     dec_rle,
     enc_bitpack,
+    enc_delta,
     enc_dict,
     enc_for,
     enc_raw_fixed,
@@ -113,8 +116,15 @@ def parse_spec(spec: str) -> tuple[str, str | None]:
     return spec, None
 
 
-def encode_array(arr: pa.Array, spec: str, fsst_table=None) -> tuple[bytes, dict]:
-    """Encode one Arrow array block with a concrete codec spec."""
+def encode_array(
+    arr: pa.Array, spec: str, fsst_table=None, fsst_seg: int | None = None
+) -> tuple[bytes, dict]:
+    """Encode one Arrow array block with a concrete codec spec.
+
+    ``fsst_seg`` overrides FSST's auto segment sizing — the selector uses
+    it to measure samples at the production-block regime instead of the
+    sample's own (much smaller) auto seg.
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     base, post = parse_spec(spec)
@@ -141,7 +151,7 @@ def encode_array(arr: pa.Array, spec: str, fsst_table=None) -> tuple[bytes, dict
         elif base == "dict":
             payload, meta = enc_dict(arr)
         elif base == "fsst":
-            payload, meta = fsst_mod.enc_fsst(arr, table=fsst_table)
+            payload, meta = fsst_mod.enc_fsst(arr, table=fsst_table, seg=fsst_seg)
         elif base == "rle":
             # RLE over strings == dict (codes collapse to runs); route there
             payload, meta = enc_dict(arr)
@@ -157,6 +167,8 @@ def encode_array(arr: pa.Array, spec: str, fsst_table=None) -> tuple[bytes, dict
             payload, meta = enc_for(vals)
         elif base == "rle":
             payload, meta = enc_rle(vals)
+        elif base == "delta":
+            payload, meta = enc_delta(vals)
         elif base == "dict":
             # int dictionary = FoR over the sorted-unique table + codes;
             # for ints plain FoR/RLE is at least as good — route there
@@ -164,9 +176,12 @@ def encode_array(arr: pa.Array, spec: str, fsst_table=None) -> tuple[bytes, dict
         else:
             raise ValueError(f"codec {base!r} not applicable to {tname}")
     elif tname in _FLOAT_LIKE:
-        if base != "raw":
-            raise ValueError(f"floats only support 'raw' (+post); got {base!r}")
-        payload, meta = enc_raw_fixed(arr.to_numpy(zero_copy_only=False))
+        if base == "alp":
+            payload, meta = alp_mod.enc_alp(arr.to_numpy(zero_copy_only=False))
+        elif base == "raw":
+            payload, meta = enc_raw_fixed(arr.to_numpy(zero_copy_only=False))
+        else:
+            raise ValueError(f"floats support 'raw'/'alp' (+post); got {base!r}")
     else:  # pragma: no cover
         raise TypeError(tname)
 
@@ -216,11 +231,16 @@ def decode_array(payload: bytes, meta: dict) -> pa.Array:
             vals = dec_for(payload, inner)
         elif c == "rle":
             vals = dec_rle(payload, inner)
+        elif c == "delta":
+            vals = dec_delta(payload, inner)
         else:
             raise ValueError(c)
         out = _from_int64(np.asarray(vals), tname)
     elif tname in _FLOAT_LIKE:
-        out = pa.array(dec_raw_fixed(payload, inner), type=_PA_BY_NAME[tname])
+        if c == "alp":
+            out = pa.array(alp_mod.dec_alp(payload, inner), type=_PA_BY_NAME[tname])
+        else:
+            out = pa.array(dec_raw_fixed(payload, inner), type=_PA_BY_NAME[tname])
     else:  # pragma: no cover
         raise TypeError(tname)
 

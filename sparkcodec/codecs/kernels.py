@@ -89,6 +89,35 @@ def dec_rle(payload: bytes, meta: dict) -> np.ndarray:
     return run_expand(rv, rl)
 
 
+def enc_delta(vals: np.ndarray) -> tuple[bytes, dict]:
+    """Delta coding: first value + FoR-packed first-order differences.
+
+    Wins where successive gaps are small but the absolute range is wide
+    (timestamps, monotone offsets/ids) — FoR alone packs at the *range*
+    width, delta at the *gap* width. Differences are taken in wrap-around
+    uint64, exact for any int64 input.
+    """
+    n = len(vals)
+    if n == 0:
+        return b"", {"c": "delta", "n": 0, "first": 0, "d": {"c": "for", "n": 0, "w": 0, "f": 0}}
+    v = vals.astype(np.int64, copy=False)
+    du = (v[1:].view(np.uint64) - v[:-1].view(np.uint64)).view(np.int64)
+    payload, m = enc_for(du)
+    return payload, {"c": "delta", "n": n, "first": int(v[0]), "d": m}
+
+
+def dec_delta(payload: bytes, meta: dict) -> np.ndarray:
+    n = meta["n"]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    du = dec_for(payload, meta["d"]).view(np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = np.uint64(meta["first"] & 0xFFFFFFFFFFFFFFFF)
+    np.cumsum(du, out=out[1:])
+    out[1:] += out[0]
+    return out.view(np.int64)
+
+
 def enc_int_auto(vals: np.ndarray) -> tuple[bytes, dict]:
     """Measured pick among {for, rle} for an int block (both cheap)."""
     p_for, m_for = enc_for(vals)
@@ -98,7 +127,7 @@ def enc_int_auto(vals: np.ndarray) -> tuple[bytes, dict]:
     return p_for, m_for
 
 
-_INT_DECODERS = {"bitpack": dec_bitpack, "for": dec_for, "rle": dec_rle}
+_INT_DECODERS = {"bitpack": dec_bitpack, "for": dec_for, "rle": dec_rle, "delta": dec_delta}
 
 
 def dec_int(payload: bytes, meta: dict) -> np.ndarray:

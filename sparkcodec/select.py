@@ -62,11 +62,21 @@ def column_stats(arr: pa.Array) -> dict:
 
         v = _to_int64(arr)
         runs = int(np.count_nonzero(v[1:] != v[:-1]) + 1) if n > 1 else n
+        vmin, vmax = int(v.min()), int(v.max())
+        range_bits = max(1, (vmax - vmin).bit_length())
+        if n > 1:
+            gaps = (v[1:].view(np.uint64) - v[:-1].view(np.uint64)).view(np.int64)
+            gap_spread = int(gaps.max()) - int(gaps.min())
+            gap_bits = max(1, gap_spread.bit_length())
+        else:
+            gap_bits = range_bits
         stats.update(
-            vmin=int(v.min()),
-            vmax=int(v.max()),
+            vmin=vmin,
+            vmax=vmax,
             runs=runs,
             run_ratio=runs / n,
+            range_bits=range_bits,
+            gap_bits=gap_bits,
         )
     return stats
 
@@ -94,11 +104,15 @@ def candidates_for(stats: dict) -> list[str]:
         if stats.get("run_ratio", 1.0) <= 0.5:
             out.append("rle")
         out.append("for")
+        if stats.get("gap_bits", 64) < stats.get("range_bits", 64):
+            # successive gaps narrower than the block range: timestamps,
+            # monotone ids/offsets — delta packs at gap width
+            out.append("delta")
         if stats.get("run_ratio", 1.0) > 0.3:
             out.append(f"for+{DEFAULT_POST}")
         return out
     if tname in _FLOAT_LIKE:
-        return [f"raw+{DEFAULT_POST}", "raw"]
+        return ["alp", f"alp+{DEFAULT_POST}", f"raw+{DEFAULT_POST}", "raw"]
     return ["raw"]
 
 
@@ -137,7 +151,11 @@ def choose_codec(
     best_spec, best_size = None, None
     for base, posts in by_base.items():
         try:
-            payload, _ = encode_array(sample, base, fsst_table=fsst_table)
+            # measure FSST at the production-block seg (512: what auto
+            # sizing picks for >=12 MB blobs, i.e. real-scale blocks) —
+            # the sample's own auto seg would be ~64 and bias the
+            # measured ratio against FSST
+            payload, _ = encode_array(sample, base, fsst_table=fsst_table, fsst_seg=512)
         except (ValueError, TypeError):
             continue
         for post in posts:

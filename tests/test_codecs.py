@@ -238,3 +238,124 @@ def test_uint64_full_range_roundtrip():
     vals = pa.array([0, 1, 2**63, 2**64 - 1, 12345], type=pa.uint64())
     for spec in ("for", "rle", "raw"):
         _roundtrip(vals, spec)
+
+
+# ---------------------------------------------------------------------------
+# delta codec
+
+
+@pytest.mark.parametrize("case", list(INT_CASES))
+def test_delta_roundtrip(case):
+    _roundtrip(pa.array(INT_CASES[case], type=pa.int64()), "delta")
+
+
+def test_delta_beats_for_on_timestamps():
+    # wide absolute range, tiny gaps: delta's home turf
+    base = 1_700_000_000_000_000
+    vals = base + np.cumsum(rng.integers(0, 1000, 50000))
+    p_delta, _ = encode_array(pa.array(vals, type=pa.int64()), "delta")
+    p_for, _ = encode_array(pa.array(vals, type=pa.int64()), "for")
+    assert len(p_delta) < len(p_for) / 2
+
+
+def test_delta_full_range_wraparound():
+    vals = np.array([2**63 - 1, -(2**63), 0, 2**63 - 1, -1], np.int64)
+    _roundtrip(pa.array(vals, type=pa.int64()), "delta")
+
+
+# ---------------------------------------------------------------------------
+# ALP float codec
+
+
+ALP_CASES = {
+    "prices": np.round(rng.uniform(0, 10000, 5000), 2),
+    "quantities": rng.integers(1, 51, 5000).astype(np.float64),
+    "percentages": np.round(rng.uniform(0, 0.1, 5000), 4),
+    "mixed_decimals": np.concatenate(
+        [np.round(rng.uniform(0, 100, 1000), 2), rng.normal(size=50)]
+    ),
+    "true_reals": rng.normal(size=2000),
+    "empty": np.zeros(0, np.float64),
+    "single": np.array([3.14], np.float64),
+    "all_zero": np.zeros(1000, np.float64),
+    "huge": np.array([1e300, -1e300, 1e-300, 0.25], np.float64),
+}
+
+
+@pytest.mark.parametrize("case", list(ALP_CASES))
+@pytest.mark.parametrize("spec", ["alp", "alp+zlib"])
+def test_alp_roundtrip(case, spec):
+    _roundtrip(pa.array(ALP_CASES[case], type=pa.float64()), spec)
+
+
+def test_alp_special_values_bit_exact():
+    vals = np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 1.25, -7.5], np.float64)
+    payload, meta = encode_array(pa.array(vals, type=pa.float64()), "alp")
+    out = np.asarray(decode_array(payload, meta).to_numpy(zero_copy_only=False))
+    assert np.array_equal(out.view(np.int64), vals.view(np.int64)), "not bit-exact"
+
+
+def test_alp_float32():
+    vals = np.round(rng.uniform(0, 100, 3000), 2).astype(np.float32)
+    payload, meta = encode_array(pa.array(vals, type=pa.float32()), "alp")
+    out = np.asarray(decode_array(payload, meta).to_numpy(zero_copy_only=False))
+    assert np.array_equal(out.view(np.int32), vals.view(np.int32))
+
+
+def test_alp_compresses_decimals():
+    vals = np.round(rng.uniform(0, 1000, 50000), 2)  # 2-decimal prices
+    arr = pa.array(vals, type=pa.float64())
+    p_alp, m = encode_array(arr, "alp")
+    p_raw, _ = encode_array(arr, "raw")
+    assert len(p_alp) < len(p_raw) / 2, (len(p_alp), len(p_raw))
+    assert m["e"] == 2
+
+
+def test_alp_factor_strips_trailing_zeros():
+    # values like 1200.00, 3400.00 — e=2 scaling then factor 10^2 divides out
+    vals = (rng.integers(1, 100, 10000) * 100).astype(np.float64)
+    p_f, m = encode_array(pa.array(vals, type=pa.float64()), "alp")
+    assert m["f"] >= 1
+    _roundtrip(pa.array(vals, type=pa.float64()), "alp")
+
+
+def test_alp_nulls():
+    arr = pa.array([1.25, None, 3.5, None, 0.75], type=pa.float64())
+    _roundtrip(arr, "alp")
+
+
+# ---------------------------------------------------------------------------
+# selector routing for the measured-pick layer
+
+
+def test_selector_picks_delta_for_timestamps():
+    from sparkcodec.select import choose_codec
+
+    base = 1_700_000_000_000_000
+    vals = base + np.cumsum(rng.integers(0, 1000, 20000))
+    spec, _ = choose_codec(pa.array(vals, type=pa.int64()))
+    assert spec.split("+")[0] in {"delta", "rle"}, spec
+    # and the pick must actually be the smallest of the plain candidates
+    chosen, _ = encode_array(pa.array(vals, type=pa.int64()), spec.split("+")[0])
+    alt, _ = encode_array(pa.array(vals, type=pa.int64()), "for")
+    assert len(chosen) <= len(alt)
+
+
+def test_selector_picks_alp_for_decimals():
+    from sparkcodec.select import choose_codec
+
+    vals = np.round(rng.uniform(0, 1000, 20000), 2)
+    spec, _ = choose_codec(pa.array(vals, type=pa.float64()))
+    assert spec.split("+")[0] == "alp", spec
+
+
+def test_selector_keeps_fsst_for_code_content():
+    """Regression: auto-seg on the tiny selection sample must not bias the
+    measured ratio against FSST (it once flipped content to raw+zlib)."""
+    from sparkcodec.select import choose_codec
+    from sparkcodec.tables import code_files_arrow
+
+    t = code_files_arrow(2000, seed=7)
+    spec, tab = choose_codec(t.column("content").combine_chunks())
+    assert spec.split("+")[0] == "fsst", spec
+    assert tab is not None

@@ -321,8 +321,12 @@ def q_ann_cosine_topk(spark, sf_dir):
     scored = joined.select(
         "vec_id", F.round(dot / (norm("embedding") * norm("qv")), 4).alias("cos")
     )
+    # distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps + driver merge), so only 10 rows ever reach the
+    # rank window — never a global single-task WindowExec over all scores
+    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 SQL_ANN_COSINE_TOPK = """
@@ -444,6 +448,61 @@ SELECT lang, count(*) AS n_docs, cast(sum(length(text)) AS BIGINT) AS total_text
        cast(sum(n_chars) AS BIGINT) AS total_chars, count(DISTINCT source) AS n_sources,
        max(doc_id) AS max_doc_id
 FROM documents GROUP BY lang
+"""
+
+
+def q_encode_roundtrip_lineitem(spark, sf_dir):
+    """Engine round-trip over a mixed-type table: decimal floats route to
+    ALP, wide-range keys to delta/FoR, low-card flags to dict, plus a
+    timestamp column. Float sums are compared in exact integer cents /
+    basis points so the check is order-independent and ulp-proof."""
+    from .engine import decode_table, encode_table
+
+    cols = [
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    ]
+    li = _t(spark, sf_dir, "lineitem").select(*cols)
+    out = os.path.join(
+        tempfile.gettempdir(), f"sparkcodec_rtli_{abs(hash(sf_dir)) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark,
+        li,
+        out,
+        cluster_by=["l_returnflag"],
+        salt_by=["l_orderkey"],
+        sort_by=["l_returnflag", "l_orderkey", "l_linenumber"],
+        num_parts=8,
+        resume=False,
+    )
+    dec = decode_table(spark, out)
+    return dec.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("price_cents"),
+        F.sum(F.round(F.col("l_discount") * 10000).cast("long")).alias("disc_bps"),
+        F.sum(F.round(F.col("l_tax") * 10000).cast("long")).alias("tax_bps"),
+        F.countDistinct("l_shipdate").alias("n_ship_ts"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.max("l_linenumber").alias("max_linenumber"),
+    )
+
+
+SQL_ENCODE_ROUNDTRIP_LINEITEM = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       cast(sum(cast(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+       cast(sum(cast(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS disc_bps,
+       cast(sum(cast(round(l_tax * 10000) AS BIGINT)) AS BIGINT) AS tax_bps,
+       count(DISTINCT l_shipdate) AS n_ship_ts,
+       max(l_orderkey) AS max_orderkey,
+       max(l_linenumber) AS max_linenumber
+FROM lineitem GROUP BY l_returnflag
 """
 
 
@@ -645,6 +704,7 @@ QUERIES = {
     "global_counts": q_global_counts,
     "prefix_offsets": q_prefix_offsets,
     "encode_roundtrip_stats": q_encode_roundtrip_stats,
+    "encode_roundtrip_lineitem": q_encode_roundtrip_lineitem,
     "minhash_buckets": q_minhash_buckets,
     "simhash": q_simhash,
 }
@@ -667,6 +727,7 @@ ORACLES = {
     "global_counts": SQL_GLOBAL_COUNTS,
     "prefix_offsets": SQL_PREFIX_OFFSETS,
     "encode_roundtrip_stats": SQL_ENCODE_ROUNDTRIP_STATS,
+    "encode_roundtrip_lineitem": SQL_ENCODE_ROUNDTRIP_LINEITEM,
     "minhash_buckets": SQL_MINHASH_BUCKETS,
     "simhash": SQL_SIMHASH,
 }
@@ -779,7 +840,7 @@ WHERE shared * 1.0 / (sa.n_grams + sb.n_grams - shared) >= 0.9
 """
 
 
-_LSH_BITS = 4  # 16 buckets; at 10^12 scale use more bits + multiprobe
+_LSH_BITS = 8  # 256 buckets, multiprobe at Hamming distance <=1 (9 probes)
 
 
 def _lcg_plane(b: int, i):
@@ -794,13 +855,18 @@ def _lcg_plane(b: int, i):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Scale-path ANN: random-hyperplane LSH buckets + in-bucket cosine.
+    """Scale-path ANN: random-hyperplane LSH buckets + multiprobe cosine.
 
-    4 signed projections -> one bucket id per vector; the query (vec_id
-    0) probes only its own bucket. Hyperplanes come from a deterministic
-    integer LCG evaluated inside the plan (no driver-side action, no
-    numpy broadcast), so DuckDB computes identical buckets — full
-    oracle. The exact counterpart is q_ann_cosine_topk."""
+    8 signed projections -> one of 256 buckets per vector; the query
+    (vec_id 0) probes its own bucket plus every bucket at Hamming
+    distance 1 (classic multiprobe LSH: flipping the least-confident
+    bits costs one extra probe each instead of duplicating the index).
+    Hyperplanes come from a deterministic integer LCG evaluated inside
+    the plan (no driver-side action, no numpy broadcast), so DuckDB
+    computes identical buckets — full oracle. At 10^12 scale the probe
+    set stays a broadcast-join fan-out of 1+bits tiny rows against the
+    bucket-partitioned index; no shuffle of the big side. The exact
+    counterpart is q_ann_cosine_topk."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def _proj(b):
@@ -821,7 +887,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     q = with_b.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qb"), F.col("embedding").alias("qv")
     )
-    cands = with_b.join(F.broadcast(q), F.col("bucket") == F.col("qb")).filter(
+    masks = [0] + [1 << b for b in range(_LSH_BITS)]
+    probes = q.select(
+        F.explode(
+            F.array(*[F.col("qb").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("pb"),
+        "qv",
+    )
+    cands = with_b.join(F.broadcast(probes), F.col("bucket") == F.col("pb")).filter(
         F.col("vec_id") != 0
     )
     dot = F.aggregate(
@@ -833,8 +906,12 @@ def q_ann_lsh_topk(spark, sf_dir):
         F.aggregate(F.col(c), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
     )
     scored = cands.select("vec_id", F.round(dot / (nrm("embedding") * nrm("qv")), 4).alias("cos"))
+    # distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps + driver merge), so only 10 rows ever reach the
+    # rank window — never a global single-task WindowExec over all scores
+    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 _IVF_K = 8  # coarse centroids; nprobe=2
@@ -889,8 +966,12 @@ def q_ann_ivf_topk(spark, sf_dir):
         F.aggregate(F.col(c), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
     )
     scored = cands.select("vec_id", F.round(dot / (nrm("embedding") * nrm("qv")), 4).alias("cos"))
+    # distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps + driver merge), so only 10 rows ever reach the
+    # rank window — never a global single-task WindowExec over all scores
+    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 def _sql_ivf() -> str:
@@ -946,12 +1027,15 @@ WITH b AS (
   SELECT vec_id, embedding, {_sql_lsh_bucket()} AS bucket FROM embeddings
 ), q AS (
   SELECT bucket AS qb, embedding AS qv FROM b WHERE vec_id = 0
+), probes AS (
+  SELECT xor(qb, m.mask) AS pb, qv
+  FROM q, (VALUES {", ".join(f"({m})" for m in [0] + [1 << b for b in range(_LSH_BITS)])}) m(mask)
 ), scored AS (
   SELECT b.vec_id,
-         round(list_dot_product(b.embedding, q.qv) /
+         round(list_dot_product(b.embedding, p.qv) /
                (sqrt(list_dot_product(b.embedding, b.embedding)) *
-                sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
-  FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
+                sqrt(list_dot_product(p.qv, p.qv))), 4) AS cos
+  FROM b, probes p WHERE b.bucket = p.pb AND b.vec_id <> 0
 )
 SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk
 FROM scored QUALIFY rnk <= 10

@@ -737,6 +737,56 @@ ORACLES = {
 # similarity search & near-dup detection (training-pipeline ops, batch 2)
 
 
+_WIN_K, _WIN_W = 8, 4  # k-gram size, winnow window (guarantee length k+w-1)
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Document fingerprinting by winnowing (Schleimer et al., SIGMOD
+    2003 — the MOSS scheme): hash every k-gram, slide a w-window over
+    the hash sequence, keep each window's minimum; the distinct selected
+    hashes are the document's fingerprints. Any shared substring of
+    length >= k+w-1 between two docs is guaranteed to share a
+    fingerprint. Pure JVM-side array expressions (transform / slice /
+    array_min — no Python in the path); the portable sha256-derived gram
+    hash gives a full DuckDB oracle. At 10^12 scale fingerprints feed
+    the same bucket-join choreography as the MinHash bands."""
+    K, W = _WIN_K, _WIN_W
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= K + W - 1)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (K - 1)),
+        lambda i: F.col("text").substr(i, F.lit(K)),
+    )
+    hs = F.transform(grams, lambda g: _portable_hash(g, 977))
+    d2 = d.select("doc_id", hs.alias("hs"))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (W - 1)),
+            lambda p: F.array_min(F.slice(F.col("hs"), p, F.lit(W))),
+        )
+    )
+    return d2.select("doc_id", F.explode(sel).alias("fp"))
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH hs AS (
+  SELECT doc_id,
+         [('0x' || substr(sha256(substr(text, i, {_WIN_K}) || '#977'), 1, 15))::BIGINT
+          FOR i IN range(1, length(text) - {_WIN_K} + 2)] AS hs
+  FROM documents WHERE length(text) >= {_WIN_K + _WIN_W - 1}
+), fps AS (
+  SELECT doc_id,
+         unnest([list_min(hs[p:p + {_WIN_W - 1}])
+                 FOR p IN range(1, len(hs) - {_WIN_W} + 2)]) AS fp
+  FROM hs
+)
+SELECT DISTINCT doc_id, fp FROM fps
+"""
+
+
 def q_cosine_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (threshold 0.35 — chosen from
     the test corpus's cosine distribution so the check is non-trivial;
@@ -1287,3 +1337,5 @@ ORACLES.update(
         "sessionize_batch": SQL_SESSIONIZE_BATCH,
     }
 )
+QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
+ORACLES["winnow_fingerprints"] = SQL_WINNOW_FINGERPRINTS

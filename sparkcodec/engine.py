@@ -156,8 +156,12 @@ def _encode_one_part(
     part_raw = part_enc = 0
     n_blocks = 0
     sym_sha = {}
+    col_stats: dict[str, list] = {}
     for col in data_cols:
         arr = table.column(col).combine_chunks()
+        st = _part_col_stats(arr)
+        if st is not None:
+            col_stats[col] = st
         if select_cache is not None and col in select_cache:
             spec, fsst_table = select_cache[col]
         else:
@@ -205,6 +209,7 @@ def _encode_one_part(
         "part_id": part_id,
         "n_rows": n,
         "codecs": specs,
+        "stats": col_stats,  # zone maps: [min, max] per prunable column
         "symbol_tables": sym_sha,
         "raw_bytes": part_raw,
         "enc_bytes": part_enc,
@@ -293,6 +298,80 @@ def _make_encode_kernel(data_cols, out_dir, block_rows, block_bytes):
             )
 
     return kernel
+
+
+_STATS_MAX_STR = 256  # skip string stats when bounds would exceed this
+
+
+def _part_col_stats(arr: pa.Array):
+    """[min, max] zone-map bounds for one part's column, or None.
+
+    JSON-safe orderable types only (ints, floats, bools, short strings);
+    None (no stats) always means "can't prune", never "empty" — pruning
+    stays conservative. NaN-bearing float parts get no stats (NaN breaks
+    ordering); string bounds are stored only when exact and short.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    if len(arr) == 0 or arr.null_count == len(arr):
+        return None
+    t = arr.type
+    if not (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+    ):
+        return None
+    mm = pc.min_max(arr)
+    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    if mn is None or mx is None:
+        return None
+    if isinstance(mn, float) and (math.isnan(mn) or math.isnan(mx)):
+        return None
+    if isinstance(mn, str) and (len(mn) > _STATS_MAX_STR or len(mx) > _STATS_MAX_STR):
+        return None
+    return [mn, mx]
+
+
+def part_stats(out_dir: str) -> dict[int, dict]:
+    """Per-part zone maps ({part_id: {col: [min, max]}}) from the
+    checkpoint lineage — one O(#parts) metadata read, no payload I/O."""
+    import pyarrow.dataset as ds
+
+    d = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
+    if not os.path.isdir(d):
+        return {}
+    tbl = ds.dataset(d, format="parquet").to_table(columns=["part_id", "meta"])
+    out = {}
+    for pid, meta in zip(tbl.column("part_id").to_pylist(), tbl.column("meta").to_pylist()):
+        out[int(pid)] = json.loads(meta).get("stats") or {}
+    return out
+
+
+def prune_parts(
+    out_dir: str, where: tuple, parts: list[int]
+) -> list[int]:
+    """Zone-map part pruning: keep parts whose [min, max] for the
+    predicate column overlaps [lo, hi] (either bound may be None for a
+    half-open range). Parts without stats are kept — pruning is
+    conservative, exactly like parquet row-group pruning; rows inside
+    kept parts are NOT filtered, so compose with ``df.filter`` for exact
+    results."""
+    col, lo, hi = where
+    stats = part_stats(out_dir)
+    keep = []
+    for p in parts:
+        st = stats.get(p, {}).get(col)
+        if st is not None:
+            mn, mx = st
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                continue
+        keep.append(p)
+    return keep
 
 
 def completed_parts(out_dir: str) -> set[int]:
@@ -662,6 +741,7 @@ def decode_table(
     out_dir: str,
     columns: list[str] | None = None,
     snapshot_id: int | None = None,
+    where: tuple | None = None,
 ) -> DataFrame:
     """Reconstruct the table (or a column subset — file-level pruning).
 
@@ -669,7 +749,14 @@ def decode_table(
     widen losslessly (smallint/int/bigint), u64 is the int64 bit view
     (the same bijection the encoder applies — values >= 2^63 appear
     negative but round-trip bit-exactly). Field metadata recorded at
-    encode time (P7) is reattached to the output schema."""
+    encode time (P7) is reattached to the output schema.
+
+    ``where=(col, lo, hi)`` prunes whole parts via the zone maps in the
+    checkpoint lineage before any payload is read (either bound may be
+    None). Pruning is conservative — kept parts may still hold
+    non-matching rows, so compose with ``df.filter`` for exact results;
+    on a cluster-keyed table a cluster-key predicate typically skips
+    all but a handful of parts."""
     with open(os.path.join(out_dir, "_table_meta.json")) as fh:
         meta = json.load(fh)
     columns = columns or meta["columns"]
@@ -682,6 +769,8 @@ def decode_table(
     parts = snapshot_parts(out_dir, snapshot_id)
     if parts is None:
         parts = sorted(completed_parts(out_dir))
+    if where is not None:
+        parts = prune_parts(out_dir, where, parts)
     # several parts per task: decode parallelism needs only ~4x the slots,
     # and per-task Python handoff dominates with hundreds of tiny tasks
     n_tasks = max(1, min(len(parts), 4 * spark.sparkContext.defaultParallelism))

@@ -1339,3 +1339,48 @@ ORACLES.update(
 )
 QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 ORACLES["winnow_fingerprints"] = SQL_WINNOW_FINGERPRINTS
+
+
+def q_pruned_decode(spark, sf_dir):
+    """Zone-map predicate pushdown into the encoded format: encode
+    documents clustered by lang, then decode with where=('lang','de','de')
+    — parts whose lineage [min,max] bounds exclude 'de' are never read
+    (the engine's analog of parquet row-group pruning; at 10^12 scale a
+    cluster-key predicate skips all but a handful of parts). Pruning is
+    conservative, so the exact filter composes on top; the oracle
+    aggregates the filtered source directly."""
+    from .engine import decode_table, encode_table
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sparkcodec_prune_{abs(hash(sf_dir)) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark, d, out,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=8, resume=False,
+    )
+    dec = decode_table(spark, out, where=("lang", "de", "de"))
+    return (
+        dec.filter(F.col("lang") == "de")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_text_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SQL_PRUNED_DECODE = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(length(text)) AS BIGINT) AS total_text_chars,
+       max(doc_id) AS max_doc_id
+FROM documents WHERE lang = 'de' GROUP BY lang
+"""
+
+QUERIES["pruned_decode"] = q_pruned_decode
+ORACLES["pruned_decode"] = SQL_PRUNED_DECODE

@@ -452,3 +452,58 @@ def test_append_resume_refuses_config_change(spark, tmp_path):
         _json.dump({"base": 2, "config": {"num_parts": 99}}, fh)
     with _pytest.raises(ValueError, match="append resume refused"):
         encode_table(spark, d1, out, num_parts=2, append=True, resume=True)
+
+
+# ---------------------------------------------------------------------------
+# zone maps + part pruning
+
+
+def test_zone_maps_recorded(encoded):
+    from sparkcodec.engine import part_stats
+
+    out, _df, _m = encoded
+    stats = part_stats(out)
+    assert stats, "no part stats recorded"
+    some = next(iter(stats.values()))
+    # cluster key gets exact short-string bounds; every bound is [min, max]
+    assert "repo" in some and some["repo"][0] <= some["repo"][1]
+    for col_bounds in stats.values():
+        for mn, mx in col_bounds.values():
+            assert mn <= mx
+
+
+def test_decode_where_prunes_and_is_conservative(spark, encoded):
+    from sparkcodec.engine import completed_parts, prune_parts
+
+    out, df, _m = encoded
+    target = df.select("repo").distinct().orderBy("repo").first()["repo"]
+    all_parts = sorted(completed_parts(out))
+    kept = prune_parts(out, ("repo", target, target), all_parts)
+    assert 0 < len(kept) < len(all_parts), (len(kept), len(all_parts))
+
+    dec = decode_table(spark, out, where=("repo", target, target))
+    got = dec.filter(dec.repo == target).orderBy("path", "commit")
+    want = df.filter(df.repo == target).select(*dec.columns).orderBy("path", "commit")
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in want.collect()]
+
+    # a column without stats (long text) must keep every part
+    kept_all = prune_parts(out, ("content", "x", "x"), all_parts)
+    assert kept_all == all_parts
+
+    # an impossible range prunes everything and still decodes (empty)
+    assert decode_table(spark, out, where=("repo", "zzzz", "zzzz")).count() == 0
+
+
+def test_decode_where_numeric_range(spark, tmp_path):
+    import pandas as pd
+
+    out = str(tmp_path / "enc_num")
+    pdf = pd.DataFrame({"k": list(range(10000)), "v": [i * 2.5 for i in range(10000)]})
+    df = spark.createDataFrame(pdf)
+    encode_table(
+        spark, df, out, cluster_by=["k"], salt_by=None, sort_by=["k"],
+        num_parts=8, target_part_rows=2000, resume=False,
+    )
+    dec = decode_table(spark, out, where=("k", 100, 120)).filter("k BETWEEN 100 AND 120")
+    assert dec.count() == 21
+    assert dec.agg({"v": "sum"}).collect()[0][0] == sum(i * 2.5 for i in range(100, 121))

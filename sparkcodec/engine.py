@@ -181,6 +181,9 @@ def _encode_one_part(
                 sl = arr.slice(pos, frac)
                 take = frac
             payload, meta = encode_array(sl, spec, fsst_table=fsst_table)
+            bmm = _part_col_stats(sl)
+            if bmm is not None:
+                meta["mm"] = bmm  # block zone map: [min, max]
             rows_out.append(
                 {
                     "col": col,
@@ -706,16 +709,96 @@ def _to_output_type(arr: pa.Array, target: pa.DataType) -> pa.Array:
     return arr.cast(target)
 
 
-def _make_decode_kernel(out_dir: str, columns: list[str], arrow_schema: pa.Schema):
+def _keep_row_ranges(out_dir: str, pid: int, where: tuple):
+    """Row ranges of one part that survive block-level zone-map pruning.
+
+    Reads ONLY the predicate column's block metadata (meta JSON + row
+    counts — payloads of excluded blocks are never decoded), maps each
+    qualifying block to its row span within the part, and merges adjacent
+    spans. Blocks without a zone map qualify (conservative). Returns None
+    when nothing can be pruned (decode everything)."""
+    col, lo, hi = where
+    t = pq.read_table(
+        _part_file(out_dir, col, pid), columns=["block_id", "n_rows", "meta"]
+    ).sort_by("block_id")
+    ranges: list[list[int]] = []
+    off = 0
+    pruned_any = False
+    for b in range(t.num_rows):
+        n = t.column("n_rows")[b].as_py()
+        mm = json.loads(t.column("meta")[b].as_py()).get("mm")
+        keep = True
+        if mm is not None:
+            mn, mx = mm
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                keep = False
+                pruned_any = True
+        if keep and n:
+            if ranges and ranges[-1][1] == off:
+                ranges[-1][1] = off + n
+            else:
+                ranges.append([off, off + n])
+        off += n
+    return ranges if pruned_any else None
+
+
+def _decode_column_ranges(out_dir, col, pid, target, ranges):
+    """Decode only the blocks of one column overlapping the kept row
+    ranges, slicing each to the exact intersection. All columns of a part
+    share one row order, so identical ranges keep columns aligned even
+    when their block grids diverge."""
+    t = pq.read_table(_part_file(out_dir, col, pid)).sort_by("block_id")
+    n_rows = [t.column("n_rows")[b].as_py() for b in range(t.num_rows)]
+    starts = [0]
+    for n in n_rows:
+        starts.append(starts[-1] + n)
+    import bisect
+
+    cache: dict[int, pa.Array] = {}
+    pieces = []
+    for a, bnd in ranges:
+        first = bisect.bisect_right(starts, a) - 1
+        for bi in range(first, t.num_rows):
+            if starts[bi] >= bnd:
+                break
+            if bi not in cache:
+                cache[bi] = _to_output_type(
+                    decode_array(
+                        t.column("payload")[bi].as_py(),
+                        json.loads(t.column("meta")[bi].as_py()),
+                    ),
+                    target,
+                )
+            s = max(a, starts[bi])
+            e = min(bnd, starts[bi + 1])
+            if e > s:
+                pieces.append(cache[bi].slice(s - starts[bi], e - s))
+    return pa.chunked_array(pieces, type=target) if pieces else pa.chunked_array(
+        [pa.array([], type=target)], type=target
+    )
+
+
+def _make_decode_kernel(
+    out_dir: str, columns: list[str], arrow_schema: pa.Schema, where: tuple | None = None
+):
     def kernel(batches):
         for batch in batches:
             for pid in batch.column("part_id").to_pylist():
+                ranges = _keep_row_ranges(out_dir, pid, where) if where else None
+                if ranges is not None and not ranges:
+                    continue  # every block of this part pruned
                 # block grids are per column (the byte cap can split a wide
                 # column finer than a narrow one), so reassemble each column
                 # independently as a chunked array — zero-copy concat — and
                 # let Arrow re-slice aligned output batches
                 per_col = {}
                 for col in columns:
+                    target = arrow_schema.field(col).type
+                    if ranges is not None:
+                        per_col[col] = _decode_column_ranges(
+                            out_dir, col, pid, target, ranges
+                        )
+                        continue
                     t = pq.read_table(_part_file(out_dir, col, pid)).sort_by("block_id")
                     chunks = [
                         _to_output_type(
@@ -723,11 +806,11 @@ def _make_decode_kernel(out_dir: str, columns: list[str], arrow_schema: pa.Schem
                                 t.column("payload")[b].as_py(),
                                 json.loads(t.column("meta")[b].as_py()),
                             ),
-                            arrow_schema.field(col).type,
+                            target,
                         )
                         for b in range(t.num_rows)
                     ]
-                    per_col[col] = pa.chunked_array(chunks, type=arrow_schema.field(col).type)
+                    per_col[col] = pa.chunked_array(chunks, type=target)
                 part_table = pa.Table.from_arrays(
                     [per_col[c] for c in columns], schema=arrow_schema
                 )
@@ -751,12 +834,17 @@ def decode_table(
     negative but round-trip bit-exactly). Field metadata recorded at
     encode time (P7) is reattached to the output schema.
 
-    ``where=(col, lo, hi)`` prunes whole parts via the zone maps in the
-    checkpoint lineage before any payload is read (either bound may be
-    None). Pruning is conservative — kept parts may still hold
-    non-matching rows, so compose with ``df.filter`` for exact results;
-    on a cluster-keyed table a cluster-key predicate typically skips
-    all but a handful of parts."""
+    ``where=(col, lo, hi)`` prunes at two levels via zone maps (either
+    bound may be None): whole parts through the checkpoint lineage before
+    any task runs, then individual blocks inside surviving parts through
+    per-block [min, max] metadata — excluded blocks' payloads are never
+    decoded, and the surviving row ranges are applied identically to
+    every requested column (late materialization; one shared row order
+    per part keeps columns aligned across divergent block grids).
+    Pruning is conservative — kept blocks may still hold non-matching
+    rows, so compose with ``df.filter`` for exact results; on a
+    cluster-keyed, sort-keyed table a key predicate typically skips all
+    but a handful of blocks."""
     with open(os.path.join(out_dir, "_table_meta.json")) as fh:
         meta = json.load(fh)
     columns = columns or meta["columns"]
@@ -779,7 +867,7 @@ def decode_table(
         f"`{c}` {_SPARK_TYPE_OF[meta['schema'][c]]}" for c in columns
     )
     out = parts_df.mapInArrow(
-        _make_decode_kernel(out_dir, columns, arrow_schema), spark_fields
+        _make_decode_kernel(out_dir, columns, arrow_schema, where), spark_fields
     )
     for c, md in (meta.get("field_metadata") or {}).items():
         if c in columns:

@@ -359,3 +359,50 @@ def test_selector_keeps_fsst_for_code_content():
     spec, tab = choose_codec(t.column("content").combine_chunks())
     assert spec.split("+")[0] == "fsst", spec
     assert tab is not None
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, allow_subnormal=True, width=64),
+        max_size=300,
+    )
+)
+def test_alp_roundtrip_property(xs):
+    """ALP must be bit-exact on arbitrary doubles (NaN payloads,
+    infinities, subnormals, -0.0 — everything)."""
+    vals = np.array(xs, dtype=np.float64)
+    from sparkcodec.codecs.alp import dec_alp, enc_alp
+
+    payload, meta = enc_alp(vals)
+    import json
+
+    out = dec_alp(payload, json.loads(json.dumps(meta)))
+    assert np.array_equal(out.view(np.int64), vals.view(np.int64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, allow_subnormal=True, width=32),
+        max_size=200,
+    )
+)
+def test_alp_f32_roundtrip_property(xs):
+    vals = np.array(xs, dtype=np.float32)
+    from sparkcodec.codecs.alp import dec_alp, enc_alp
+
+    payload, meta = enc_alp(vals)
+    out = dec_alp(payload, meta)
+    assert np.array_equal(out.view(np.int32), vals.view(np.int32))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), max_size=300))
+def test_delta_roundtrip_property(xs):
+    from sparkcodec.codecs.kernels import dec_delta, enc_delta
+
+    vals = np.array(xs, dtype=np.int64)
+    payload, meta = enc_delta(vals)
+    out = dec_delta(payload, meta)
+    assert np.array_equal(out, vals)

@@ -507,3 +507,48 @@ def test_decode_where_numeric_range(spark, tmp_path):
     dec = decode_table(spark, out, where=("k", 100, 120)).filter("k BETWEEN 100 AND 120")
     assert dec.count() == 21
     assert dec.agg({"v": "sum"}).collect()[0][0] == sum(i * 2.5 for i in range(100, 121))
+
+
+def test_block_level_pruning_alignment(spark, tmp_path):
+    """Block zone maps must prune payload decode while keeping every
+    column aligned — including when block grids diverge (wide string
+    column split finer by the byte cap than the int column)."""
+    import pandas as pd
+
+    out = str(tmp_path / "enc_blk")
+    n = 20000
+    pdf = pd.DataFrame(
+        {
+            "k": list(range(n)),
+            "v": [i * 3 for i in range(n)],
+            "s": [f"payload_{i}_" + "x" * 300 for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    encode_table(
+        spark, df, out,
+        cluster_by=None, salt_by=None, sort_by=["k"],
+        num_parts=2, target_part_rows=n, block_rows=1000,
+        block_bytes=200 << 10,  # forces finer splitting of `s` than `k`
+        resume=False,
+    )
+    dec = decode_table(spark, out, where=("k", 5000, 5400))
+    rows = dec.collect()
+    # superset semantics, but pruned: far fewer than all rows decoded
+    assert 401 <= len(rows) < n // 2, len(rows)
+    # alignment: every returned row must be a true source row
+    for r in rows:
+        assert r.v == r.k * 3
+        assert r.s.startswith(f"payload_{r.k}_")
+    exact = sorted(r.k for r in rows if 5000 <= r.k <= 5400)
+    assert exact == list(range(5000, 5401))
+    # predicate column not in the requested output still prunes
+    dec2 = decode_table(spark, out, columns=["v"], where=("k", 0, 99))
+    vs = sorted(r.v for r in dec2.collect())
+    assert len(vs) < n // 2 and vs[:100] == [i * 3 for i in range(100)]
+
+
+def test_block_pruning_conservative_without_stats(spark, encoded):
+    # long-text predicate: no block stats anywhere -> full decode
+    out, df, _m = encoded
+    assert decode_table(spark, out, where=("content", "a", "b")).count() == df.count()

@@ -141,3 +141,49 @@ def running_user_stats(events: DataFrame, timeout_minutes: int = 60) -> DataFram
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def encode_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    trigger_once: bool = False,
+    **encode_kwargs,
+):
+    """Stream-ingest into the encoded blocks table: each micro-batch runs
+    one append `encode_table` job, committing one snapshot (engine.py
+    snapshot log) when every part of the batch is durably checkpointed.
+
+    Exactly-once composition: Spark's streaming checkpoint
+    (``checkpoint_dir``) makes batch replay the only failure mode, and a
+    replayed batch re-enters `encode_table(append=True, resume=True)`
+    whose part checkpoints make the re-run idempotent — parts already
+    written are skipped, the snapshot commits once. Readers see either
+    the previous snapshot or the complete new one (decode_table resolves
+    the snapshot log), never a torn batch.
+
+    Returns the StreamingQuery; callers own awaitTermination/stop.
+    """
+    from .engine import encode_table
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        encode_table(
+            batch_df.sparkSession,
+            batch_df,
+            out_dir,
+            append=True,
+            resume=True,
+            **encode_kwargs,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""spark-submit entry point: decode a sparkcodec blocks dir back to parquet.
+
+Cluster usage (same packaging as jobs/encode_job.py):
+
+    spark-submit --py-files sparkcodec.zip jobs/decode_job.py \
+        --input /mnt/shared/enc --output /mnt/shared/decoded \
+        [--columns lang,repo] [--snapshot-id 3] \
+        [--where repo:repoA:repoZ]
+
+--columns prunes at the file level (only those columns' block files are
+read); --snapshot-id time-travels to an earlier committed append;
+--where col:lo:hi prunes whole parts and individual blocks via the
+recorded zone maps before any payload is decoded (conservative — rows
+outside [lo, hi] may remain; bounds are compared as strings unless both
+parse as numbers). Omit --output to just count rows (a decode smoke).
+
+Prints one JSON line with row count, wall seconds, and the pruning
+telemetry (parts kept / total).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _bound(s: str):
+    if s == "":
+        return None
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return s
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", default=None, help="parquet out dir; omit to count only")
+    ap.add_argument("--columns", default=None, help="comma-separated subset")
+    ap.add_argument("--snapshot-id", type=int, default=None)
+    ap.add_argument("--where", default=None, help="col:lo:hi (empty bound = open)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from sparkcodec.engine import (
+        completed_parts,
+        decode_table,
+        prune_parts,
+        snapshot_parts,
+    )
+
+    spark = SparkSession.builder.appName("sparkcodec-decode").getOrCreate()
+    where = None
+    if args.where:
+        col, lo, hi = args.where.split(":", 2)
+        where = (col, _bound(lo), _bound(hi))
+    columns = args.columns.split(",") if args.columns else None
+
+    parts = snapshot_parts(args.input, args.snapshot_id)
+    if parts is None:
+        parts = sorted(completed_parts(args.input))
+    kept = prune_parts(args.input, where, parts) if where else parts
+
+    t0 = time.time()
+    df = decode_table(
+        spark, args.input, columns=columns, snapshot_id=args.snapshot_id, where=where
+    )
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        n = df.count()
+    print(
+        json.dumps(
+            {
+                "rows": n,
+                "wall_sec": round(time.time() - t0, 3),
+                "parts_total": len(parts),
+                "parts_kept": len(kept),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,180 @@
+"""`spark.read.format("sparkcodec")` — a PySpark Python DataSource over
+the encoded blocks table, with filter pushdown driving the zone maps.
+
+The reader surface (Spark 4.1 Python DataSource API):
+
+* ``schema()`` comes from ``_table_meta.json`` (the table's authoritative
+  schema, SURVEY §2 S6).
+* ``pushFilters`` accepts simple comparison filters on prunable columns
+  and folds them into [lo, hi] bounds per column. Zone-map pruning is
+  *conservative* (a kept part/block may still hold non-matching rows), so
+  every filter is returned to Spark for post-scan re-evaluation — the
+  pushdown only reduces I/O, never correctness obligations.
+* ``partitions()`` maps surviving parts (after part-level pruning across
+  ALL bounded columns) onto a bounded number of input partitions.
+* ``read()`` decodes with the same block-level row-range pruning the
+  engine's ``decode_table`` uses, intersecting ranges across bounded
+  columns, and yields Arrow RecordBatches.
+
+Reading via ``decode_table`` (mapInArrow) and via this data source are
+equivalent; this surface exists so plain ``spark.read`` users get
+predicate pushdown from Catalyst filters with no engine-specific API.
+Writes go through ``engine.encode_table`` (clustering + skew fanout need
+a job-level exchange a per-task writer cannot express).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+
+def _load_meta(path: str) -> dict:
+    with open(os.path.join(path, "_table_meta.json")) as fh:
+        return json.load(fh)
+
+
+def _intersect_ranges(a, b):
+    """Intersection of two sorted half-open range lists."""
+    out, i, j = [], 0, 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if lo < hi:
+            out.append([lo, hi])
+        if a[i][1] <= b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+class SparkcodecReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self.out_dir = options.get("path")
+        if not self.out_dir:
+            raise ValueError("sparkcodec reader requires .load(<blocks dir>)")
+        self.snapshot_id = (
+            int(options["snapshot_id"]) if options.get("snapshot_id") else None
+        )
+        self.n_tasks = int(options.get("tasks", 0)) or None
+        self.columns = [f.name for f in schema.fields]
+        self.bounds: dict[str, list] = {}  # col -> [lo, hi] (None = open)
+
+    def pushFilters(self, filters):
+        for f in filters:
+            col = ".".join(f.attribute) if hasattr(f, "attribute") else None
+            val = getattr(f, "value", None)
+            if col is None or val is None:
+                pass
+            elif isinstance(f, EqualTo):
+                self._narrow(col, val, val)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                self._narrow(col, val, None)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                self._narrow(col, None, val)
+        # zone maps are conservative: Spark must re-evaluate every filter
+        return filters
+
+    def _narrow(self, col, lo, hi):
+        cur = self.bounds.setdefault(col, [None, None])
+        if lo is not None and (cur[0] is None or lo > cur[0]):
+            cur[0] = lo
+        if hi is not None and (cur[1] is None or hi < cur[1]):
+            cur[1] = hi
+
+    def partitions(self):
+        from .engine import completed_parts, prune_parts, snapshot_parts
+
+        parts = snapshot_parts(self.out_dir, self.snapshot_id)
+        if parts is None:
+            parts = sorted(completed_parts(self.out_dir))
+        for col, (lo, hi) in self.bounds.items():
+            parts = prune_parts(self.out_dir, (col, lo, hi), parts)
+        if not parts:
+            return [InputPartition([])]
+        n_tasks = self.n_tasks or min(len(parts), 4 * (os.cpu_count() or 8))
+        size = -(-len(parts) // n_tasks)
+        return [InputPartition(parts[i : i + size]) for i in range(0, len(parts), size)]
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        from .engine import (
+            _DECODE_ARROW_OF,
+            _keep_row_ranges,
+            _decode_column_ranges,
+            _part_file,
+            _to_output_type,
+        )
+        from .codecs import decode_array
+        import pyarrow.parquet as pq
+
+        meta = _load_meta(self.out_dir)
+        arrow_schema = pa.schema(
+            [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in self.columns]
+        )
+        for pid in partition.value:
+            ranges = None
+            pruned = False
+            for col, (lo, hi) in self.bounds.items():
+                r = _keep_row_ranges(self.out_dir, pid, (col, lo, hi))
+                if r is not None:
+                    pruned = True
+                    ranges = r if ranges is None else _intersect_ranges(ranges, r)
+            if pruned and not ranges:
+                continue
+            per_col = {}
+            for col in self.columns:
+                target = arrow_schema.field(col).type
+                if pruned:
+                    per_col[col] = _decode_column_ranges(
+                        self.out_dir, col, pid, target, ranges
+                    )
+                    continue
+                t = pq.read_table(_part_file(self.out_dir, col, pid)).sort_by("block_id")
+                chunks = [
+                    _to_output_type(
+                        decode_array(
+                            t.column("payload")[b].as_py(),
+                            json.loads(t.column("meta")[b].as_py()),
+                        ),
+                        target,
+                    )
+                    for b in range(t.num_rows)
+                ]
+                per_col[col] = pa.chunked_array(chunks, type=target)
+            tbl = pa.Table.from_arrays([per_col[c] for c in self.columns], schema=arrow_schema)
+            yield from tbl.to_batches(max_chunksize=65536)
+
+
+class SparkcodecDataSource(DataSource):
+    """Register once per session:
+    ``spark.dataSource.register(SparkcodecDataSource)`` then
+    ``spark.read.format("sparkcodec").load(out_dir)``."""
+
+    @classmethod
+    def name(cls):
+        return "sparkcodec"
+
+    def schema(self):
+        from .engine import _SPARK_TYPE_OF
+
+        meta = _load_meta(self.options.get("path"))
+        return ", ".join(
+            f"`{c}` {_SPARK_TYPE_OF[meta['schema'][c]]}" for c in meta["columns"]
+        )
+
+    def reader(self, schema):
+        return SparkcodecReader(self.options, schema)

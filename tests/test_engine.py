@@ -552,3 +552,55 @@ def test_block_pruning_conservative_without_stats(spark, encoded):
     # long-text predicate: no block stats anywhere -> full decode
     out, df, _m = encoded
     assert decode_table(spark, out, where=("content", "a", "b")).count() == df.count()
+
+
+def test_python_datasource_reader(spark, encoded):
+    """spark.read.format('sparkcodec'): schema from table meta, Catalyst
+    filters pushed into zone-map pruning, results identical to source."""
+    from sparkcodec.datasource import SparkcodecDataSource
+
+    out, df, _m = encoded
+    spark.dataSource.register(SparkcodecDataSource)
+    ds = spark.read.format("sparkcodec").load(out)
+    assert set(ds.columns) == set(df.columns)
+    assert ds.count() == df.count()
+
+    target = df.select("repo").distinct().orderBy("repo").first()["repo"]
+    got = ds.filter(ds.repo == target).orderBy("path", "commit").collect()
+    want = (
+        df.filter(df.repo == target)
+        .select(*ds.columns)
+        .orderBy("path", "commit")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    # range + conjunction across columns
+    some_path = want[0]["path"]
+    got2 = ds.filter((ds.repo == target) & (ds.path <= some_path)).count()
+    want2 = df.filter((df.repo == target) & (df.path <= some_path)).count()
+    assert got2 == want2
+
+
+def test_python_datasource_snapshot_option(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import encode_table, snapshots
+
+    out = str(tmp_path / "ds_snap")
+    d1 = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    d2 = spark.range(100, 150).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    encode_table(spark, d1, out, cluster_by=["id"], salt_by=["v"], num_parts=2,
+                 target_part_rows=50, resume=False)
+    encode_table(spark, d2, out, cluster_by=["id"], salt_by=["v"], num_parts=2,
+                 target_part_rows=50, append=True)
+    spark.dataSource.register(SparkcodecDataSource)
+    first_id = snapshots(out)[0]["id"]
+    assert spark.read.format("sparkcodec").load(out).count() == 150
+    assert (
+        spark.read.format("sparkcodec")
+        .option("snapshot_id", str(first_id))
+        .load(out)
+        .count()
+        == 100
+    )

@@ -31,6 +31,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -159,10 +160,95 @@ class SparkcodecReader(DataSourceReader):
             yield from tbl.to_batches(max_chunksize=65536)
 
 
+def _decode_part_batches(out_dir: str, columns, arrow_schema, pid: int):
+    """Decode one part's requested columns into Arrow batches (the batch
+    reader's unpruned path, shared with the stream reader)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .codecs import decode_array
+    from .engine import _part_file, _to_output_type
+
+    per_col = {}
+    for col in columns:
+        target = arrow_schema.field(col).type
+        t = pq.read_table(_part_file(out_dir, col, pid)).sort_by("block_id")
+        chunks = [
+            _to_output_type(
+                decode_array(
+                    t.column("payload")[b].as_py(),
+                    json.loads(t.column("meta")[b].as_py()),
+                ),
+                target,
+            )
+            for b in range(t.num_rows)
+        ]
+        per_col[col] = pa.chunked_array(chunks, type=target)
+    tbl = pa.Table.from_arrays([per_col[c] for c in columns], schema=arrow_schema)
+    yield from tbl.to_batches(max_chunksize=65536)
+
+
+class SparkcodecStreamReader(DataSourceStreamReader):
+    """Snapshot changefeed: each micro-batch delivers exactly the parts
+    committed by snapshots in (start, end] — the streaming twin of
+    ``encode_stream``'s one-snapshot-per-batch ingestion. Offsets are
+    snapshot ids, so Spark's streaming checkpoint gives replayable,
+    never-torn batches (a snapshot commits atomically after every part
+    of its run is durable)."""
+
+    def __init__(self, options, schema):
+        self.out_dir = options.get("path")
+        if not self.out_dir:
+            raise ValueError("sparkcodec stream reader requires .load(<blocks dir>)")
+        self.columns = [f.name for f in schema.fields]
+
+    def initialOffset(self):
+        return {"snapshot": 0}
+
+    def latestOffset(self):
+        from .engine import snapshots
+
+        snaps = snapshots(self.out_dir)
+        return {"snapshot": snaps[-1]["id"] if snaps else 0}
+
+    def partitions(self, start, end):
+        from .engine import snapshots
+
+        lo, hi = start["snapshot"], end["snapshot"]
+        parts = [
+            int(p)
+            for s in snapshots(self.out_dir)
+            if lo < s["id"] <= hi
+            for p in s["new_parts"]
+        ]
+        if not parts:
+            return [InputPartition([])]
+        n_tasks = min(len(parts), 4 * (os.cpu_count() or 8))
+        size = -(-len(parts) // n_tasks)
+        return [InputPartition(parts[i : i + size]) for i in range(0, len(parts), size)]
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        from .engine import _DECODE_ARROW_OF
+
+        meta = _load_meta(self.out_dir)
+        arrow_schema = pa.schema(
+            [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in self.columns]
+        )
+        for pid in partition.value:
+            yield from _decode_part_batches(self.out_dir, self.columns, arrow_schema, pid)
+
+    def commit(self, end):
+        pass  # snapshot log is append-only; nothing to clean up
+
+
 class SparkcodecDataSource(DataSource):
     """Register once per session:
     ``spark.dataSource.register(SparkcodecDataSource)`` then
-    ``spark.read.format("sparkcodec").load(out_dir)``."""
+    ``spark.read.format("sparkcodec").load(out_dir)`` for batch or
+    ``spark.readStream.format("sparkcodec").load(out_dir)`` to tail
+    committed snapshots."""
 
     @classmethod
     def name(cls):
@@ -178,3 +264,6 @@ class SparkcodecDataSource(DataSource):
 
     def reader(self, schema):
         return SparkcodecReader(self.options, schema)
+
+    def streamReader(self, schema):
+        return SparkcodecStreamReader(self.options, schema)

@@ -604,3 +604,51 @@ def test_python_datasource_snapshot_option(spark, tmp_path):
         .count()
         == 100
     )
+
+
+def test_python_datasource_stream_tails_snapshots(spark, tmp_path):
+    """readStream.format('sparkcodec'): each micro-batch delivers exactly
+    the parts of newly committed snapshots; checkpointed offsets skip
+    already-consumed snapshots on restart."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import encode_table
+
+    out = str(tmp_path / "ds_stream")
+    ckpt = str(tmp_path / "ds_stream_ckpt")
+    d1 = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    d2 = spark.range(100, 150).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    encode_table(spark, d1, out, cluster_by=["id"], salt_by=["v"], num_parts=2,
+                 target_part_rows=50, resume=False)
+    encode_table(spark, d2, out, cluster_by=["id"], salt_by=["v"], num_parts=2,
+                 target_part_rows=50, append=True)
+    spark.dataSource.register(SparkcodecDataSource)
+
+    sink = str(tmp_path / "ds_stream_sink")
+
+    def drain():
+        q = (
+            spark.readStream.format("sparkcodec").load(out)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink)
+
+    got = drain()
+    assert got.count() == 150
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(i * 2 for i in range(150))
+
+    # a third append becomes the next (and only new) batch after restart
+    d3 = spark.range(150, 170).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    encode_table(spark, d3, out, cluster_by=["id"], salt_by=["v"], num_parts=1,
+                 target_part_rows=50, append=True)
+    got2 = drain()
+    assert got2.count() == 170  # only the 20 new rows were appended
+    assert sorted(r.id for r in got2.collect()) == list(range(170))

@@ -28,8 +28,11 @@ from __future__ import annotations
 import json
 import os
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -38,6 +41,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 
@@ -243,12 +247,121 @@ class SparkcodecStreamReader(DataSourceStreamReader):
         pass  # snapshot log is append-only; nothing to clean up
 
 
+@dataclass
+class _PartCommit(WriterCommitMessage):
+    part_id: int
+    n_rows: int
+    raw_bytes: int
+    enc_bytes: int
+
+
+class SparkcodecWriter(DataSourceArrowWriter):
+    """``df.write.format("sparkcodec").mode("append")`` — the plain-Spark
+    write path for *pre-grouped* data: each task encodes its input
+    partition as one part (the engine's aligned layout, no exchange),
+    and the driver commits one snapshot only after every task's parts
+    are durable. Clustering/salting/skew-fanout need a job-level
+    exchange a per-task writer cannot express — use
+    ``engine.encode_table`` for those. Single writer at a time (part
+    ids are assigned from a driver-side base)."""
+
+    def __init__(self, options, schema, overwrite):
+        if overwrite:
+            raise ValueError(
+                "sparkcodec supports mode('append'); for a fresh table use "
+                "encode_table(resume=False) or a new path"
+            )
+        self.out_dir = options.get("path")
+        if not self.out_dir:
+            raise ValueError("sparkcodec writer requires .save(<blocks dir>)")
+        self.block_rows = int(options.get("block_rows", 65536))
+        self.block_bytes = int(options.get("block_bytes", 32 << 20))
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from .codecs import type_name
+        from .engine import completed_parts
+
+        arrow = to_arrow_schema(schema)
+        self.columns = [f.name for f in arrow]
+        self.type_names = {f.name: type_name(f.type) for f in arrow}
+        meta_path = os.path.join(self.out_dir, "_table_meta.json")
+        if os.path.exists(meta_path):
+            prev = _load_meta(self.out_dir)
+            if prev["schema"] != self.type_names:
+                raise ValueError(
+                    "append refused: schema differs from the existing table "
+                    f"({prev['schema']} vs {self.type_names})"
+                )
+        existing = completed_parts(self.out_dir)
+        self.base = (max(existing) + 1) if existing else 0
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        from .engine import _encode_one_part
+
+        batches = [b for b in iterator if b.num_rows]
+        pid = self.base + TaskContext.get().partitionId()
+        if not batches:
+            return _PartCommit(-1, 0, 0, 0)
+        r = _encode_one_part(
+            pid, batches, self.columns, self.out_dir,
+            self.block_rows, self.block_bytes, set(), {},
+        )
+        return _PartCommit(pid, r["n_rows"], r["raw_bytes"], r["enc_bytes"])
+
+    def commit(self, messages):
+        import time
+
+        from .engine import snapshots
+
+        parts = sorted(m.part_id for m in messages if m and m.part_id >= 0)
+        meta_path = os.path.join(self.out_dir, "_table_meta.json")
+        if not os.path.exists(meta_path):
+            meta = {
+                "schema": self.type_names,
+                "columns": self.columns,
+                "num_parts": -1,
+                "layout": "aligned",
+                "cluster_by": None,
+                "salt_by": None,
+                "sort_by": [],
+                "block_rows": self.block_rows,
+                "target_part_rows": None,
+                "field_metadata": {},
+                "engine_version": "0.1.0",
+            }
+            with open(meta_path, "w") as fh:
+                json.dump(meta, fh)
+        snaps = snapshots(self.out_dir)
+        entry = {
+            "id": (snaps[-1]["id"] + 1) if snaps else 1,
+            "parent": snaps[-1]["id"] if snaps else 0,
+            "new_parts": parts,
+            "n_rows": sum(m.n_rows for m in messages if m),
+            "enc_bytes": sum(m.enc_bytes for m in messages if m),
+            "layout": "aligned",
+            "ts": time.time(),
+        }
+        with open(os.path.join(self.out_dir, "_snapshots.jsonl"), "a") as fh:
+            fh.write(json.dumps(entry, separators=(",", ":")) + "\n")
+
+    def abort(self, messages):
+        # written parts are invisible without a snapshot commit (readers
+        # resolve the snapshot log); leave them for a later resume/retry
+        pass
+
+
 class SparkcodecDataSource(DataSource):
     """Register once per session:
     ``spark.dataSource.register(SparkcodecDataSource)`` then
-    ``spark.read.format("sparkcodec").load(out_dir)`` for batch or
+    ``spark.read.format("sparkcodec").load(out_dir)`` for batch,
     ``spark.readStream.format("sparkcodec").load(out_dir)`` to tail
-    committed snapshots."""
+    committed snapshots, or ``df.write.format("sparkcodec")
+    .mode("append").save(out_dir)`` for exchange-free appends.
+    Reading requires ``spark.sql.python.filterPushdown.enabled=true``
+    (on by default in ``sparkcodec.session.get_spark``) because the
+    reader implements filter pushdown."""
 
     @classmethod
     def name(cls):
@@ -267,3 +380,6 @@ class SparkcodecDataSource(DataSource):
 
     def streamReader(self, schema):
         return SparkcodecStreamReader(self.options, schema)
+
+    def writer(self, schema, overwrite):
+        return SparkcodecWriter(self.options, schema, overwrite)

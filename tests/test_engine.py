@@ -652,3 +652,41 @@ def test_python_datasource_stream_tails_snapshots(spark, tmp_path):
     got2 = drain()
     assert got2.count() == 170  # only the 20 new rows were appended
     assert sorted(r.id for r in got2.collect()) == list(range(170))
+
+
+def test_python_datasource_writer_roundtrip(spark, tmp_path):
+    """df.write.format('sparkcodec'): per-task aligned parts + one
+    snapshot on commit; append grows the snapshot chain; decode and the
+    DS reader both see exactly the committed data."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import decode_table, snapshots
+
+    spark.dataSource.register(SparkcodecDataSource)
+    out = str(tmp_path / "ds_written")
+    d1 = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), F.concat(F.lit("t"), F.col("id")).alias("s")
+    )
+    d1.repartition(4).write.format("sparkcodec").mode("append").save(out)
+    assert len(snapshots(out)) == 1
+    back = decode_table(spark, out)
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(1000))
+
+    d2 = spark.range(1000, 1200).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), F.concat(F.lit("t"), F.col("id")).alias("s")
+    )
+    d2.write.format("sparkcodec").mode("append").save(out)
+    assert len(snapshots(out)) == 2
+    ds = spark.read.format("sparkcodec").load(out)
+    assert ds.count() == 1200
+    got = sorted(r.s for r in ds.filter(ds.id >= 1190).collect())
+    assert got == [f"t{i}" for i in range(1190, 1200)]
+
+    # schema mismatch refused
+    import pytest as _pytest
+
+    bad = spark.range(5).select(F.col("id"), F.col("id").alias("other"))
+    with _pytest.raises(Exception, match="append refused|schema"):
+        bad.write.format("sparkcodec").mode("append").save(out)

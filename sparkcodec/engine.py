@@ -678,12 +678,16 @@ def snapshot_parts(out_dir: str, snapshot_id: int | None = None) -> list[int] | 
     sid = snapshot_id if snapshot_id is not None else snaps[-1]["id"]
     if sid not in by_id:
         raise ValueError(f"unknown snapshot {sid}; have {sorted(by_id)}")
-    parts: list[int] = []
+    chain = []
     cur = by_id.get(sid)
     while cur:
-        parts.extend(cur["new_parts"])
+        chain.append(cur)
         cur = by_id.get(cur["parent"])
-    return sorted(set(parts))
+    live: set[int] = set()
+    for s in reversed(chain):  # root -> sid: removals apply before adds
+        live -= set(s.get("removed_parts", []))
+        live |= set(s["new_parts"])
+    return sorted(live)
 
 
 def _spark_schema_arrow(df: DataFrame) -> dict:
@@ -976,3 +980,148 @@ def watch_encode(out_dir: str, num_parts: int | None = None, interval: float = 1
         if snap["parts_total"] and snap["parts_done"] >= snap["parts_total"]:
             return
         time.sleep(interval)
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: compaction + snapshot expiry (the Iceberg pair for
+# the measured small-part overhead: per-part fixed costs dominate under
+# ~8 MB — see BENCH.md)
+
+
+def compact_table(
+    spark: SparkSession,
+    out_dir: str,
+    target_part_rows: int = 262_144,
+) -> dict:
+    """Merge small live parts into bigger ones as a NEW snapshot.
+
+    Old part files stay on disk so earlier snapshots remain
+    time-travelable (Iceberg posture: compaction rewrites the live set,
+    `expire_snapshots` reclaims bytes). Groups are consecutive live
+    parts bin-packed to ``target_part_rows``; groups of one part are
+    left alone. One Spark job: each task decodes its group's parts and
+    re-encodes them through the standard part kernel (codec re-selection
+    included — merged parts may pick better codecs from fuller samples).
+    """
+    with open(os.path.join(out_dir, "_table_meta.json")) as fh:
+        meta = json.load(fh)
+    live = snapshot_parts(out_dir)
+    if live is None:
+        live = sorted(completed_parts(out_dir))
+    import pyarrow.dataset as ds
+
+    ck = ds.dataset(
+        os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}"), format="parquet"
+    ).to_table(columns=["part_id", "n_rows"])
+    rows_of = dict(zip(ck.column("part_id").to_pylist(), ck.column("n_rows").to_pylist()))
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_rows = 0
+    for pid in live:
+        n = int(rows_of.get(pid, 0))
+        if cur and cur_rows + n > target_part_rows:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(pid)
+        cur_rows += n
+    if cur:
+        groups.append(cur)
+    groups = [g for g in groups if len(g) >= 2]
+    if not groups:
+        return {"groups": 0, "parts_removed": 0, "parts_created": 0}
+
+    base = max(max(live), max(completed_parts(out_dir), default=0)) + 1
+    columns = meta["columns"]
+    arrow_schema = pa.schema(
+        [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
+    )
+    block_rows = meta.get("block_rows") or 65536
+    plan = [(base + i, json.dumps(g)) for i, g in enumerate(groups)]
+    plan_df = spark.createDataFrame(plan, "new_pid int, grp string").repartition(
+        max(1, min(len(plan), 4 * spark.sparkContext.defaultParallelism))
+    )
+
+    def kernel(batches):
+        from .datasource import _decode_part_batches
+
+        for batch in batches:
+            for new_pid, grp in zip(
+                batch.column("new_pid").to_pylist(), batch.column("grp").to_pylist()
+            ):
+                merged = []
+                for pid in json.loads(grp):
+                    merged.extend(
+                        _decode_part_batches(out_dir, columns, arrow_schema, pid)
+                    )
+                r = _encode_one_part(
+                    new_pid, merged, columns, out_dir, block_rows, 32 << 20, set(), {}
+                )
+                yield pa.RecordBatch.from_pylist(
+                    [{k: r[k] for k in ("part_id", "n_rows", "raw_bytes", "enc_bytes")}],
+                    schema=pa.schema(
+                        [("part_id", pa.int32()), ("n_rows", pa.int64()),
+                         ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64())]
+                    ),
+                )
+
+    summary = plan_df.mapInArrow(
+        kernel, "part_id int, n_rows long, raw_bytes long, enc_bytes long"
+    ).collect()
+    removed = sorted(p for g in groups for p in g)
+    created = sorted(r["part_id"] for r in summary)
+    snaps = snapshots(out_dir)
+    entry = {
+        "id": (snaps[-1]["id"] + 1) if snaps else 1,
+        "parent": snaps[-1]["id"] if snaps else 0,
+        "new_parts": created,
+        "removed_parts": removed,
+        "n_rows": sum(r["n_rows"] for r in summary),
+        "enc_bytes": sum(r["enc_bytes"] for r in summary),
+        "layout": meta.get("layout", "clustered"),
+        "compaction": True,
+        "ts": time.time(),
+    }
+    with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
+        fh.write(json.dumps(entry, separators=(",", ":")) + "\n")
+    return {
+        "groups": len(groups),
+        "parts_removed": len(removed),
+        "parts_created": len(created),
+    }
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
+    """Reclaim storage: keep the newest ``keep_last`` snapshots, delete
+    part files referenced by no retained snapshot, and squash the log so
+    the oldest retained snapshot owns its full live set. Destroys time
+    travel beyond the retained window — the explicit trade, exactly like
+    Iceberg's expire_snapshots."""
+    snaps = snapshots(out_dir)
+    if not snaps or keep_last < 1:
+        return {"files_deleted": 0, "snapshots_kept": len(snaps)}
+    kept = snaps[-keep_last:]
+    referenced: set[int] = set()
+    for s in kept:
+        referenced |= set(snapshot_parts(out_dir, s["id"]))
+    deleted = 0
+    blocks = os.path.join(out_dir, "blocks")
+    for cdir in os.listdir(blocks):
+        d = os.path.join(blocks, cdir)
+        for f in os.listdir(d):
+            if f.startswith("part_") and f.endswith(".parquet"):
+                pid = int(f[len("part_") : -len(".parquet")])
+                if pid not in referenced:
+                    os.remove(os.path.join(d, f))
+                    deleted += 1
+    # squash: oldest retained snapshot re-rooted with its full live set
+    first = dict(kept[0])
+    first["new_parts"] = sorted(snapshot_parts(out_dir, first["id"]))
+    first.pop("removed_parts", None)
+    first["parent"] = 0
+    squashed = [first] + kept[1:]
+    tmp = os.path.join(out_dir, "_snapshots.jsonl.tmp")
+    with open(tmp, "w") as fh:
+        for s in squashed:
+            fh.write(json.dumps(s, separators=(",", ":")) + "\n")
+    os.replace(tmp, os.path.join(out_dir, "_snapshots.jsonl"))
+    return {"files_deleted": deleted, "snapshots_kept": len(squashed)}

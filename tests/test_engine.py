@@ -690,3 +690,63 @@ def test_python_datasource_writer_roundtrip(spark, tmp_path):
     bad = spark.range(5).select(F.col("id"), F.col("id").alias("other"))
     with _pytest.raises(Exception, match="append refused|schema"):
         bad.write.format("sparkcodec").mode("append").save(out)
+
+
+def test_compaction_and_expiry(spark, tmp_path):
+    """compact_table merges small live parts into a new snapshot (old
+    snapshots stay time-travelable); expire_snapshots reclaims the files
+    and squashes the log."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        compact_table,
+        decode_table,
+        encode_table,
+        expire_snapshots,
+        snapshot_parts,
+        snapshots,
+    )
+
+    out = str(tmp_path / "compact")
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 13).alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"], sort_by=["g", "id"],
+                 num_parts=20, target_part_rows=250, resume=False)
+    pre_parts = snapshot_parts(out)
+    assert len(pre_parts) >= 10
+
+    rep = compact_table(spark, out, target_part_rows=2500)
+    assert rep["parts_removed"] >= 4 and rep["parts_created"] < rep["parts_removed"]
+    post_parts = snapshot_parts(out)
+    assert len(post_parts) < len(pre_parts)
+
+    # identical data, and the pre-compaction snapshot still resolves
+    dec = decode_table(spark, out)
+    assert dec.count() == 5000
+    assert dec.agg(F.sum("id")).collect()[0][0] == sum(range(5000))
+    assert sorted(r.s for r in dec.filter(dec.id < 5).collect()) == [f"v{i}" for i in range(5)]
+    first_id = snapshots(out)[0]["id"]
+    assert decode_table(spark, out, snapshot_id=first_id).count() == 5000
+
+    # zone maps survive compaction (pruning still effective)
+    from sparkcodec.engine import prune_parts
+
+    kept = prune_parts(out, ("g", 0, 0), post_parts)
+    assert len(kept) < len(post_parts)
+
+    # expiry: old part files deleted, latest snapshot still decodes
+    n_files_before = len(_glob.glob(f"{out}/blocks/col=*/part_*.parquet"))
+    er = expire_snapshots(out, keep_last=1)
+    assert er["files_deleted"] > 0
+    n_files_after = len(_glob.glob(f"{out}/blocks/col=*/part_*.parquet"))
+    assert n_files_after < n_files_before
+    assert decode_table(spark, out).count() == 5000
+    # time travel beyond the retained window is gone
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_table(spark, out, snapshot_id=first_id).count()

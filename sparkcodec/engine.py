@@ -329,13 +329,16 @@ def _part_col_stats(arr: pa.Array):
         or pa.types.is_large_string(t)
     ):
         return None
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        # bound the length from the offsets first (no character scan):
+        # long-text columns (content) skip the O(chars) string min_max
+        if pc.max(pc.binary_length(arr)).as_py() > _STATS_MAX_STR:
+            return None
     mm = pc.min_max(arr)
     mn, mx = mm["min"].as_py(), mm["max"].as_py()
     if mn is None or mx is None:
         return None
     if isinstance(mn, float) and (math.isnan(mn) or math.isnan(mx)):
-        return None
-    if isinstance(mn, str) and (len(mn) > _STATS_MAX_STR or len(mx) > _STATS_MAX_STR):
         return None
     return [mn, mx]
 

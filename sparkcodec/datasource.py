@@ -222,7 +222,9 @@ class SparkcodecStreamReader(DataSourceStreamReader):
         parts = [
             int(p)
             for s in snapshots(self.out_dir)
-            if lo < s["id"] <= hi
+            # compaction snapshots rewrite existing rows — replaying their
+            # merged parts would duplicate data already delivered
+            if lo < s["id"] <= hi and not s.get("compaction")
             for p in s["new_parts"]
         ]
         if not parts:

@@ -653,6 +653,14 @@ def test_python_datasource_stream_tails_snapshots(spark, tmp_path):
     assert got2.count() == 170  # only the 20 new rows were appended
     assert sorted(r.id for r in got2.collect()) == list(range(170))
 
+    # compaction rewrites existing rows — the changefeed must NOT replay
+    # its merged parts as new data
+    from sparkcodec.engine import compact_table
+
+    compact_table(spark, out, target_part_rows=100000)
+    got3 = drain()
+    assert got3.count() == 170, "compaction snapshot was replayed to the stream"
+
 
 def test_python_datasource_writer_roundtrip(spark, tmp_path):
     """df.write.format('sparkcodec'): per-task aligned parts + one

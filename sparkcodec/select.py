@@ -51,11 +51,22 @@ def column_stats(arr: pa.Array) -> dict:
     if tname in _STR_LIKE:
         lens, blob = string_parts(arr)
         card = len(arr.unique())
+        # byte entropy of the sample (bits/byte; UTF-8 text tops out
+        # near 6.0 for base64/compressed payloads vs <4.9 for real
+        # code/text) — SURVEY §7 profile stat, routes incompressible
+        # columns away from the FSST table build
+        if blob.size:
+            counts = np.bincount(blob[: 1 << 20], minlength=256)
+            p = counts[counts > 0] / counts.sum()
+            entropy = float(-(p * np.log2(p)).sum())
+        else:
+            entropy = 0.0
         stats.update(
             card=card,
             card_ratio=card / n,
             avg_len=float(lens.mean()) if n else 0.0,
             total_bytes=int(lens.sum()),
+            byte_entropy=entropy,
         )
     elif tname in _INT_LIKE:
         from .codecs.api import _to_int64
@@ -92,12 +103,22 @@ def candidates_for(stats: dict) -> list[str]:
         if low_card:
             out.append("dict")  # low-cardinality: lang, repo, commit
             out.append(f"dict+{DEFAULT_POST}")
-        if stats.get("avg_len", 0) >= 16 and stats.get("card_ratio", 1.0) > 0.1:
+        high_entropy = stats.get("byte_entropy", 0.0) > 5.9
+        if (
+            stats.get("avg_len", 0) >= 16
+            and stats.get("card_ratio", 1.0) > 0.1
+            and not high_entropy
+        ):
             # long, mostly-distinct text (content, paths); low-card columns
-            # never reach FSST — dict dominates and the table build isn't free
+            # never reach FSST — dict dominates and the table build isn't
+            # free; near-random columns (base64/compressed blobs measure
+            # ~6.0 bits/byte vs <4.9 for real code/text) skip the table
+            # build too — nothing to learn
             out.append(f"fsst+{DEFAULT_POST}")
             out.append("fsst")
         out.append(f"raw+{DEFAULT_POST}")
+        if high_entropy:
+            out.append("raw")  # post pass likely useless as well; measure
         return out
     if tname in _INT_LIKE:
         out = []

@@ -406,3 +406,24 @@ def test_delta_roundtrip_property(xs):
     payload, meta = enc_delta(vals)
     out = dec_delta(payload, meta)
     assert np.array_equal(out, vals)
+
+
+def test_selector_skips_fsst_for_random_bytes():
+    """Near-random columns (base64 of compressed/encrypted payloads:
+    ~6.0 bits/byte vs <4.9 for real code/text) must not pay an FSST
+    table build that cannot win."""
+    import base64
+
+    from sparkcodec.select import candidates_for, choose_codec, column_stats
+
+    blob_rows = [
+        base64.b64encode(bytes(rng.integers(0, 256, 600).astype(np.uint8))).decode()
+        for _ in range(500)
+    ]
+    arr = pa.array(blob_rows)
+    stats = column_stats(arr)
+    assert stats["byte_entropy"] > 5.9, stats["byte_entropy"]
+    cands = candidates_for(stats)
+    assert not any(c.startswith("fsst") for c in cands), cands
+    spec, tab = choose_codec(arr)
+    assert spec.split("+")[0] == "raw" and tab is None

@@ -95,14 +95,16 @@ def enc_delta(vals: np.ndarray) -> tuple[bytes, dict]:
     Wins where successive gaps are small but the absolute range is wide
     (timestamps, monotone offsets/ids) — FoR alone packs at the *range*
     width, delta at the *gap* width. Differences are taken in wrap-around
-    uint64, exact for any int64 input.
+    uint64 (exact for any int64 input) and stored with the smaller of
+    FoR / RLE, so constant-stride sequences (regular timestamps)
+    collapse to a single run.
     """
     n = len(vals)
     if n == 0:
         return b"", {"c": "delta", "n": 0, "first": 0, "d": {"c": "for", "n": 0, "w": 0, "f": 0}}
     v = vals.astype(np.int64, copy=False)
     du = (v[1:].view(np.uint64) - v[:-1].view(np.uint64)).view(np.int64)
-    payload, m = enc_for(du)
+    payload, m = enc_int_auto(du)
     return payload, {"c": "delta", "n": n, "first": int(v[0]), "d": m}
 
 
@@ -110,7 +112,7 @@ def dec_delta(payload: bytes, meta: dict) -> np.ndarray:
     n = meta["n"]
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    du = dec_for(payload, meta["d"]).view(np.uint64)
+    du = dec_int(payload, meta["d"]).view(np.uint64)
     out = np.empty(n, dtype=np.uint64)
     out[0] = np.uint64(meta["first"] & 0xFFFFFFFFFFFFFFFF)
     np.cumsum(du, out=out[1:])

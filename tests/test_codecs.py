@@ -427,3 +427,11 @@ def test_selector_skips_fsst_for_random_bytes():
     assert not any(c.startswith("fsst") for c in cands), cands
     spec, tab = choose_codec(arr)
     assert spec.split("+")[0] == "raw" and tab is None
+
+
+def test_delta_collapses_constant_stride():
+    # regular timestamps: every gap identical -> RLE inside delta -> O(1)
+    vals = 1_700_000_000_000_000 + np.arange(100000, dtype=np.int64) * 1000
+    p, m = encode_array(pa.array(vals, type=pa.int64()), "delta")
+    assert len(p) < 128, len(p)
+    _roundtrip(pa.array(vals, type=pa.int64()), "delta")

@@ -12,8 +12,9 @@ Cluster usage (same packaging as jobs/encode_job.py):
 read); --snapshot-id time-travels to an earlier committed append;
 --where col:lo:hi prunes whole parts and individual blocks via the
 recorded zone maps before any payload is decoded (conservative — rows
-outside [lo, hi] may remain; bounds are compared as strings unless both
-parse as numbers). Omit --output to just count rows (a decode smoke).
+outside [lo, hi] may remain; bounds are coerced to the column's
+recorded type, so '100' on a string column stays the string '100').
+Omit --output to just count rows (a decode smoke).
 
 Prints one JSON line with row count, wall seconds, and the pruning
 telemetry (parts kept / total).
@@ -27,16 +28,19 @@ import sys
 import time
 
 
-def _bound(s: str):
+def _bound(s: str, tname: str):
+    """Coerce a CLI bound to the column's recorded type so zone-map
+    comparisons never mix str and numbers (a string column named
+    '100' stays the string '100')."""
     if s == "":
         return None
-    try:
+    if tname.startswith(("i", "u")) and tname not in ("str", "lstr"):
         return int(s)
-    except ValueError:
-        try:
-            return float(s)
-        except ValueError:
-            return s
+    if tname.startswith("f"):
+        return float(s)
+    if tname == "bool":
+        return s.lower() in ("1", "true")
+    return s
 
 
 def main() -> int:
@@ -60,8 +64,13 @@ def main() -> int:
     spark = SparkSession.builder.appName("sparkcodec-decode").getOrCreate()
     where = None
     if args.where:
+        import json as _json
+        import os as _os
+
         col, lo, hi = args.where.split(":", 2)
-        where = (col, _bound(lo), _bound(hi))
+        with open(_os.path.join(args.input, "_table_meta.json")) as fh:
+            tname = _json.load(fh)["schema"][col]
+        where = (col, _bound(lo, tname), _bound(hi, tname))
     columns = args.columns.split(",") if args.columns else None
 
     parts = snapshot_parts(args.input, args.snapshot_id)

@@ -116,15 +116,8 @@ def parse_spec(spec: str) -> tuple[str, str | None]:
     return spec, None
 
 
-def encode_array(
-    arr: pa.Array, spec: str, fsst_table=None, fsst_seg: int | None = None
-) -> tuple[bytes, dict]:
-    """Encode one Arrow array block with a concrete codec spec.
-
-    ``fsst_seg`` overrides FSST's auto segment sizing — the selector uses
-    it to measure samples at the production-block regime instead of the
-    sample's own (much smaller) auto seg.
-    """
+def encode_array(arr: pa.Array, spec: str, fsst_table=None) -> tuple[bytes, dict]:
+    """Encode one Arrow array block with a concrete codec spec."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     base, post = parse_spec(spec)
@@ -151,7 +144,7 @@ def encode_array(
         elif base == "dict":
             payload, meta = enc_dict(arr)
         elif base == "fsst":
-            payload, meta = fsst_mod.enc_fsst(arr, table=fsst_table, seg=fsst_seg)
+            payload, meta = fsst_mod.enc_fsst(arr, table=fsst_table)
         elif base == "rle":
             # RLE over strings == dict (codes collapse to runs); route there
             payload, meta = enc_dict(arr)

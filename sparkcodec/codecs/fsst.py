@@ -54,7 +54,6 @@ class SymbolTable:
         "lit_code",
         "sha",
         "tab12",
-        "gate2",
         "hkeys",
         "hcodes",
         "hprobe",
@@ -100,7 +99,6 @@ class SymbolTable:
         if self.keys[2].size:
             self.tab12[self.keys[2].astype(np.int64)] = self.codes[2].astype(np.int32) | (2 << 8)
         # per-length open-addressing hash tables for >=3-byte symbols
-        self.gate2 = np.zeros(1 << 16, dtype=bool)
         hbits = 11
         hsize = 1 << hbits
         self.hkeys = [None] * (MAX_SYM_LEN + 1)
@@ -114,7 +112,6 @@ class SymbolTable:
             if not self.keys[L].size:
                 continue
             pref2 = (self.keys[L] & np.uint64(0xFFFF)).astype(np.int64)
-            self.gate2[pref2] = True
             self.tab12[pref2] |= np.int32(1 << (10 + L - 3))
             hk = np.full(hsize, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
             hc = np.zeros(hsize, dtype=np.int64)
@@ -439,13 +436,11 @@ def decode_to_blob(codes: np.ndarray, exceptions: np.ndarray, table: SymbolTable
 # caller passes the same prebuilt table for all its blocks.
 
 
-def enc_fsst(
-    arr: pa.Array, table: SymbolTable | None = None, seg: int | None = None
-) -> tuple[bytes, dict]:
+def enc_fsst(arr: pa.Array, table: SymbolTable | None = None) -> tuple[bytes, dict]:
     lens, blob = string_parts(arr)
     if table is None:
         table = build_table(lens, blob)
-    codes, exceptions = encode_with_table(lens, blob, table, seg=seg)
+    codes, exceptions = encode_with_table(lens, blob, table)
     symdata, symlens = table.to_bytes()
     p_lens, m_lens = enc_for(lens)
     payload, secs = pack_sections(

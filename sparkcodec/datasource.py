@@ -100,13 +100,20 @@ class SparkcodecReader(DataSourceReader):
             cur[1] = hi
 
     def partitions(self):
-        from .engine import completed_parts, prune_parts, snapshot_parts
+        from .engine import (
+            completed_parts,
+            part_stats,
+            prune_parts,
+            snapshot_parts,
+        )
 
         parts = snapshot_parts(self.out_dir, self.snapshot_id)
         if parts is None:
             parts = sorted(completed_parts(self.out_dir))
-        for col, (lo, hi) in self.bounds.items():
-            parts = prune_parts(self.out_dir, (col, lo, hi), parts)
+        if self.bounds:
+            stats = part_stats(self.out_dir)  # one metadata read for all columns
+            for col, (lo, hi) in self.bounds.items():
+                parts = prune_parts(self.out_dir, (col, lo, hi), parts, stats=stats)
         if not parts:
             return [InputPartition([])]
         n_tasks = self.n_tasks or min(len(parts), 4 * (os.cpu_count() or 8))
@@ -118,13 +125,10 @@ class SparkcodecReader(DataSourceReader):
 
         from .engine import (
             _DECODE_ARROW_OF,
-            _keep_row_ranges,
             _decode_column_ranges,
-            _part_file,
-            _to_output_type,
+            _decode_part_batches,
+            _keep_row_ranges,
         )
-        from .codecs import decode_array
-        import pyarrow.parquet as pq
 
         meta = _load_meta(self.out_dir)
         arrow_schema = pa.schema(
@@ -140,56 +144,19 @@ class SparkcodecReader(DataSourceReader):
                     ranges = r if ranges is None else _intersect_ranges(ranges, r)
             if pruned and not ranges:
                 continue
-            per_col = {}
-            for col in self.columns:
-                target = arrow_schema.field(col).type
-                if pruned:
-                    per_col[col] = _decode_column_ranges(
-                        self.out_dir, col, pid, target, ranges
-                    )
-                    continue
-                t = pq.read_table(_part_file(self.out_dir, col, pid)).sort_by("block_id")
-                chunks = [
-                    _to_output_type(
-                        decode_array(
-                            t.column("payload")[b].as_py(),
-                            json.loads(t.column("meta")[b].as_py()),
-                        ),
-                        target,
-                    )
-                    for b in range(t.num_rows)
-                ]
-                per_col[col] = pa.chunked_array(chunks, type=target)
+            if not pruned:
+                yield from _decode_part_batches(
+                    self.out_dir, self.columns, arrow_schema, pid
+                )
+                continue
+            per_col = {
+                col: _decode_column_ranges(
+                    self.out_dir, col, pid, arrow_schema.field(col).type, ranges
+                )
+                for col in self.columns
+            }
             tbl = pa.Table.from_arrays([per_col[c] for c in self.columns], schema=arrow_schema)
             yield from tbl.to_batches(max_chunksize=65536)
-
-
-def _decode_part_batches(out_dir: str, columns, arrow_schema, pid: int):
-    """Decode one part's requested columns into Arrow batches (the batch
-    reader's unpruned path, shared with the stream reader)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from .codecs import decode_array
-    from .engine import _part_file, _to_output_type
-
-    per_col = {}
-    for col in columns:
-        target = arrow_schema.field(col).type
-        t = pq.read_table(_part_file(out_dir, col, pid)).sort_by("block_id")
-        chunks = [
-            _to_output_type(
-                decode_array(
-                    t.column("payload")[b].as_py(),
-                    json.loads(t.column("meta")[b].as_py()),
-                ),
-                target,
-            )
-            for b in range(t.num_rows)
-        ]
-        per_col[col] = pa.chunked_array(chunks, type=target)
-    tbl = pa.Table.from_arrays([per_col[c] for c in columns], schema=arrow_schema)
-    yield from tbl.to_batches(max_chunksize=65536)
 
 
 class SparkcodecStreamReader(DataSourceStreamReader):
@@ -236,7 +203,7 @@ class SparkcodecStreamReader(DataSourceStreamReader):
     def read(self, partition):
         import pyarrow as pa
 
-        from .engine import _DECODE_ARROW_OF
+        from .engine import _DECODE_ARROW_OF, _decode_part_batches
 
         meta = _load_meta(self.out_dir)
         arrow_schema = pa.schema(

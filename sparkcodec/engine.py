@@ -329,6 +329,12 @@ def _part_col_stats(arr: pa.Array):
         or pa.types.is_large_string(t)
     ):
         return None
+    if pa.types.is_uint64(t):
+        # u64 decodes as the int64 BIT VIEW (values >= 2^63 come out
+        # negative), which is not monotone in the unsigned domain — a
+        # [min, max] crossing 2^63 maps to two disjoint signed ranges,
+        # so bounds here would prune wrongly. No stats = never pruned.
+        return None
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         # bound the length from the offsets first (no character scan):
         # long-text columns (content) skip the O(chars) string min_max
@@ -359,7 +365,7 @@ def part_stats(out_dir: str) -> dict[int, dict]:
 
 
 def prune_parts(
-    out_dir: str, where: tuple, parts: list[int]
+    out_dir: str, where: tuple, parts: list[int], stats: dict | None = None
 ) -> list[int]:
     """Zone-map part pruning: keep parts whose [min, max] for the
     predicate column overlaps [lo, hi] (either bound may be None for a
@@ -368,14 +374,18 @@ def prune_parts(
     kept parts are NOT filtered, so compose with ``df.filter`` for exact
     results."""
     col, lo, hi = where
-    stats = part_stats(out_dir)
+    if stats is None:
+        stats = part_stats(out_dir)
     keep = []
     for p in parts:
         st = stats.get(p, {}).get(col)
         if st is not None:
             mn, mx = st
-            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
-                continue
+            try:
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    continue
+            except TypeError:
+                pass  # bound/stat type mismatch: keep (conservative)
         keep.append(p)
     return keep
 
@@ -785,6 +795,29 @@ def _decode_column_ranges(out_dir, col, pid, target, ranges):
     )
 
 
+def _decode_part_batches(out_dir: str, columns, arrow_schema: pa.Schema, pid: int):
+    """Decode one part's requested columns into Arrow batches (the shared
+    unpruned path: engine decode kernel, DataSource batch/stream readers,
+    and compaction all route through here)."""
+    per_col = {}
+    for col in columns:
+        target = arrow_schema.field(col).type
+        t = pq.read_table(_part_file(out_dir, col, pid)).sort_by("block_id")
+        chunks = [
+            _to_output_type(
+                decode_array(
+                    t.column("payload")[b].as_py(),
+                    json.loads(t.column("meta")[b].as_py()),
+                ),
+                target,
+            )
+            for b in range(t.num_rows)
+        ]
+        per_col[col] = pa.chunked_array(chunks, type=target)
+    tbl = pa.Table.from_arrays([per_col[c] for c in columns], schema=arrow_schema)
+    yield from tbl.to_batches(max_chunksize=65536)
+
+
 def _make_decode_kernel(
     out_dir: str, columns: list[str], arrow_schema: pa.Schema, where: tuple | None = None
 ):
@@ -798,26 +831,15 @@ def _make_decode_kernel(
                 # column finer than a narrow one), so reassemble each column
                 # independently as a chunked array — zero-copy concat — and
                 # let Arrow re-slice aligned output batches
-                per_col = {}
-                for col in columns:
-                    target = arrow_schema.field(col).type
-                    if ranges is not None:
-                        per_col[col] = _decode_column_ranges(
-                            out_dir, col, pid, target, ranges
-                        )
-                        continue
-                    t = pq.read_table(_part_file(out_dir, col, pid)).sort_by("block_id")
-                    chunks = [
-                        _to_output_type(
-                            decode_array(
-                                t.column("payload")[b].as_py(),
-                                json.loads(t.column("meta")[b].as_py()),
-                            ),
-                            target,
-                        )
-                        for b in range(t.num_rows)
-                    ]
-                    per_col[col] = pa.chunked_array(chunks, type=target)
+                if ranges is None:
+                    yield from _decode_part_batches(out_dir, columns, arrow_schema, pid)
+                    continue
+                per_col = {
+                    col: _decode_column_ranges(
+                        out_dir, col, pid, arrow_schema.field(col).type, ranges
+                    )
+                    for col in columns
+                }
                 part_table = pa.Table.from_arrays(
                     [per_col[c] for c in columns], schema=arrow_schema
                 )
@@ -1045,8 +1067,6 @@ def compact_table(
     )
 
     def kernel(batches):
-        from .datasource import _decode_part_batches
-
         for batch in batches:
             for new_pid, grp in zip(
                 batch.column("new_pid").to_pylist(), batch.column("grp").to_pylist()
@@ -1073,10 +1093,17 @@ def compact_table(
     removed = sorted(p for g in groups for p in g)
     created = sorted(r["part_id"] for r in summary)
     snaps = snapshots(out_dir)
+    if snaps:
+        new_parts = created
+    else:
+        # legacy table without a snapshot log: this entry becomes the
+        # root, so it must carry the FULL live set (untouched singleton
+        # parts included), not just the merged ones
+        new_parts = sorted(set(created) | (set(live) - set(removed)))
     entry = {
         "id": (snaps[-1]["id"] + 1) if snaps else 1,
         "parent": snaps[-1]["id"] if snaps else 0,
-        "new_parts": created,
+        "new_parts": new_parts,
         "removed_parts": removed,
         "n_rows": sum(r["n_rows"] for r in summary),
         "enc_bytes": sum(r["enc_bytes"] for r in summary),
@@ -1116,10 +1143,13 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
                 if pid not in referenced:
                     os.remove(os.path.join(d, f))
                     deleted += 1
-    # squash: oldest retained snapshot re-rooted with its full live set
+    # squash: oldest retained snapshot re-rooted with its full live set;
+    # it is no longer a compaction delta (a changefeed consumer starting
+    # fresh must receive these rows), so the flag must not survive
     first = dict(kept[0])
     first["new_parts"] = sorted(snapshot_parts(out_dir, first["id"]))
     first.pop("removed_parts", None)
+    first.pop("compaction", None)
     first["parent"] = 0
     squashed = [first] + kept[1:]
     tmp = os.path.join(out_dir, "_snapshots.jsonl.tmp")

@@ -172,11 +172,7 @@ def choose_codec(
     best_spec, best_size = None, None
     for base, posts in by_base.items():
         try:
-            # measure FSST at the production-block seg (512: what auto
-            # sizing picks for >=12 MB blobs, i.e. real-scale blocks) —
-            # the sample's own auto seg would be ~64 and bias the
-            # measured ratio against FSST
-            payload, _ = encode_array(sample, base, fsst_table=fsst_table, fsst_seg=512)
+            payload, _ = encode_array(sample, base, fsst_table=fsst_table)
         except (ValueError, TypeError):
             continue
         for post in posts:

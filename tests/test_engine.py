@@ -758,3 +758,68 @@ def test_compaction_and_expiry(spark, tmp_path):
 
     with _pytest.raises(Exception):
         decode_table(spark, out, snapshot_id=first_id).count()
+
+
+def test_compact_legacy_table_keeps_untouched_parts(spark, tmp_path):
+    """Compacting a pre-snapshot table must root the log with the FULL
+    live set — singleton groups left alone must not vanish."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import compact_table, decode_table, encode_table
+
+    out = str(tmp_path / "legacy")
+    df = spark.range(3000).select(F.col("id"), (F.col("id") % 5).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"], num_parts=12,
+                 target_part_rows=250, resume=False)
+    _os.remove(_os.path.join(out, "_snapshots.jsonl"))  # simulate legacy table
+    rep = compact_table(spark, out, target_part_rows=700)
+    assert rep["parts_removed"] > 0
+    dec = decode_table(spark, out)
+    assert dec.count() == 3000
+    assert dec.agg(F.sum("id")).collect()[0][0] == sum(range(3000))
+
+
+def test_u64_columns_never_pruned():
+    """u64 decodes as the int64 bit view, which is not monotone in the
+    unsigned order (values >= 2^63 wrap negative), so zone maps must not
+    exist for uint64 arrays — no stats means pruning can never drop a
+    matching part. Narrower unsigned types widen monotonically and keep
+    their stats."""
+    import pyarrow as _pa
+
+    from sparkcodec.engine import _part_col_stats
+
+    vals = [0, 1, 2**63, 2**64 - 1, 12345]
+    assert _part_col_stats(_pa.array(vals, type=_pa.uint64())) is None
+    assert _part_col_stats(_pa.array([1, 2, 255], type=_pa.uint8())) == [1, 255]
+
+
+def test_stream_after_expiry_delivers_all_rows(spark, tmp_path):
+    """After expire_snapshots squashes a compaction into the root, a
+    FRESH changefeed consumer must still receive every row (the squashed
+    root is no longer a compaction delta)."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import compact_table, encode_table, expire_snapshots
+
+    out = str(tmp_path / "exp_stream")
+    df = spark.range(800).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"], num_parts=6,
+                 target_part_rows=150, resume=False)
+    compact_table(spark, out, target_part_rows=10000)
+    expire_snapshots(out, keep_last=1)
+    spark.dataSource.register(SparkcodecDataSource)
+    sink = str(tmp_path / "exp_sink")
+    q = (
+        spark.readStream.format("sparkcodec").load(out)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "exp_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == 800
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(800))

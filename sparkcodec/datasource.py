@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -80,8 +81,14 @@ class SparkcodecReader(DataSourceReader):
     def pushFilters(self, filters):
         for f in filters:
             col = ".".join(f.attribute) if hasattr(f, "attribute") else None
+            if col is None:
+                continue
             val = getattr(f, "value", None)
-            if col is None or val is None:
+            if isinstance(f, In):
+                vs = [v for v in getattr(f, "values", ()) if v is not None]
+                if vs and all(isinstance(v, type(vs[0])) for v in vs):
+                    self._narrow(col, min(vs), max(vs))
+            elif val is None:
                 pass
             elif isinstance(f, EqualTo):
                 self._narrow(col, val, val)

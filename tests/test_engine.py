@@ -579,6 +579,11 @@ def test_python_datasource_reader(spark, encoded):
     got2 = ds.filter((ds.repo == target) & (ds.path <= some_path)).count()
     want2 = df.filter((df.repo == target) & (df.path <= some_path)).count()
     assert got2 == want2
+    # isin pushes down as a [min(values), max(values)] bound
+    repos = [r["repo"] for r in df.select("repo").distinct().orderBy("repo").limit(2).collect()]
+    got3 = ds.filter(ds.repo.isin(repos)).count()
+    want3 = df.filter(df.repo.isin(repos)).count()
+    assert got3 == want3
 
 
 def test_python_datasource_snapshot_option(spark, tmp_path):

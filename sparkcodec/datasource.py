@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -96,6 +97,13 @@ class SparkcodecReader(DataSourceReader):
                 self._narrow(col, val, None)
             elif isinstance(f, (LessThan, LessThanOrEqual)):
                 self._narrow(col, None, val)
+            elif isinstance(f, StringStartsWith) and isinstance(val, str) and val:
+                # every string with this prefix sorts in
+                # [prefix, prefix-with-last-char-incremented)
+                hi = None
+                if ord(val[-1]) < 0x10FFFF:
+                    hi = val[:-1] + chr(ord(val[-1]) + 1)
+                self._narrow(col, val, hi)
         # zone maps are conservative: Spark must re-evaluate every filter
         return filters
 

@@ -584,6 +584,11 @@ def test_python_datasource_reader(spark, encoded):
     got3 = ds.filter(ds.repo.isin(repos)).count()
     want3 = df.filter(df.repo.isin(repos)).count()
     assert got3 == want3
+    # startswith pushes down as a [prefix, next-prefix) bound
+    pref = target[: max(1, len(target) - 2)]
+    got4 = ds.filter(ds.repo.startswith(pref)).count()
+    want4 = df.filter(df.repo.startswith(pref)).count()
+    assert got4 == want4
 
 
 def test_python_datasource_snapshot_option(spark, tmp_path):

@@ -318,6 +318,16 @@ class SparkcodecWriter(DataSourceArrowWriter):
             with open(meta_path, "w") as fh:
                 json.dump(meta, fh)
         snaps = snapshots(self.out_dir)
+        if not snaps:
+            # pre-snapshot table (parts exist but no log): this entry becomes
+            # the root snapshot, so it must carry the legacy parts below base
+            # too — otherwise snapshot-resolving readers drop every
+            # pre-existing row (same rule as encode_table / compact_table)
+            from .engine import completed_parts
+
+            parts = sorted(
+                set(parts) | {p for p in completed_parts(self.out_dir) if p < self.base}
+            )
         entry = {
             "id": (snaps[-1]["id"] + 1) if snaps else 1,
             "parent": snaps[-1]["id"] if snaps else 0,

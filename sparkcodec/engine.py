@@ -97,12 +97,16 @@ def assign_partitions(
         key = [F.col(c) for c in (salt_by or cols) if c in cols] or [F.lit(0)]
         return df.withColumn(PART_COL, F.pmod(F.xxhash64(*key), F.lit(num_parts)).cast("int"))
     salt_cols = [c for c in (salt_by or []) if c in cols] or [c for c in cols if c not in cluster_by]
+    salt_exprs = [F.col(c) for c in salt_cols] or [F.lit(0)]
+    # no non-key column to salt by (every column IS the cluster key):
+    # fanout degenerates to 1 effective part per key — correct, just no
+    # skew spread, which is unattainable without a distinguishing column
     counts = df.groupBy(*cluster_by).agg(F.count(F.lit(1)).alias("__cnt"))
     fanout = counts.withColumn(
         "__fanout", F.greatest(F.lit(1), F.ceil(F.col("__cnt") / F.lit(target_part_rows))).cast("long")
     ).drop("__cnt")
     joined = df.join(F.broadcast(fanout), on=cluster_by, how="left")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.col("__fanout"))
+    salt = F.pmod(F.xxhash64(*salt_exprs), F.col("__fanout"))
     # hash(cluster_key, salt): same key+salt -> same part; a key with
     # fanout f spreads over exactly f distinct parts (overflow-safe under
     # ANSI mode, unlike hash*prime+salt arithmetic)
@@ -417,6 +421,7 @@ def encode_table(
     layout: str = "clustered",
     resume: bool = True,
     append: bool = False,
+    snapshot_extra: dict | None = None,
 ) -> dict:
     """Encode ``df`` into a blocks table at ``out_dir``; returns metrics.
 
@@ -516,6 +521,7 @@ def encode_table(
         part_keys = part_keys + ("target_part_rows",)
     run_config = {k: meta[k] for k in part_keys}
     base = 0
+    pre_existing: set[int] = set()  # legacy parts below base (pre-snapshot table)
     if append and os.path.exists(meta_path):
         with open(meta_path) as fh:
             prev = json.load(fh)
@@ -540,6 +546,7 @@ def encode_table(
             with open(pending_path, "w") as fh:
                 json.dump({"base": base, "config": run_config}, fh)
         done = {p for p in existing if p >= base} if resume else set()
+        pre_existing = {p for p in existing if p < base}
     else:
         if resume and os.path.exists(meta_path):
             with open(meta_path) as fh:
@@ -641,6 +648,13 @@ def encode_table(
     # either the previous snapshot or the complete new one
     snaps = snapshots(out_dir)
     new_parts = sorted(done | {int(r["part_id"]) for r in rows})
+    # appending to a pre-snapshot table (no _snapshots.jsonl, e.g. written
+    # by an older engine): the entry about to be written becomes the ROOT
+    # snapshot, so it must carry the full live set — the legacy parts below
+    # base included — or snapshot-resolving readers silently drop every
+    # base-table row (compact_table applies the same legacy rule)
+    if append and not snaps and pre_existing:
+        new_parts = sorted(set(new_parts) | pre_existing)
     # append: commit when this run produced or resumed any part (a fully
     # checkpointed append that crashed before its commit still commits on
     # resume); create: commit when work happened or no snapshot exists yet
@@ -655,6 +669,11 @@ def encode_table(
             "layout": layout,
             "ts": time.time(),
         }
+        if snapshot_extra:
+            # caller-scoped identity keys (e.g. encode_stream's
+            # (checkpoint, batch_id) tag) ride the committed entry so
+            # replays can recognize an already-committed unit of work
+            entry.update(snapshot_extra)
         with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
             fh.write(json.dumps(entry, separators=(",", ":")) + "\n")
     for p in (pending_path, os.path.join(out_dir, "_aligned_fingerprint_append")):
@@ -747,9 +766,12 @@ def _keep_row_ranges(out_dir: str, pid: int, where: tuple):
         keep = True
         if mm is not None:
             mn, mx = mm
-            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
-                keep = False
-                pruned_any = True
+            try:
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    keep = False
+                    pruned_any = True
+            except TypeError:
+                pass  # bound/stat type mismatch: keep (conservative, like prune_parts)
         if keep and n:
             if ranges and ranges[-1][1] == off:
                 ranges[-1][1] = off + n

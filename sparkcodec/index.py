@@ -34,11 +34,26 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _PID = "__pid"
+
+
+class _PidTotalsParam(AccumulatorParam):
+    """Dict accumulator {partition id -> total}. Each partition writes its
+    own key exactly once per attempt with a value that is a pure function
+    of the partition's rows, so merge-by-overwrite is idempotent under
+    task retries/speculation (unlike additive accumulators)."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        a.update(b)
+        return a
 
 
 def _num_range_parts(df: DataFrame) -> int:
@@ -59,14 +74,19 @@ def _ranged(df: DataFrame, order_cols: list[str]) -> DataFrame:
     )
 
 
-def _offsets_df(spark, last_rows, count_col: str) -> DataFrame:
-    """Exclusive prefix sum of per-partition totals (O(#parts) rows,
-    driver-side — the reference's Allgather over ranks)."""
+def _offsets_df(spark, totals: dict[int, int]) -> DataFrame:
+    """Exclusive prefix sum of per-partition totals (O(#parts) entries,
+    driver-side — the reference's Allgather over ranks). ``totals`` comes
+    from a _PidTotalsParam accumulator filled during the checkpoint job,
+    so no extra Spark action is needed to read it. Partitions absent from
+    the dict contributed zero rows and need no offset."""
     acc = 0
     rows = []
-    for r in sorted(last_rows, key=lambda r: r[_PID]):
-        rows.append((int(r[_PID]), acc))
-        acc += int(r[count_col])
+    for pid in sorted(totals):
+        rows.append((int(pid), acc))
+        acc += int(totals[pid])
+    if not rows:
+        rows = [(0, 0)]
     return spark.createDataFrame(rows, f"{_PID} int, __off long")
 
 
@@ -87,7 +107,7 @@ def _arrow_node_type(spark_t) -> pa.DataType:
     raise TypeError(f"unsupported node column type {spark_t}")
 
 
-def _local_runs_fn(node_type: pa.DataType):
+def _local_runs_fn(node_type: pa.DataType, totals_acc=None):
     out_schema = pa.schema(
         [
             pa.field(_PID, pa.int32()),
@@ -149,6 +169,10 @@ def _local_runs_fn(node_type: pa.DataType):
                 yield emit(nodes_out, starts_out, ends_out, [False] * len(nodes_out))
         if pos > 0:
             yield emit([open_node], [open_start], [pos], [True])
+        if totals_acc is not None and pos > 0:
+            # side-channel the partition row count to the driver during the
+            # checkpoint job itself — no follow-up collect pass needed
+            totals_acc.add({int(pid): int(pos)})
 
     return fn
 
@@ -219,12 +243,14 @@ def edge_ranges(df: DataFrame, node_col: str, order_cols: list[str]) -> DataFram
         "__ls long, __le long, __last boolean"
     )
     # one shuffle + one sort + one kernel pass, materialized: every
-    # consumer below reads the checkpoint instead of re-running the sort
-    runs = ranged.mapInArrow(_local_runs_fn(node_type), runs_ddl).localCheckpoint()
-
-    # the closing run of each partition carries the partition row count
-    last_rows = runs.filter(F.col("__last")).select(_PID, "__le").collect()
-    offs = _offsets_df(spark, last_rows, "__le")
+    # consumer below reads the checkpoint instead of re-running the sort.
+    # Per-partition row counts ride an accumulator out of this same job
+    # (the kernel's closing position), so no second collect pass runs.
+    totals = spark.sparkContext.accumulator({}, _PidTotalsParam())
+    runs = ranged.mapInArrow(
+        _local_runs_fn(node_type, totals), runs_ddl
+    ).localCheckpoint()
+    offs = _offsets_df(spark, totals.value)
 
     runs_g = runs.join(F.broadcast(offs), _PID).select(
         "node_id",
@@ -263,8 +289,11 @@ def prefix_sum_exclusive(
     """Append ``out_col`` = sum of ``value_col`` over all rows strictly
     before this one in the total order of ``order_cols`` — without a
     global single-task window: range shuffle, per-partition vectorized
-    cumsum (one pass, checkpointed), O(#parts) driver offset scan,
-    broadcast join.
+    cumsum (one pass, checkpointed; the partition totals ride an
+    accumulator out of that same job), O(#parts) driver offset scan,
+    broadcast join. The partition total is the kernel's actual running
+    sum — not a max over a column — so negative values are handled
+    correctly.
 
     ``assume_ranged=True`` skips the shuffle when the caller guarantees
     ``df`` is already range-partitioned by ``order_cols`` (partition i
@@ -279,13 +308,18 @@ def prefix_sum_exclusive(
         ranged = _ranged(df, order_cols)
     in_fields = [(f.name, f.dataType.simpleString()) for f in ranged.schema.fields]
     value_idx = [n for n, _ in in_fields].index(value_col)
-    ddl = ", ".join(f"{n} {t}" for n, t in in_fields) + ", __loc long, __tot long"
+    pid_idx = [n for n, _ in in_fields].index(_PID)
+    ddl = ", ".join(f"{n} {t}" for n, t in in_fields) + ", __loc long"
+    totals = spark.sparkContext.accumulator({}, _PidTotalsParam())
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         running = 0
+        pid = None
         for batch in batches:
             if batch.num_rows == 0:
                 continue
+            if pid is None:
+                pid = batch.column(pid_idx)[0].as_py()
             v = (
                 batch.column(value_idx)
                 .to_numpy(zero_copy_only=False)
@@ -296,22 +330,19 @@ def prefix_sum_exclusive(
             np.cumsum(v[:-1], out=loc[1:])
             loc[1:] += running
             running += int(v.sum())
-            tot = np.full(len(v), running, dtype=np.int64)
             yield pa.RecordBatch.from_arrays(
-                list(batch.columns) + [pa.array(loc), pa.array(tot)],
-                schema=batch.schema.append(pa.field("__loc", pa.int64())).append(
-                    pa.field("__tot", pa.int64())
-                ),
+                list(batch.columns) + [pa.array(loc)],
+                schema=batch.schema.append(pa.field("__loc", pa.int64())),
             )
+        if pid is not None:
+            totals.add({int(pid): running})
 
     local = ranged.mapInArrow(fn, ddl).localCheckpoint()
-    # per-partition totals: max of the running total column, O(#parts) agg
-    last_rows = local.groupBy(_PID).agg(F.max("__tot").alias("__n")).collect()
-    offs = _offsets_df(spark, last_rows, "__n")
+    offs = _offsets_df(spark, totals.value)
     return (
         local.join(F.broadcast(offs), _PID)
         .withColumn(out_col, F.col("__loc") + F.col("__off"))
-        .drop(_PID, "__loc", "__tot", "__off")
+        .drop(_PID, "__loc", "__off")
     )
 
 

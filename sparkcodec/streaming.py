@@ -156,26 +156,37 @@ def encode_stream(
     snapshot log) when every part of the batch is durably checkpointed.
 
     Exactly-once composition: Spark's streaming checkpoint
-    (``checkpoint_dir``) makes batch replay the only failure mode, and a
-    replayed batch re-enters `encode_table(append=True, resume=True)`
-    whose part checkpoints make the re-run idempotent — parts already
-    written are skipped, the snapshot commits once. Readers see either
-    the previous snapshot or the complete new one (decode_table resolves
-    the snapshot log), never a torn batch.
+    (``checkpoint_dir``) makes batch replay the only failure mode. Every
+    committed snapshot carries a ``stream`` tag of (checkpoint dir,
+    batch_id), so a replayed batch whose snapshot already committed —
+    crash between sink success and the streaming offset commit — is a
+    no-op instead of re-encoding duplicate rows under a fresh part-id
+    base. A replay of a *partially* written batch re-enters
+    `encode_table(append=True, resume=True)` whose part checkpoints make
+    the re-run idempotent. Readers see either the previous snapshot or
+    the complete new one (decode_table resolves the snapshot log), never
+    a torn batch. The tag is scoped by checkpoint dir: a new query with a
+    fresh checkpoint restarts batch ids at 0 without colliding.
 
     Returns the StreamingQuery; callers own awaitTermination/stop.
     """
-    from .engine import encode_table
+    from .engine import encode_table, snapshots
+
+    ckpt_key = os.path.abspath(checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
+        tag = [ckpt_key, int(batch_id)]
+        if any(s.get("stream") == tag for s in snapshots(out_dir)):
+            return  # replay of a fully committed batch: exactly-once no-op
         encode_table(
             batch_df.sparkSession,
             batch_df,
             out_dir,
             append=True,
             resume=True,
+            snapshot_extra={"stream": tag},
             **encode_kwargs,
         )
 

@@ -833,3 +833,68 @@ def test_stream_after_expiry_delivers_all_rows(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 800
     assert got.agg(F.sum("id")).collect()[0][0] == sum(range(800))
+
+
+def test_append_to_legacy_table_roots_full_live_set(spark, tmp_path):
+    """append=True onto a pre-snapshot table (no _snapshots.jsonl): the
+    first committed snapshot must carry the legacy base parts too, or
+    snapshot-resolving readers silently drop every base-table row."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_table, encode_table, snapshot_parts
+
+    out = str(tmp_path / "legacy_append")
+    d1 = spark.range(200).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    d2 = spark.range(200, 260).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, d1, out, cluster_by=["g"], salt_by=["id"], num_parts=4,
+                 target_part_rows=60, resume=False)
+    _os.remove(_os.path.join(out, "_snapshots.jsonl"))  # simulate legacy table
+    encode_table(spark, d2, out, cluster_by=["g"], salt_by=["id"], num_parts=2,
+                 target_part_rows=60, append=True)
+    live = snapshot_parts(out)
+    dec = decode_table(spark, out)
+    assert dec.count() == 260, (live, dec.count())
+    assert dec.agg(F.sum("id")).collect()[0][0] == sum(range(260))
+
+
+def test_ds_write_to_legacy_table_roots_full_live_set(spark, tmp_path):
+    """df.write.format('sparkcodec') onto a pre-snapshot table: same
+    legacy-rooting rule as encode_table(append=True)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import decode_table, encode_table
+
+    out = str(tmp_path / "legacy_ds_write")
+    d1 = spark.range(150).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    encode_table(spark, d1, out, cluster_by=["id"], salt_by=["v"], num_parts=3,
+                 target_part_rows=60, resume=False)
+    _os.remove(_os.path.join(out, "_snapshots.jsonl"))  # simulate legacy table
+    spark.dataSource.register(SparkcodecDataSource)
+    d2 = spark.range(150, 180).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    d2.repartition(2).write.format("sparkcodec").mode("append").save(out)
+    dec = decode_table(spark, out)
+    assert dec.count() == 180
+    assert dec.agg(F.sum("id")).collect()[0][0] == sum(range(180))
+
+
+def test_block_prune_type_mismatch_is_conservative(spark, tmp_path):
+    """A where-bound whose type mismatches the column's stats must keep
+    the block (conservative), not raise TypeError inside executor tasks —
+    the same guard prune_parts applies at part level."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_table, encode_table
+
+    out = str(tmp_path / "typeguard")
+    df = spark.range(500).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    encode_table(spark, df, out, cluster_by=["v"], salt_by=["id"], num_parts=3,
+                 target_part_rows=100, resume=False, block_rows=64)
+    # string bound on an int column: parts survive conservatively and the
+    # block-level pass must not blow up in the tasks
+    dec = decode_table(spark, out, where=("id", "100", "200"))
+    assert dec.count() == 500

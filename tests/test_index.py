@@ -96,3 +96,32 @@ def test_edge_ranges_plan_has_no_global_window(spark):
     )
     plan = edge_ranges(df, "node", ["ord"])._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_prefix_sum_negative_values(spark):
+    """Per-partition totals come from the kernel's actual running sum, so
+    negative values (non-monotone running totals) produce correct exclusive
+    prefix sums — the max-of-running-total shortcut would not."""
+    vals = [5, -3, 7, -10, 2, 4, -1, 6, -8, 9, 0, -2]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    ).repartition(4)
+    out = prefix_sum_exclusive(df, ["k"], "v", "off")
+    got = {r["k"]: r["off"] for r in out.collect()}
+    acc = 0
+    for i, v in enumerate(vals):
+        assert got[i] == acc, (i, got[i], acc)
+        acc += v
+
+
+def test_prefix_sum_exclusive_matches_window(spark):
+    """Cross-check against the single-task window on a larger input."""
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("v")
+    )
+    out = prefix_sum_exclusive(df, ["k"], "v", "off")
+    got = {r["k"]: r["off"] for r in out.collect()}
+    acc = 0
+    for k in range(5000):
+        assert got[k] == acc
+        acc += k % 7 + 1

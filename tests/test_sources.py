@@ -340,3 +340,55 @@ def test_encode_stream_appends_snapshots(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert len(snapshots(out)) == 3
+
+
+def test_encode_stream_replay_of_committed_batch_is_noop(spark, tmp_path):
+    """Crash window between sink success and the streaming offset commit:
+    Spark replays the batch on restart. The snapshot's (checkpoint,
+    batch_id) tag makes the replay a no-op — no duplicate rows, no
+    duplicate snapshot, no duplicate changefeed entries."""
+    import os
+    import pandas as pd
+
+    from sparkcodec.engine import decode_table, snapshots
+    from sparkcodec.streaming import encode_stream
+
+    src = str(tmp_path / "rp_src")
+    os.makedirs(src)
+    for i in range(3):
+        pd.DataFrame({"k": range(i * 50, (i + 1) * 50)}).to_parquet(f"{src}/f{i}.parquet")
+    out = str(tmp_path / "rp_enc")
+    ckpt = str(tmp_path / "rp_ckpt")
+    stream = (
+        spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    kw = dict(cluster_by=["k"], salt_by=None, sort_by=["k"], num_parts=1,
+              target_part_rows=50)
+    q = encode_stream(stream, out, ckpt, trigger_once=True, **kw)
+    q.awaitTermination(120)
+    q.stop()
+    assert len(snapshots(out)) == 3
+    # simulate the crash: the sink ran (snapshot committed) but the
+    # streaming offset commit was lost -> Spark will replay the batch
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # hadoop checksum twin; a real crash loses both
+    # the stopped query deregisters its checkpoint lock asynchronously
+    import time as _time
+
+    for _ in range(50):
+        if not spark.streams.active:
+            break
+        _time.sleep(0.2)
+    q2 = encode_stream(stream, out, ckpt, trigger_once=True, **kw)
+    q2.awaitTermination(120)
+    q2.stop()
+    snaps = snapshots(out)
+    assert len(snaps) == 3, [s.get("stream") for s in snaps]
+    dec = decode_table(spark, out)
+    assert dec.count() == 150
+    assert dec.agg({"k": "max"}).collect()[0][0] == 149

@@ -125,11 +125,19 @@ def _part_file(out_dir: str, col: str, part_id: int) -> str:
 
 
 def _atomic_write_blocks(path: str, rows: list[dict]) -> int:
-    """Write one (column, part) blocks file via tmp+rename; returns bytes."""
+    """Write one (column, part) blocks file via tmp+rename; returns bytes.
+
+    One parquet ROW GROUP per block row: readers can then fetch exactly
+    the blocks that survive zone-map pruning (`read_row_groups`), so
+    block-level pruning skips disk bytes — the Spark-storage analog of
+    the reference's directory-seek reads (touch_reader.cpp:147-219).
+    Metadata overhead is a few hundred bytes per block against multi-MB
+    payloads."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     table = pa.Table.from_pylist(rows, schema=BLOCKS_ARROW_SCHEMA)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    pq.write_table(table, tmp, compression="none")  # payloads are pre-compressed
+    # payloads are pre-compressed by the codecs
+    pq.write_table(table, tmp, compression="none", row_group_size=1)
     size = os.path.getsize(tmp)
     os.replace(tmp, path)
     return size
@@ -781,37 +789,98 @@ def _keep_row_ranges(out_dir: str, pid: int, where: tuple):
     return ranges if pruned_any else None
 
 
+# per-process I/O accounting for the pruned-decode path (tests assert that
+# block pruning skips BYTES, not just decode calls; workers each keep their
+# own counters — read them only when calling the decode helpers in-process)
+_IO_COUNTERS = {"rg_read": 0, "rg_total": 0, "bytes_read": 0, "bytes_total": 0}
+
+
+def _reset_io_counters():
+    for k in _IO_COUNTERS:
+        _IO_COUNTERS[k] = 0
+
+
 def _decode_column_ranges(out_dir, col, pid, target, ranges):
     """Decode only the blocks of one column overlapping the kept row
     ranges, slicing each to the exact intersection. All columns of a part
     share one row order, so identical ranges keep columns aligned even
-    when their block grids diverge."""
-    t = pq.read_table(_part_file(out_dir, col, pid)).sort_by("block_id")
-    n_rows = [t.column("n_rows")[b].as_py() for b in range(t.num_rows)]
+    when their block grids diverge.
+
+    Blocks map 1:1 to parquet row groups (`_atomic_write_blocks`), so
+    only the surviving blocks' payload bytes are read from disk
+    (`read_row_groups`); files written before the one-row-group-per-block
+    layout fall back to a whole-file read (decode is still skipped for
+    pruned blocks — CPU savings only)."""
+    path = _part_file(out_dir, col, pid)
+    pf = pq.ParquetFile(path)
+    idx = pf.read(columns=["block_id", "n_rows"])
+    blk = idx.column("block_id").to_pylist()
+    nrs = idx.column("n_rows").to_pylist()
+    order = sorted(range(len(blk)), key=lambda i: blk[i])  # file row -> block order
     starts = [0]
-    for n in n_rows:
-        starts.append(starts[-1] + n)
+    for bi in order:
+        starts.append(starts[-1] + nrs[bi])
     import bisect
+
+    n_blocks = len(order)
+    needed: list[int] = []  # block-order indices, ascending
+    for a, bnd in ranges:
+        first = bisect.bisect_right(starts, a) - 1
+        for b in range(first, n_blocks):
+            if starts[b] >= bnd:
+                break
+            if not needed or needed[-1] != b:
+                needed.append(b)
+    needed = sorted(set(needed))
+
+    one_rg_per_block = pf.metadata.num_row_groups == len(blk)
+    _IO_COUNTERS["rg_total"] += len(blk)
+    _IO_COUNTERS["bytes_total"] += sum(
+        pf.metadata.row_group(g).total_byte_size
+        for g in range(pf.metadata.num_row_groups)
+    )
+    if one_rg_per_block:
+        rgs = sorted(order[b] for b in needed)  # file-row == row-group index
+        t = (
+            pf.read_row_groups(rgs, columns=["block_id", "meta", "payload"])
+            if rgs
+            else None
+        )
+        _IO_COUNTERS["rg_read"] += len(rgs)
+        _IO_COUNTERS["bytes_read"] += sum(
+            pf.metadata.row_group(g).total_byte_size for g in rgs
+        )
+    else:  # legacy single-row-group file
+        t = pf.read(columns=["block_id", "meta", "payload"])
+        _IO_COUNTERS["rg_read"] += pf.metadata.num_row_groups
+        _IO_COUNTERS["bytes_read"] += sum(
+            pf.metadata.row_group(g).total_byte_size
+            for g in range(pf.metadata.num_row_groups)
+        )
+    by_block: dict[int, int] = (
+        {t.column("block_id")[r].as_py(): r for r in range(t.num_rows)} if t is not None else {}
+    )
 
     cache: dict[int, pa.Array] = {}
     pieces = []
     for a, bnd in ranges:
         first = bisect.bisect_right(starts, a) - 1
-        for bi in range(first, t.num_rows):
-            if starts[bi] >= bnd:
+        for b in range(first, n_blocks):
+            if starts[b] >= bnd:
                 break
-            if bi not in cache:
-                cache[bi] = _to_output_type(
+            if b not in cache:
+                r = by_block[blk[order[b]]]
+                cache[b] = _to_output_type(
                     decode_array(
-                        t.column("payload")[bi].as_py(),
-                        json.loads(t.column("meta")[bi].as_py()),
+                        t.column("payload")[r].as_py(),
+                        json.loads(t.column("meta")[r].as_py()),
                     ),
                     target,
                 )
-            s = max(a, starts[bi])
-            e = min(bnd, starts[bi + 1])
+            s = max(a, starts[b])
+            e = min(bnd, starts[b + 1])
             if e > s:
-                pieces.append(cache[bi].slice(s - starts[bi], e - s))
+                pieces.append(cache[b].slice(s - starts[b], e - s))
     return pa.chunked_array(pieces, type=target) if pieces else pa.chunked_array(
         [pa.array([], type=target)], type=target
     )

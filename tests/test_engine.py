@@ -898,3 +898,77 @@ def test_block_prune_type_mismatch_is_conservative(spark, tmp_path):
     # block-level pass must not blow up in the tasks
     dec = decode_table(spark, out, where=("id", "100", "200"))
     assert dec.count() == 500
+
+
+def test_block_pruning_skips_bytes_not_just_decode(spark, tmp_path):
+    """Blocks map 1:1 to parquet row groups, so block-level zone-map
+    pruning must skip payload BYTES (read_row_groups), not merely decode
+    calls — the analog of parquet row-group pruning / the reference's
+    directory-seek reads."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        _IO_COUNTERS,
+        _decode_column_ranges,
+        _keep_row_ranges,
+        _reset_io_counters,
+        completed_parts,
+        decode_table,
+        encode_table,
+    )
+
+    out = str(tmp_path / "rgprune")
+    # one part, sorted ids, small blocks -> many blocks with disjoint
+    # [min, max] zone maps
+    df = spark.range(4000).select(
+        F.col("id"), F.concat(F.lit("text-"), F.col("id")).alias("txt")
+    )
+    encode_table(spark, df, out, cluster_by=None, salt_by=["id"], sort_by=["id"],
+                 num_parts=1, resume=False, block_rows=256)
+    [pid] = completed_parts(out)
+    where = ("id", 1000, 1100)
+    ranges = _keep_row_ranges(out, pid, where)
+    assert ranges, "expected some blocks pruned, some kept"
+    _reset_io_counters()
+    import pyarrow as _pa
+
+    arr = _decode_column_ranges(out, "id", pid, _pa.int64(), ranges)
+    got = sorted(arr.to_pylist())
+    assert set(range(1000, 1101)) <= set(got)
+    assert _IO_COUNTERS["rg_total"] >= 10
+    assert _IO_COUNTERS["rg_read"] < _IO_COUNTERS["rg_total"] / 2, _IO_COUNTERS
+    assert _IO_COUNTERS["bytes_read"] < _IO_COUNTERS["bytes_total"] / 2, _IO_COUNTERS
+    # end-to-end: the pruned decode still returns exact results
+    dec = decode_table(spark, out, where=where).filter(F.col("id").between(1000, 1100))
+    assert dec.count() == 101
+
+
+def test_decode_legacy_single_rowgroup_files(spark, tmp_path):
+    """Files written before the one-row-group-per-block layout (all block
+    rows in one row group) still decode correctly through the pruned
+    path (whole-file fallback)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_table, encode_table
+
+    out = str(tmp_path / "legacyrg")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    encode_table(spark, df, out, cluster_by=None, salt_by=["id"], sort_by=["id"],
+                 num_parts=1, resume=False, block_rows=256)
+    # rewrite every blocks file as ONE row group (the legacy layout)
+    import glob as _glob
+    import os as _os
+
+    for f in _glob.glob(_os.path.join(out, "blocks", "col=*", "part_*.parquet")):
+        t = _pq.read_table(f)
+        _pq.write_table(t, f, compression="none")
+    dec = decode_table(spark, out, where=("id", 100, 300)).filter(
+        F.col("id").between(100, 300)
+    )
+    assert dec.count() == 201
+    assert decode_table(spark, out).count() == 2000

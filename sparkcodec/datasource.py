@@ -40,6 +40,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
@@ -50,6 +52,22 @@ from pyspark.sql.datasource import (
 def _load_meta(path: str) -> dict:
     with open(os.path.join(path, "_table_meta.json")) as fh:
         return json.load(fh)
+
+
+def _default_tasks() -> int:
+    """Scan parallelism when no ``tasks`` option is given: 4 tasks per
+    core of the ACTIVE session (planning runs driver-side, so the session
+    is normally reachable); ``os.cpu_count`` only as the last resort —
+    a driver-core count is a poor proxy for cluster parallelism."""
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            return 4 * s.sparkContext.defaultParallelism
+    except Exception:
+        pass
+    return 4 * (os.cpu_count() or 8)
 
 
 def _intersect_ranges(a, b):
@@ -78,6 +96,7 @@ class SparkcodecReader(DataSourceReader):
         self.n_tasks = int(options.get("tasks", 0)) or None
         self.columns = [f.name for f in schema.fields]
         self.bounds: dict[str, list] = {}  # col -> [lo, hi] (None = open)
+        self.nulls: dict[str, set] = {}  # col -> {"isnull" | "notnull"}
 
     def pushFilters(self, filters):
         for f in filters:
@@ -85,7 +104,11 @@ class SparkcodecReader(DataSourceReader):
             if col is None:
                 continue
             val = getattr(f, "value", None)
-            if isinstance(f, In):
+            if isinstance(f, IsNotNull):
+                self.nulls.setdefault(col, set()).add("notnull")
+            elif isinstance(f, IsNull):
+                self.nulls.setdefault(col, set()).add("isnull")
+            elif isinstance(f, In):
                 vs = [v for v in getattr(f, "values", ()) if v is not None]
                 if vs and all(isinstance(v, type(vs[0])) for v in vs):
                     self._narrow(col, min(vs), max(vs))
@@ -117,8 +140,10 @@ class SparkcodecReader(DataSourceReader):
     def partitions(self):
         from .engine import (
             completed_parts,
+            part_null_stats,
             part_stats,
             prune_parts,
+            prune_parts_nulls,
             snapshot_parts,
         )
 
@@ -129,9 +154,14 @@ class SparkcodecReader(DataSourceReader):
             stats = part_stats(self.out_dir)  # one metadata read for all columns
             for col, (lo, hi) in self.bounds.items():
                 parts = prune_parts(self.out_dir, (col, lo, hi), parts, stats=stats)
+        if self.nulls:
+            nstats = part_null_stats(self.out_dir)
+            for col, kinds in self.nulls.items():
+                for kind in kinds:
+                    parts = prune_parts_nulls(self.out_dir, col, kind, parts, nstats)
         if not parts:
             return [InputPartition([])]
-        n_tasks = self.n_tasks or min(len(parts), 4 * (os.cpu_count() or 8))
+        n_tasks = self.n_tasks or min(len(parts), _default_tasks())
         size = -(-len(parts) // n_tasks)
         return [InputPartition(parts[i : i + size]) for i in range(0, len(parts), size)]
 
@@ -143,6 +173,7 @@ class SparkcodecReader(DataSourceReader):
             _decode_column_ranges,
             _decode_part_batches,
             _keep_row_ranges,
+            _keep_row_ranges_nulls,
         )
 
         meta = _load_meta(self.out_dir)
@@ -157,6 +188,12 @@ class SparkcodecReader(DataSourceReader):
                 if r is not None:
                     pruned = True
                     ranges = r if ranges is None else _intersect_ranges(ranges, r)
+            for col, kinds in self.nulls.items():
+                for kind in kinds:
+                    r = _keep_row_ranges_nulls(self.out_dir, pid, col, kind)
+                    if r is not None:
+                        pruned = True
+                        ranges = r if ranges is None else _intersect_ranges(ranges, r)
             if pruned and not ranges:
                 continue
             if not pruned:
@@ -211,7 +248,7 @@ class SparkcodecStreamReader(DataSourceStreamReader):
         ]
         if not parts:
             return [InputPartition([])]
-        n_tasks = min(len(parts), 4 * (os.cpu_count() or 8))
+        n_tasks = min(len(parts), _default_tasks())
         size = -(-len(parts) // n_tasks)
         return [InputPartition(parts[i : i + size]) for i in range(0, len(parts), size)]
 
@@ -355,7 +392,13 @@ class SparkcodecDataSource(DataSource):
     .mode("append").save(out_dir)`` for exchange-free appends.
     Reading requires ``spark.sql.python.filterPushdown.enabled=true``
     (on by default in ``sparkcodec.session.get_spark``) because the
-    reader implements filter pushdown."""
+    reader implements filter pushdown.
+
+    Column pruning: the Python DataSource API pushes filters but not
+    projections, so a bare ``.load(dir).select("lang")`` still decodes
+    every column. Pass ``.option("columns", "lang,doc_id")`` to restrict
+    the scan — only the named columns' block files are opened (file-level
+    pruning, same as ``decode_table(columns=...)``)."""
 
     @classmethod
     def name(cls):
@@ -365,9 +408,18 @@ class SparkcodecDataSource(DataSource):
         from .engine import _SPARK_TYPE_OF
 
         meta = _load_meta(self.options.get("path"))
-        return ", ".join(
-            f"`{c}` {_SPARK_TYPE_OF[meta['schema'][c]]}" for c in meta["columns"]
-        )
+        cols = meta["columns"]
+        sel = self.options.get("columns")
+        if sel:
+            want = [c.strip() for c in sel.split(",") if c.strip()]
+            unknown = sorted(set(want) - set(cols))
+            if unknown:
+                raise ValueError(
+                    f"columns option names unknown columns {unknown}; "
+                    f"table has {cols}"
+                )
+            cols = [c for c in cols if c in want]  # keep table order
+        return ", ".join(f"`{c}` {_SPARK_TYPE_OF[meta['schema'][c]]}" for c in cols)
 
     def reader(self, schema):
         return SparkcodecReader(self.options, schema)

@@ -169,11 +169,13 @@ def _encode_one_part(
     n_blocks = 0
     sym_sha = {}
     col_stats: dict[str, list] = {}
+    col_nulls: dict[str, int] = {}
     for col in data_cols:
         arr = table.column(col).combine_chunks()
         st = _part_col_stats(arr)
         if st is not None:
             col_stats[col] = st
+        col_nulls[col] = int(arr.null_count)
         if select_cache is not None and col in select_cache:
             spec, fsst_table = select_cache[col]
         else:
@@ -196,6 +198,7 @@ def _encode_one_part(
             bmm = _part_col_stats(sl)
             if bmm is not None:
                 meta["mm"] = bmm  # block zone map: [min, max]
+            meta["nc"] = sl.null_count  # null count (IS [NOT] NULL pruning)
             rows_out.append(
                 {
                     "col": col,
@@ -225,6 +228,7 @@ def _encode_one_part(
         "n_rows": n,
         "codecs": specs,
         "stats": col_stats,  # zone maps: [min, max] per prunable column
+        "nulls": col_nulls,  # per-column null counts (every column)
         "symbol_tables": sym_sha,
         "raw_bytes": part_raw,
         "enc_bytes": part_enc,
@@ -400,6 +404,77 @@ def prune_parts(
                 pass  # bound/stat type mismatch: keep (conservative)
         keep.append(p)
     return keep
+
+
+def part_null_stats(out_dir: str) -> dict[int, dict]:
+    """{part_id: {"n_rows": n, "nulls": {col: null_count}}} from the
+    checkpoint lineage — one O(#parts) metadata read. Tables written
+    before null accounting have an empty "nulls" dict (never pruned)."""
+    import pyarrow.dataset as ds
+
+    d = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
+    if not os.path.isdir(d):
+        return {}
+    tbl = ds.dataset(d, format="parquet").to_table(columns=["part_id", "n_rows", "meta"])
+    out = {}
+    for pid, n, meta in zip(
+        tbl.column("part_id").to_pylist(),
+        tbl.column("n_rows").to_pylist(),
+        tbl.column("meta").to_pylist(),
+    ):
+        out[int(pid)] = {"n_rows": int(n), "nulls": json.loads(meta).get("nulls") or {}}
+    return out
+
+
+def prune_parts_nulls(
+    out_dir: str, col: str, kind: str, parts: list[int], nstats: dict | None = None
+) -> list[int]:
+    """Null-aware part pruning: ``kind='notnull'`` drops all-null parts,
+    ``kind='isnull'`` drops null-free parts. Parts without null
+    accounting (legacy lineage) are kept — conservative, like the
+    [min, max] zone maps."""
+    if kind not in ("isnull", "notnull"):
+        raise ValueError(f"kind must be 'isnull' or 'notnull', got {kind!r}")
+    if nstats is None:
+        nstats = part_null_stats(out_dir)
+    keep = []
+    for p in parts:
+        st = nstats.get(p)
+        if st is not None and col in st["nulls"]:
+            nc, n = st["nulls"][col], st["n_rows"]
+            if kind == "notnull" and n > 0 and nc == n:
+                continue  # every row null: IS NOT NULL matches nothing
+            if kind == "isnull" and nc == 0 and n > 0:
+                continue  # no nulls at all: IS NULL matches nothing
+        keep.append(p)
+    return keep
+
+
+def _keep_row_ranges_nulls(out_dir: str, pid: int, col: str, kind: str):
+    """Block-level twin of :func:`prune_parts_nulls`: row ranges of one
+    part whose blocks can satisfy the null predicate, from the per-block
+    ``nc`` meta (payloads never read). None = nothing pruned."""
+    t = pq.read_table(
+        _part_file(out_dir, col, pid), columns=["block_id", "n_rows", "meta"]
+    ).sort_by("block_id")
+    ranges: list[list[int]] = []
+    off = 0
+    pruned_any = False
+    for b in range(t.num_rows):
+        n = t.column("n_rows")[b].as_py()
+        nc = json.loads(t.column("meta")[b].as_py()).get("nc")
+        keep = True
+        if nc is not None and n:
+            if (kind == "notnull" and nc == n) or (kind == "isnull" and nc == 0):
+                keep = False
+                pruned_any = True
+        if keep and n:
+            if ranges and ranges[-1][1] == off:
+                ranges[-1][1] = off + n
+            else:
+                ranges.append([off, off + n])
+        off += n
+    return ranges if pruned_any else None
 
 
 def completed_parts(out_dir: str) -> set[int]:

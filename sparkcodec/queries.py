@@ -1384,3 +1384,64 @@ FROM documents WHERE lang = 'de' GROUP BY lang
 
 QUERIES["pruned_decode"] = q_pruned_decode
 ORACLES["pruned_decode"] = SQL_PRUNED_DECODE
+
+
+def q_datasource_pruned_read(spark, sf_dir):
+    """The plain-Spark read surface end-to-end: encode documents
+    clustered by lang, read back via ``spark.read.format("sparkcodec")``
+    with a column projection (``columns`` option — only the named
+    columns' block files are opened) and a Catalyst filter whose pushed
+    bounds drive zone-map part/block pruning, then aggregate. The oracle
+    aggregates the filtered source parquet directly, so any pruning
+    wrongness (dropped matching blocks) or decode corruption breaks the
+    match."""
+    from .datasource import SparkcodecDataSource
+    from .engine import encode_table
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sparkcodec_dsread_{abs(hash(sf_dir)) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark, d, out,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=8, resume=False,
+    )
+    try:
+        spark.dataSource.register(SparkcodecDataSource)
+    except Exception:
+        pass  # already registered in this session
+    try:
+        # dynamic conf; needed for pushFilters to be consulted (pruning
+        # only — results are exact either way, Spark re-applies filters)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    ds = (
+        spark.read.format("sparkcodec")
+        .option("columns", "doc_id,lang,n_chars")
+        .load(out)
+    )
+    return (
+        ds.filter(F.col("lang") == "de")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SQL_DATASOURCE_PRUNED_READ = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       max(doc_id) AS max_doc_id
+FROM documents WHERE lang = 'de' GROUP BY lang
+"""
+
+QUERIES["datasource_pruned_read"] = q_datasource_pruned_read
+ORACLES["datasource_pruned_read"] = SQL_DATASOURCE_PRUNED_READ

@@ -392,3 +392,112 @@ def test_encode_stream_replay_of_committed_batch_is_noop(spark, tmp_path):
     dec = decode_table(spark, out)
     assert dec.count() == 150
     assert dec.agg({"k": "max"}).collect()[0][0] == 149
+
+
+def _encode_docs(spark, sf_dir, out, **kw):
+    from sparkcodec.engine import encode_table
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw.setdefault("cluster_by", ["lang"])
+    kw.setdefault("salt_by", ["doc_id"])
+    kw.setdefault("sort_by", ["lang", "doc_id"])
+    kw.setdefault("num_parts", 4)
+    encode_table(spark, df, out, resume=False, **kw)
+    return df
+
+
+def test_datasource_columns_option_prunes_files(spark, tmp_path):
+    """.option('columns', ...) restricts the scan to the named columns'
+    block files: the other columns' files are never opened (proved by
+    corrupting them), and the pruned schema round-trips correct values."""
+    import glob
+    import os
+
+    from sparkcodec.datasource import SparkcodecDataSource
+
+    out = str(tmp_path / "dscols")
+    df = _encode_docs(spark, "/root/testdata/sf0.001", out)
+    spark.dataSource.register(SparkcodecDataSource)
+    # corrupt every non-selected column's block files
+    for col in ("text", "source", "n_chars"):
+        for f in glob.glob(os.path.join(out, "blocks", f"col={col}", "*.parquet")):
+            with open(f, "wb") as fh:
+                fh.write(b"garbage")
+    got = (
+        spark.read.format("sparkcodec")
+        .option("columns", "lang,doc_id")
+        .load(out)
+    )
+    assert got.columns == ["doc_id", "lang"] or got.columns == ["lang", "doc_id"]
+    assert got.count() == df.count()
+    assert got.agg({"doc_id": "max"}).collect()[0][0] == \
+        df.agg({"doc_id": "max"}).collect()[0][0]
+    # unknown column name is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown columns"):
+        spark.read.format("sparkcodec").option("columns", "nope").load(out).count()
+
+
+def test_datasource_null_pushdown_prunes(spark, tmp_path):
+    """IS NULL / IS NOT NULL prune parts (lineage null counts) and blocks
+    (per-block nc meta); results stay exact."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import (
+        completed_parts,
+        encode_table,
+        part_null_stats,
+        prune_parts_nulls,
+    )
+
+    out = str(tmp_path / "dsnulls")
+    # cluster by g: g=0 rows have v NULL, others never -> some all-null
+    # parts, some null-free parts
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("g"),
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"], sort_by=["g", "id"],
+                 num_parts=8, target_part_rows=300, resume=False)
+    parts = sorted(completed_parts(out))
+    nstats = part_null_stats(out)
+    kept_notnull = prune_parts_nulls(out, "v", "notnull", parts, nstats)
+    kept_isnull = prune_parts_nulls(out, "v", "isnull", parts, nstats)
+    assert len(kept_notnull) < len(parts), "all-null parts should be pruned"
+    assert len(kept_isnull) < len(parts), "null-free parts should be pruned"
+    spark.dataSource.register(SparkcodecDataSource)
+    ds = spark.read.format("sparkcodec").load(out)
+    assert ds.filter(F.col("v").isNotNull()).count() == 1500
+    assert ds.filter(F.col("v").isNull()).count() == 500
+    assert ds.filter(F.col("v").isNull()).agg({"id": "max"}).collect()[0][0] == 1996
+
+
+def test_datasource_tasks_follow_session_parallelism(spark, tmp_path):
+    """Default DS scan parallelism derives from the active session's
+    defaultParallelism, not the machine's cpu count."""
+    from pyspark.sql.types import StructType
+
+    from sparkcodec.datasource import SparkcodecReader, _default_tasks
+
+    out = str(tmp_path / "dstasks")
+    _encode_docs(spark, "/root/testdata/sf0.001", out, num_parts=6)
+    assert _default_tasks() == 4 * spark.sparkContext.defaultParallelism
+    ds_schema = spark.read.format("sparkcodec").load(out).schema \
+        if False else None
+    # direct reader instantiation (planning runs driver-side like this)
+    from sparkcodec.engine import _SPARK_TYPE_OF, completed_parts
+    import json
+
+    with open(f"{out}/_table_meta.json") as fh:
+        meta = json.load(fh)
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(
+        ", ".join(f"`{c}` {_SPARK_TYPE_OF[meta['schema'][c]]}" for c in meta["columns"])
+    )
+    r = SparkcodecReader({"path": out}, schema)
+    n_parts = len(completed_parts(out))
+    assert len(r.partitions()) == min(n_parts, 4 * spark.sparkContext.defaultParallelism)

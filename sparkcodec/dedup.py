@@ -34,14 +34,30 @@ def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     return df.join(keep, on=key_col, how="left_semi")
 
 
-def _shingles(df: DataFrame, text_col: str, key_col: str, k: int) -> DataFrame:
+# shingle memory bound: the k-gram transform materializes ALL of a doc's
+# shingles as ONE in-row array before explode, so a 100 MB document would
+# become a ~GB single row in the JVM. Near-dup signals saturate long
+# before this length (minhashes over the first 64 KiB identify the same
+# near-duplicates; a doc pair differing only beyond it is >99.99%
+# identical in the prefix too), so shingling reads a capped prefix.
+SHINGLE_MAX_CHARS = 65536
+
+
+def _shingles(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    k: int,
+    max_chars: int = SHINGLE_MAX_CHARS,
+) -> DataFrame:
+    txt = F.col(text_col).substr(F.lit(1), F.lit(max_chars))
     return df.select(
         F.col(key_col).alias("key"),
         F.explode_outer(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
-                    lambda i: F.col(text_col).substr(i, F.lit(k)),
+                    F.sequence(F.lit(1), F.greatest(F.length(txt) - (k - 1), F.lit(1))),
+                    lambda i: txt.substr(i, F.lit(k)),
                 )
             )
         ).alias("shingle"),

@@ -516,6 +516,17 @@ FROM lineitem GROUP BY l_returnflag
 _MH_HASHES = 8  # portable-oracle demo curve: 2 bands of 4
 _MH_BANDS = 2
 
+# shingle memory bound (mirrors dedup.SHINGLE_MAX_CHARS): the k-gram
+# transform builds one in-row array of all shingles before explode, so
+# shingling reads a capped prefix — near-dup signals saturate long before
+# 64 KiB. BOTH sides cap identically (Spark substring / SQL substr), so
+# the oracles stay value-exact at any document length.
+_SH_CAP = 65536
+
+
+def _capped_text(d):
+    return d.select("doc_id", F.substring("text", 1, _SH_CAP).alias("text"))
+
 
 def _portable_hash(col, seed: int):
     """63-bit integer hash both engines compute identically:
@@ -531,7 +542,7 @@ def q_minhash_buckets(spark, sf_dir):
     """MinHash+LSH near-dup candidates: distinct 5-gram shingles → 8
     minhashes → 2 bands → bucket join, with portable sha256-derived
     hashes so DuckDB computes the exact same buckets (full oracle)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _capped_text(_t(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id",
         F.explode(
@@ -583,7 +594,7 @@ grams AS (
   SELECT DISTINCT doc_id, substr(text, i, {k}) AS shingle
   FROM (SELECT doc_id, text,
                unnest(range(1, greatest(length(text) - {k - 1}, 1) + 1)) AS i
-        FROM documents) src
+        FROM (SELECT doc_id, substr(text, 1, {_SH_CAP}) AS text FROM documents)) src
   WHERE length(substr(text, i, {k})) = {k}
 )"""
 
@@ -751,10 +762,8 @@ def q_winnow_fingerprints(spark, sf_dir):
     hash gives a full DuckDB oracle. At 10^12 scale fingerprints feed
     the same bucket-join choreography as the MinHash bands."""
     K, W = _WIN_K, _WIN_W
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.length("text") >= K + W - 1)
+    d = _capped_text(_t(spark, sf_dir, "documents")).filter(
+        F.length("text") >= K + W - 1
     )
     grams = F.transform(
         F.sequence(F.lit(1), F.length("text") - (K - 1)),
@@ -772,11 +781,13 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 SQL_WINNOW_FINGERPRINTS = f"""
-WITH hs AS (
+WITH capped AS (
+  SELECT doc_id, substr(text, 1, {_SH_CAP}) AS text FROM documents
+), hs AS (
   SELECT doc_id,
          [('0x' || substr(sha256(substr(text, i, {_WIN_K}) || '#977'), 1, 15))::BIGINT
           FOR i IN range(1, length(text) - {_WIN_K} + 2)] AS hs
-  FROM documents WHERE length(text) >= {_WIN_K + _WIN_W - 1}
+  FROM capped WHERE length(text) >= {_WIN_K + _WIN_W - 1}
 ), fps AS (
   SELECT doc_id,
          unnest([list_min(hs[p:p + {_WIN_W - 1}])
@@ -833,7 +844,7 @@ def q_ngram_jaccard_candidates(spark, sf_dir):
     """Character-3-gram Jaccard near-dup candidates (>= 0.9) over the
     documents table: explode distinct shingles, equi-join on shingle,
     jaccard = |shared| / (|a| + |b| - |shared|)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _capped_text(_t(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id",
         F.explode_outer(
@@ -866,12 +877,12 @@ def q_ngram_jaccard_candidates(spark, sf_dir):
     return out
 
 
-SQL_NGRAM_JACCARD_CANDIDATES = """
+SQL_NGRAM_JACCARD_CANDIDATES = f"""
 WITH grams AS (
   SELECT DISTINCT doc_id, substr(text, i, 3) AS g
   FROM (SELECT doc_id, text,
                unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
-        FROM documents) src
+        FROM (SELECT doc_id, substr(text, 1, {_SH_CAP}) AS text FROM documents)) src
   WHERE length(substr(text, i, 3)) = 3
 ), sizes AS (
   SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
@@ -1130,12 +1141,12 @@ def q_near_dedup_stats(spark, sf_dir):
     ).withColumn("n_removed", F.col("n_before") - F.col("n_after"))
 
 
-SQL_NEAR_DEDUP_STATS = """
+SQL_NEAR_DEDUP_STATS = f"""
 WITH RECURSIVE grams AS (
   SELECT DISTINCT doc_id, substr(text, i, 9) AS g
   FROM (SELECT doc_id, text,
                unnest(range(1, greatest(length(text) - 8, 1) + 1)) AS i
-        FROM documents) src
+        FROM (SELECT doc_id, substr(text, 1, {_SH_CAP}) AS text FROM documents)) src
   WHERE length(substr(text, i, 9)) = 9
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id

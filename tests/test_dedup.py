@@ -103,3 +103,24 @@ def test_minhash_cap_keeps_small_clusters(docs):
     capped = minhash_candidates(docs, "text", "doc_id", max_bucket=256)
     uncapped = minhash_candidates(docs, "text", "doc_id", max_bucket=None)
     assert {tuple(r) for r in capped.collect()} == {tuple(r) for r in uncapped.collect()}
+
+
+def test_shingles_bounded_on_huge_document(spark):
+    """A multi-MB document must not materialize an unbounded in-row
+    shingle array: shingling reads a capped prefix (SHINGLE_MAX_CHARS),
+    so the per-row array stays bounded regardless of document size."""
+    from sparkcodec.dedup import SHINGLE_MAX_CHARS, _shingles, minhash_candidates
+
+    big = "x y z " * 900_000  # ~5.4 MB
+    df = spark.createDataFrame(
+        [(1, big), (2, big[: len(big) // 2] + " tail"), (3, "tiny doc")],
+        "doc_id long, text string",
+    )
+    sh = _shingles(df, "text", "doc_id", 9)
+    per_doc = {r["key"]: r["n"] for r in
+               sh.groupBy("key").count().withColumnRenamed("count", "n").collect()}
+    # distinct shingles of a capped prefix can never exceed the cap
+    assert all(n <= SHINGLE_MAX_CHARS for n in per_doc.values()), per_doc
+    # the full candidate pipeline completes and still pairs the near-dups
+    pairs = minhash_candidates(df, "text", "doc_id").collect()
+    assert (1, 2) in {(r["key_a"], r["key_b"]) for r in pairs}

@@ -214,6 +214,24 @@ _ORDER = [f.split(" ")[0] for f in RECORD_SPARK_SCHEMA.split(", ")]
 _SLICE_SCHEMA = "path string, version int, arch int, byte_offset long, n_records long"
 
 
+def _plan_file_slices(p: str, rows_per_slice: int) -> list[tuple]:
+    """Slices of one record file from its sidecar (shared by the driver
+    and distributed planners)."""
+    with open(sidecar_path(p), "rb") as fh:
+        arch, _vs, version, _entries = parse_sidecar(fh.read())
+    itemsize = VERSIONS[version].itemsize
+    count = os.path.getsize(p) // itemsize  # touch_reader.cpp:66-71
+    slices = []
+    off = 0
+    while off < count or (count == 0 and off == 0):
+        take = min(rows_per_slice, count - off)
+        slices.append((p, version, arch, off * itemsize, take))
+        off += max(take, 1)
+        if count == 0:
+            break
+    return slices
+
+
 def plan_slices(paths: list[str], rows_per_slice: int) -> list[tuple]:
     """Driver-side slice plan: each file becomes ceil(count/rows_per_slice)
     (path, version, arch, byte_offset, n_records) slices — the Spark twin
@@ -221,18 +239,34 @@ def plan_slices(paths: list[str], rows_per_slice: int) -> list[tuple]:
     110-115). Reads only the O(#files) sidecars, never record data."""
     slices = []
     for p in sorted(paths):
-        with open(sidecar_path(p), "rb") as fh:
-            arch, _vs, version, _entries = parse_sidecar(fh.read())
-        itemsize = VERSIONS[version].itemsize
-        count = os.path.getsize(p) // itemsize  # touch_reader.cpp:66-71
-        off = 0
-        while off < count or (count == 0 and off == 0):
-            take = min(rows_per_slice, count - off)
-            slices.append((p, version, arch, off * itemsize, take))
-            off += max(take, 1)
-            if count == 0:
-                break
+        slices.extend(_plan_file_slices(p, rows_per_slice))
     return slices
+
+
+# above this many files, sidecar reads move off the driver into a Spark
+# job: serial driver I/O over a million-file layout would take minutes,
+# while the planning job is embarrassingly parallel metadata reads
+DISTRIBUTED_PLAN_THRESHOLD = 256
+
+
+def plan_slices_df(spark, paths: list[str], rows_per_slice: int):
+    """Distributed slice planning: paths DataFrame -> per-task sidecar
+    reads -> slice rows, never touching the driver. The decode kernel
+    consumes the result directly, so the plan is also never collected."""
+    import pandas as _pd
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                rows.extend(_plan_file_slices(str(p), rows_per_slice))
+            yield _pd.DataFrame(
+                rows, columns=["path", "version", "arch", "byte_offset", "n_records"]
+            )
+
+    n = max(1, min(len(paths), 4 * spark.sparkContext.defaultParallelism))
+    pdf = spark.createDataFrame([(p,) for p in sorted(paths)], "path string")
+    return pdf.repartition(n).mapInPandas(kernel, _SLICE_SCHEMA)
 
 
 def _decode_slices_kernel(batches):
@@ -251,13 +285,20 @@ def _decode_slices_kernel(batches):
 
 def read_records(spark, path_glob: str, rows_per_slice: int = 1 << 20):
     """Distributed scan with sub-file splitting: sidecar-driven slice
-    plan (driver, O(#files)) -> slice DataFrame -> vectorized seek+decode
-    kernel. One huge record file fans out across many tasks instead of
-    becoming one (the round-1 scale gap)."""
+    plan -> slice DataFrame -> vectorized seek+decode kernel. One huge
+    record file fans out across many tasks instead of becoming one (the
+    round-1 scale gap). Small listings plan on the driver (O(#files)
+    sidecar reads); above DISTRIBUTED_PLAN_THRESHOLD files the plan
+    itself runs as a Spark job so a million-file layout never serializes
+    through driver I/O."""
     paths = [p for p in globmod.glob(path_glob) if not p.endswith(SIDECAR_SUFFIX)]
-    slices = plan_slices(paths, rows_per_slice)
-    n_tasks = max(1, min(len(slices), 4 * spark.sparkContext.defaultParallelism))
-    sl_df = spark.createDataFrame(slices, _SLICE_SCHEMA).repartition(n_tasks)
+    n_par = 4 * spark.sparkContext.defaultParallelism
+    if len(paths) > DISTRIBUTED_PLAN_THRESHOLD:
+        sl_df = plan_slices_df(spark, paths, rows_per_slice).repartition(n_par)
+    else:
+        slices = plan_slices(paths, rows_per_slice)
+        n_tasks = max(1, min(len(slices), n_par))
+        sl_df = spark.createDataFrame(slices, _SLICE_SCHEMA).repartition(n_tasks)
     return sl_df.mapInPandas(_decode_slices_kernel, RECORD_SPARK_SCHEMA)
 
 

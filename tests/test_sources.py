@@ -542,3 +542,36 @@ def test_v3_records_to_full_sonata(spark, tmp_path):
     # nulls surfaced for newer fields are fine; packed byte is absent ->
     # no unpack blow-up
     assert son1.count() == 100
+
+
+def test_distributed_slice_planning_many_files(spark, tmp_path):
+    """Above DISTRIBUTED_PLAN_THRESHOLD files, slice planning runs as a
+    Spark job (never serial driver I/O); results match the driver
+    planner and the scan reads every record."""
+    import os
+
+    from sparkcodec.binsource import (
+        plan_slices,
+        plan_slices_df,
+        read_records,
+        synthesize_records,
+        write_record_file,
+    )
+
+    d = str(tmp_path / "many")
+    os.makedirs(d)
+    n_files, rows_each = 300, 40
+    for i in range(n_files):
+        write_record_file(
+            os.path.join(d, f"r{i:04d}.bin"),
+            synthesize_records(rows_each, version=2, seed=i),
+            version_string="5.0",
+        )
+    paths = sorted(os.path.join(d, f"r{i:04d}.bin") for i in range(n_files))
+    want = sorted(plan_slices(paths, 16))
+    got = sorted(
+        tuple(r) for r in plan_slices_df(spark, paths, 16).collect()
+    )
+    assert got == want
+    df = read_records(spark, os.path.join(d, "*.bin"), rows_per_slice=16)
+    assert df.count() == n_files * rows_each

@@ -352,7 +352,13 @@ def csr_offsets(ranges: DataFrame) -> DataFrame:
     Distributed: one range shuffle by node_id feeds BOTH the per-node
     count (RangePartitioning satisfies the groupBy's clustering, so
     Catalyst adds no second exchange) and the exclusive prefix sum
-    (assume_ranged skips its shuffle). No global window anywhere."""
+    (assume_ranged skips its shuffle). No global window anywhere.
+
+    The input is flattened first (localCheckpoint): the range shuffle's
+    sampling pass and the prefix materialization would otherwise each
+    re-execute the ranges plan — including edge_ranges' boundary-merge
+    branch — once per consumer."""
+    ranges = ranges.localCheckpoint()
     pre = ranges.repartitionByRange("node_id")
     per_node = pre.groupBy("node_id").agg(F.count(F.lit(1)).alias("n_ranges"))
     with_off = prefix_sum_exclusive(

@@ -241,9 +241,10 @@ class SparkcodecStreamReader(DataSourceStreamReader):
         parts = [
             int(p)
             for s in snapshots(self.out_dir)
-            # compaction snapshots rewrite existing rows — replaying their
-            # merged parts would duplicate data already delivered
-            if lo < s["id"] <= hi and not s.get("compaction")
+            # compaction/delete snapshots rewrite existing rows — replaying
+            # their rewritten parts would duplicate data already delivered
+            # (the changefeed is append-only; deletes are not replayed)
+            if lo < s["id"] <= hi and not s.get("compaction") and not s.get("delete")
             for p in s["new_parts"]
         ]
         if not parts:

@@ -1286,6 +1286,124 @@ def compact_table(
     }
 
 
+def delete_rows(
+    spark: SparkSession,
+    out_dir: str,
+    where: tuple,
+) -> dict:
+    """Row-level DELETE as a new snapshot (Iceberg copy-on-write posture).
+
+    ``where=(col, lo, hi)`` deletes rows with ``lo <= col <= hi`` (either
+    bound may be None for a half-open range; NULL never matches, matching
+    SQL range semantics). Zone maps bound the work: parts whose [min,max]
+    cannot overlap the range are untouched; overlapping (or stat-less)
+    parts are decoded, filtered exactly, and re-encoded under new part
+    ids in one Spark job. A rewritten part that turns out unchanged keeps
+    its original id (no write). Earlier snapshots still time-travel to
+    the pre-delete rows; ``expire_snapshots`` reclaims the bytes.
+
+    Delete snapshots are flagged so the changefeed stream reader does not
+    re-deliver the rewritten rows (the feed is append-only, like
+    compaction rewrites)."""
+    col, lo, hi = where
+    with open(os.path.join(out_dir, "_table_meta.json")) as fh:
+        meta = json.load(fh)
+    if col not in meta["columns"]:
+        raise ValueError(f"unknown column {col!r}; table has {meta['columns']}")
+    live = snapshot_parts(out_dir)
+    if live is None:
+        live = sorted(completed_parts(out_dir))
+    affected = prune_parts(out_dir, where, live)  # overlap or no stats
+    if not affected:
+        return {"parts_scanned": 0, "parts_rewritten": 0, "rows_deleted": 0}
+
+    base = max(max(live), max(completed_parts(out_dir), default=0)) + 1
+    columns = meta["columns"]
+    arrow_schema = pa.schema(
+        [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
+    )
+    block_rows = meta.get("block_rows") or 65536
+    plan = [(base + i, int(p)) for i, p in enumerate(affected)]
+    plan_df = spark.createDataFrame(plan, "new_pid int, old_pid int").repartition(
+        max(1, min(len(plan), 4 * spark.sparkContext.defaultParallelism))
+    )
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            for new_pid, old_pid in zip(
+                batch.column("new_pid").to_pylist(), batch.column("old_pid").to_pylist()
+            ):
+                tbl = pa.Table.from_batches(
+                    list(_decode_part_batches(out_dir, columns, arrow_schema, old_pid)),
+                    schema=arrow_schema,
+                )
+                v = tbl.column(col)
+                # and_kleene: false AND null = false, so a NULL value
+                # yields match=false (kept) — plain and_ would propagate
+                # null into the mask and filter() would drop the row
+                match = pc.is_valid(v)  # NULL never matches the range
+                if lo is not None:
+                    match = pc.and_kleene(match, pc.greater_equal(v, pa.scalar(lo, v.type)))
+                if hi is not None:
+                    match = pc.and_kleene(match, pc.less_equal(v, pa.scalar(hi, v.type)))
+                keep = tbl.filter(pc.invert(match))
+                n_before, n_after = tbl.num_rows, keep.num_rows
+                wrote = -1
+                if n_after < n_before and n_after > 0:
+                    _encode_one_part(
+                        new_pid, keep.to_batches(max_chunksize=65536), columns,
+                        out_dir, block_rows, 32 << 20, set(), {},
+                    )
+                    wrote = new_pid
+                yield pa.RecordBatch.from_pylist(
+                    [{
+                        "old_pid": old_pid,
+                        "new_pid": wrote,
+                        "n_before": n_before,
+                        "n_after": n_after,
+                    }],
+                    schema=pa.schema(
+                        [("old_pid", pa.int32()), ("new_pid", pa.int32()),
+                         ("n_before", pa.int64()), ("n_after", pa.int64())]
+                    ),
+                )
+
+    summary = plan_df.mapInArrow(
+        kernel, "old_pid int, new_pid int, n_before long, n_after long"
+    ).collect()
+    removed = sorted(r["old_pid"] for r in summary if r["n_after"] < r["n_before"])
+    created = sorted(r["new_pid"] for r in summary if r["new_pid"] >= 0)
+    deleted = sum(r["n_before"] - r["n_after"] for r in summary)
+    if not removed:
+        return {"parts_scanned": len(affected), "parts_rewritten": 0, "rows_deleted": 0}
+    snaps = snapshots(out_dir)
+    if snaps:
+        new_parts = created
+    else:
+        # legacy table without a snapshot log: root with the full live set
+        new_parts = sorted(set(created) | (set(live) - set(removed)))
+    entry = {
+        "id": (snaps[-1]["id"] + 1) if snaps else 1,
+        "parent": snaps[-1]["id"] if snaps else 0,
+        "new_parts": new_parts,
+        "removed_parts": removed,
+        "n_rows": -deleted,
+        "enc_bytes": 0,
+        "layout": meta.get("layout", "clustered"),
+        "delete": [col, lo, hi],
+        "ts": time.time(),
+    }
+    with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
+        fh.write(json.dumps(entry, separators=(",", ":")) + "\n")
+    return {
+        "parts_scanned": len(affected),
+        "parts_rewritten": len(removed),
+        "rows_deleted": int(deleted),
+    }
+
+
 def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     """Reclaim storage: keep the newest ``keep_last`` snapshots, delete
     part files referenced by no retained snapshot, and squash the log so
@@ -1316,6 +1434,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     first["new_parts"] = sorted(snapshot_parts(out_dir, first["id"]))
     first.pop("removed_parts", None)
     first.pop("compaction", None)
+    first.pop("delete", None)  # squashed root must replay to fresh consumers
     first["parent"] = 0
     squashed = [first] + kept[1:]
     tmp = os.path.join(out_dir, "_snapshots.jsonl.tmp")

@@ -972,3 +972,81 @@ def test_decode_legacy_single_rowgroup_files(spark, tmp_path):
     )
     assert dec.count() == 201
     assert decode_table(spark, out).count() == 2000
+
+
+def test_delete_rows_rewrites_only_affected_parts(spark, tmp_path):
+    """Row-level DELETE: zone maps bound the rewrite to overlapping parts,
+    untouched parts keep their ids, earlier snapshots still time-travel,
+    and the changefeed does not re-deliver rewritten rows."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import (
+        decode_table,
+        delete_rows,
+        encode_table,
+        snapshot_parts,
+        snapshots,
+    )
+
+    out = str(tmp_path / "del")
+    # cluster by bucket of id so parts have disjoint id ranges
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") / 500).cast("int").alias("g"),
+        F.concat(F.lit("t"), F.col("id")).alias("txt"),
+    )
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"], sort_by=["g", "id"],
+                 num_parts=8, target_part_rows=500, resume=False)
+    before_parts = set(snapshot_parts(out))
+    rep = delete_rows(spark, out, ("id", 1000, 1499))
+    assert rep["rows_deleted"] == 500
+    assert rep["parts_scanned"] < len(before_parts), rep  # zone maps pruned
+    after_parts = set(snapshot_parts(out))
+    # untouched parts keep their ids
+    untouched = before_parts & after_parts
+    assert untouched, (before_parts, after_parts)
+    dec = decode_table(spark, out)
+    assert dec.count() == 3500
+    assert dec.filter(F.col("id").between(1000, 1499)).count() == 0
+    assert dec.agg(F.sum("id")).collect()[0][0] == sum(range(4000)) - sum(range(1000, 1500))
+    # time travel to the pre-delete snapshot
+    first = snapshots(out)[0]["id"]
+    assert decode_table(spark, out, snapshot_id=first).count() == 4000
+    # deleting an absent range is a no-op (no new snapshot)
+    n_snaps = len(snapshots(out))
+    rep2 = delete_rows(spark, out, ("id", 100000, 200000))
+    assert rep2["rows_deleted"] == 0
+    assert len(snapshots(out)) == n_snaps
+    # changefeed: a fresh consumer gets the ORIGINAL appended parts only
+    # (delete snapshots are not replayed), never duplicates
+    spark.dataSource.register(SparkcodecDataSource)
+    sink = str(tmp_path / "del_sink")
+    q = (
+        spark.readStream.format("sparkcodec").load(out)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "del_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == 4000  # the append-only feed (pre-delete rows)
+
+
+def test_delete_rows_null_rows_survive(spark, tmp_path):
+    """NULL never matches a range delete (SQL semantics)."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_table, delete_rows, encode_table
+
+    out = str(tmp_path / "delnull")
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+        F.col("id"),
+    )
+    encode_table(spark, df, out, cluster_by=None, salt_by=["id"], sort_by=["id"],
+                 num_parts=2, resume=False)
+    rep = delete_rows(spark, out, ("v", 0, 200))
+    assert rep["rows_deleted"] == 90
+    dec = decode_table(spark, out)
+    assert dec.count() == 10
+    assert dec.filter(F.col("v").isNull()).count() == 10

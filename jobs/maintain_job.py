@@ -3,9 +3,11 @@
 
     spark-submit --py-files sparkcodec.zip jobs/maintain_job.py \
         --table /mnt/shared/enc [--compact] [--target-part-rows 262144] \
-        [--expire-keep-last 3]
+        [--expire-keep-last 3] [--delete col:lo:hi]
 
---compact merges small live parts into bigger ones as a new snapshot
+--delete removes rows with lo <= col <= hi as a copy-on-write snapshot
+(zone maps bound the rewrite to overlapping parts; omit lo or hi for a
+half-open range). --compact merges small live parts into bigger ones as a new snapshot
 (earlier snapshots stay time-travelable); --expire-keep-last N deletes
 part files referenced by no retained snapshot and squashes the log.
 Run compaction on a schedule after streaming ingestion
@@ -27,9 +29,28 @@ def main() -> int:
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--target-part-rows", type=int, default=262_144)
     ap.add_argument("--expire-keep-last", type=int, default=None)
+    ap.add_argument("--delete", default=None, help="col:lo:hi range to delete")
     args = ap.parse_args()
 
     out = {}
+    if args.delete:
+        from pyspark.sql import SparkSession
+
+        from sparkcodec.engine import delete_rows
+
+        def coerce(v):
+            if not v:
+                return None
+            for cast in (int, float):
+                try:
+                    return cast(v)
+                except ValueError:
+                    pass
+            return v
+
+        col, lo, hi = args.delete.split(":", 2)
+        spark = SparkSession.builder.appName("sparkcodec-maintain").getOrCreate()
+        out["delete"] = delete_rows(spark, args.table, (col, coerce(lo), coerce(hi)))
     if args.compact:
         from pyspark.sql import SparkSession
 

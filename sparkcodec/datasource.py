@@ -310,10 +310,18 @@ class SparkcodecWriter(DataSourceArrowWriter):
         if os.path.exists(meta_path):
             prev = _load_meta(self.out_dir)
             if prev["schema"] != self.type_names:
-                raise ValueError(
-                    "append refused: schema differs from the existing table "
-                    f"({prev['schema']} vs {self.type_names})"
+                # add-column superset appends are allowed (same evolution
+                # rule as encode_table); commit() merges the table meta
+                compatible = set(prev["columns"]) <= set(self.columns) and all(
+                    prev["schema"].get(c) == self.type_names.get(c)
+                    for c in prev["columns"]
                 )
+                if not compatible:
+                    raise ValueError(
+                        "append refused: schema differs from the existing "
+                        "table and is not an add-column superset "
+                        f"({prev['schema']} vs {self.type_names})"
+                    )
         existing = completed_parts(self.out_dir)
         self.base = (max(existing) + 1) if existing else 0
 
@@ -339,6 +347,19 @@ class SparkcodecWriter(DataSourceArrowWriter):
 
         parts = sorted(m.part_id for m in messages if m and m.part_id >= 0)
         meta_path = os.path.join(self.out_dir, "_table_meta.json")
+        if os.path.exists(meta_path):
+            prev = _load_meta(self.out_dir)
+            if prev["schema"] != self.type_names:
+                # add-column evolution validated in __init__: merge meta so
+                # readers see the union (old parts decode the new columns
+                # as nulls)
+                merged_cols = prev["columns"] + [
+                    c for c in self.columns if c not in prev["columns"]
+                ]
+                prev["columns"] = merged_cols
+                prev["schema"] = {c: self.type_names[c] for c in merged_cols}
+                with open(meta_path, "w") as fh:
+                    json.dump(prev, fh)
         if not os.path.exists(meta_path):
             meta = {
                 "schema": self.type_names,

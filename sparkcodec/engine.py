@@ -453,10 +453,13 @@ def prune_parts_nulls(
 def _keep_row_ranges_nulls(out_dir: str, pid: int, col: str, kind: str):
     """Block-level twin of :func:`prune_parts_nulls`: row ranges of one
     part whose blocks can satisfy the null predicate, from the per-block
-    ``nc`` meta (payloads never read). None = nothing pruned."""
-    t = pq.read_table(
-        _part_file(out_dir, col, pid), columns=["block_id", "n_rows", "meta"]
-    ).sort_by("block_id")
+    ``nc`` meta (payloads never read). None = nothing pruned. A column
+    missing for this part (pre-evolution) is all-NULL: IS NOT NULL prunes
+    the whole part, IS NULL keeps it all."""
+    path = _part_file(out_dir, col, pid)
+    if not os.path.exists(path):
+        return [] if kind == "notnull" else None
+    t = pq.read_table(path, columns=["block_id", "n_rows", "meta"]).sort_by("block_id")
     ranges: list[list[int]] = []
     off = 0
     pruned_any = False
@@ -609,10 +612,30 @@ def encode_table(
         with open(meta_path) as fh:
             prev = json.load(fh)
         if prev["schema"] != meta["schema"] or prev["columns"] != cols:
-            raise ValueError(
-                "append refused: schema differs from the existing table "
-                f"({prev['schema']} vs {meta['schema']})"
+            # schema evolution (Iceberg add-column posture): appending a
+            # SUPERSET is allowed — every existing column must be present
+            # with an identical storage type; decode null-fills the new
+            # columns for parts written before the evolution. Dropping or
+            # retyping columns is refused.
+            old_cols = prev["columns"]
+            compatible = set(old_cols) <= set(cols) and all(
+                prev["schema"].get(c) == meta["schema"].get(c) for c in old_cols
             )
+            if not compatible:
+                raise ValueError(
+                    "append refused: schema differs from the existing table "
+                    "and is not an add-column superset "
+                    f"({prev['schema']} vs {meta['schema']})"
+                )
+            new_cols = [c for c in cols if c not in old_cols]
+            meta["columns"] = old_cols + new_cols
+            meta["schema"] = {c: meta["schema"][c] for c in meta["columns"]}
+            meta["field_metadata"] = {
+                **(prev.get("field_metadata") or {}),
+                **meta["field_metadata"],
+            }
+            with open(meta_path, "w") as fh:
+                json.dump(meta, fh, indent=1)
         existing = completed_parts(out_dir)
         if resume and os.path.exists(pending_path):
             with open(pending_path) as fh:
@@ -835,11 +858,14 @@ def _keep_row_ranges(out_dir: str, pid: int, where: tuple):
     counts — payloads of excluded blocks are never decoded), maps each
     qualifying block to its row span within the part, and merges adjacent
     spans. Blocks without a zone map qualify (conservative). Returns None
-    when nothing can be pruned (decode everything)."""
+    when nothing can be pruned (decode everything); a column missing for
+    this part (pre-evolution) is all-NULL, and NULL never matches a range
+    predicate — every block is prunable."""
     col, lo, hi = where
-    t = pq.read_table(
-        _part_file(out_dir, col, pid), columns=["block_id", "n_rows", "meta"]
-    ).sort_by("block_id")
+    path = _part_file(out_dir, col, pid)
+    if not os.path.exists(path):
+        return []  # schema-evolved column: all NULL, range matches nothing
+    t = pq.read_table(path, columns=["block_id", "n_rows", "meta"]).sort_by("block_id")
     ranges: list[list[int]] = []
     off = 0
     pruned_any = False
@@ -885,8 +911,14 @@ def _decode_column_ranges(out_dir, col, pid, target, ranges):
     only the surviving blocks' payload bytes are read from disk
     (`read_row_groups`); files written before the one-row-group-per-block
     layout fall back to a whole-file read (decode is still skipped for
-    pruned blocks — CPU savings only)."""
+    pruned blocks — CPU savings only). A missing block file (column added
+    by schema evolution after this part) yields nulls over the ranges."""
     path = _part_file(out_dir, col, pid)
+    if not os.path.exists(path):
+        pieces = [pa.nulls(b - a, type=target) for a, b in ranges if b > a]
+        return pa.chunked_array(pieces, type=target) if pieces else pa.chunked_array(
+            [pa.array([], type=target)], type=target
+        )
     pf = pq.ParquetFile(path)
     idx = pf.read(columns=["block_id", "n_rows"])
     blk = idx.column("block_id").to_pylist()
@@ -961,14 +993,25 @@ def _decode_column_ranges(out_dir, col, pid, target, ranges):
     )
 
 
+def _part_row_count(out_dir: str, pid: int) -> int:
+    t = pq.read_table(_part_file(out_dir, CHECKPOINT_COL, pid), columns=["n_rows"])
+    return int(t.column("n_rows")[0].as_py())
+
+
 def _decode_part_batches(out_dir: str, columns, arrow_schema: pa.Schema, pid: int):
     """Decode one part's requested columns into Arrow batches (the shared
     unpruned path: engine decode kernel, DataSource batch/stream readers,
-    and compaction all route through here)."""
+    and compaction all route through here). A column with no block file
+    for this part predates a schema evolution — it decodes as nulls."""
     per_col = {}
     for col in columns:
         target = arrow_schema.field(col).type
-        t = pq.read_table(_part_file(out_dir, col, pid)).sort_by("block_id")
+        path = _part_file(out_dir, col, pid)
+        if not os.path.exists(path):
+            n = _part_row_count(out_dir, pid)
+            per_col[col] = pa.chunked_array([pa.nulls(n, type=target)], type=target)
+            continue
+        t = pq.read_table(path).sort_by("block_id")
         chunks = [
             _to_output_type(
                 decode_array(

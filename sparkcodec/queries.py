@@ -1456,3 +1456,44 @@ FROM documents WHERE lang = 'de' GROUP BY lang
 
 QUERIES["datasource_pruned_read"] = q_datasource_pruned_read
 ORACLES["datasource_pruned_read"] = SQL_DATASOURCE_PRUNED_READ
+
+
+def q_delete_rows_stats(spark, sf_dir):
+    """Row-level DELETE end-to-end: encode documents, delete the 'de'
+    rows as a copy-on-write snapshot (zone maps bound the rewrite to the
+    parts whose [min,max] can hold 'de'), decode the latest snapshot and
+    aggregate. The oracle aggregates the source minus the deleted range,
+    so a delete that drops too much, too little, or corrupts surviving
+    rows breaks the match."""
+    from .engine import decode_table, delete_rows, encode_table
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sparkcodec_delete_{abs(hash(sf_dir)) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark, d, out,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=8, resume=False,
+    )
+    delete_rows(spark, out, ("lang", "de", "de"))
+    dec = decode_table(spark, out)
+    return dec.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_text_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+SQL_DELETE_ROWS_STATS = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(length(text)) AS BIGINT) AS total_text_chars,
+       max(doc_id) AS max_doc_id
+FROM documents WHERE lang <> 'de' GROUP BY lang
+"""
+
+QUERIES["delete_rows_stats"] = q_delete_rows_stats
+ORACLES["delete_rows_stats"] = SQL_DELETE_ROWS_STATS

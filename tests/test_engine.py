@@ -1050,3 +1050,80 @@ def test_delete_rows_null_rows_survive(spark, tmp_path):
     dec = decode_table(spark, out)
     assert dec.count() == 10
     assert dec.filter(F.col("v").isNull()).count() == 10
+
+
+def test_schema_evolution_add_column_append(spark, tmp_path):
+    """Add-column appends: new columns decode as NULL for pre-evolution
+    parts, filters behave (range never matches NULL; IS NOT NULL prunes
+    old parts at block level), compaction backfills, and incompatible
+    changes are still refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        compact_table,
+        decode_table,
+        encode_table,
+    )
+
+    out = str(tmp_path / "evolve")
+    d1 = spark.range(300).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    d2 = spark.range(300, 400).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("n"), F.col("id")).alias("note"),
+    )
+    encode_table(spark, d1, out, cluster_by=["id"], salt_by=["v"], num_parts=3,
+                 target_part_rows=100, resume=False)
+    encode_table(spark, d2, out, cluster_by=["id"], salt_by=["v"], num_parts=1,
+                 target_part_rows=100, append=True)
+    dec = decode_table(spark, out)
+    assert dec.columns == ["id", "v", "note"]
+    assert dec.count() == 400
+    assert dec.filter(F.col("note").isNull()).count() == 300
+    got = {r["id"]: r["note"] for r in dec.filter(F.col("note").isNotNull()).collect()}
+    assert got == {i: f"n{i}" for i in range(300, 400)}
+    # range predicate on the evolved column skips pre-evolution parts
+    pruned = decode_table(spark, out, where=("note", "n300", "n400"))
+    assert pruned.count() == 100
+    # compaction backfills: merged parts carry the evolved column files
+    compact_table(spark, out, target_part_rows=10_000)
+    dec2 = decode_table(spark, out)
+    assert dec2.count() == 400
+    assert dec2.filter(F.col("note").isNull()).count() == 300
+    # dropping a column is refused
+    d3 = spark.range(400, 410).select(F.col("id"))
+    with _pytest.raises(ValueError, match="append refused"):
+        encode_table(spark, d3, out, num_parts=1, append=True)
+    # retyping is refused
+    d4 = spark.range(400, 410).select(
+        F.col("id"), F.col("id").cast("string").alias("v"),
+        F.lit("x").alias("note"),
+    )
+    with _pytest.raises(ValueError, match="append refused"):
+        encode_table(spark, d4, out, num_parts=1, append=True)
+
+
+def test_schema_evolution_datasource_roundtrip(spark, tmp_path):
+    """The DS writer accepts add-column appends (merging table meta) and
+    the DS reader null-fills + prunes on the evolved column."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import encode_table
+
+    out = str(tmp_path / "evolve_ds")
+    d1 = spark.range(200).select(F.col("id"), (F.col("id") % 5).alias("g"))
+    encode_table(spark, d1, out, cluster_by=["g"], salt_by=["id"], num_parts=2,
+                 target_part_rows=100, resume=False)
+    spark.dataSource.register(SparkcodecDataSource)
+    d2 = spark.range(200, 250).select(
+        F.col("id"), (F.col("id") % 5).alias("g"), (F.col("id") * 10).alias("w")
+    )
+    d2.repartition(1).write.format("sparkcodec").mode("append").save(out)
+    ds = spark.read.format("sparkcodec").load(out)
+    assert set(ds.columns) == {"id", "g", "w"}
+    assert ds.count() == 250
+    assert ds.filter(F.col("w").isNull()).count() == 200
+    # IS NOT NULL on the evolved column prunes pre-evolution parts
+    assert ds.filter(F.col("w").isNotNull()).count() == 50
+    assert ds.filter(F.col("w") >= 2400).count() == 10

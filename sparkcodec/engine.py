@@ -1329,43 +1329,29 @@ def compact_table(
     }
 
 
-def delete_rows(
+def _copy_on_write_delete(
     spark: SparkSession,
     out_dir: str,
-    where: tuple,
+    affected: list[int],
+    live: list[int],
+    meta: dict,
+    mask_fn,
+    tag: list,
 ) -> dict:
-    """Row-level DELETE as a new snapshot (Iceberg copy-on-write posture).
-
-    ``where=(col, lo, hi)`` deletes rows with ``lo <= col <= hi`` (either
-    bound may be None for a half-open range; NULL never matches, matching
-    SQL range semantics). Zone maps bound the work: parts whose [min,max]
-    cannot overlap the range are untouched; overlapping (or stat-less)
-    parts are decoded, filtered exactly, and re-encoded under new part
-    ids in one Spark job. A rewritten part that turns out unchanged keeps
-    its original id (no write). Earlier snapshots still time-travel to
-    the pre-delete rows; ``expire_snapshots`` reclaims the bytes.
-
-    Delete snapshots are flagged so the changefeed stream reader does not
-    re-deliver the rewritten rows (the feed is append-only, like
-    compaction rewrites)."""
-    col, lo, hi = where
-    with open(os.path.join(out_dir, "_table_meta.json")) as fh:
-        meta = json.load(fh)
-    if col not in meta["columns"]:
-        raise ValueError(f"unknown column {col!r}; table has {meta['columns']}")
-    live = snapshot_parts(out_dir)
-    if live is None:
-        live = sorted(completed_parts(out_dir))
-    affected = prune_parts(out_dir, where, live)  # overlap or no stats
-    if not affected:
-        return {"parts_scanned": 0, "parts_rewritten": 0, "rows_deleted": 0}
-
+    """Shared copy-on-write rewrite for row-level delete/merge: decode
+    each affected part, drop the rows ``mask_fn`` marks (a picklable
+    callable: arrow column values -> boolean mask of rows to DELETE,
+    null-safe), re-encode survivors under new part ids, and commit one
+    snapshot (removed_parts = changed parts only; an untouched part
+    keeps its id with no write). ``tag`` is recorded under the entry's
+    ``delete`` key so the changefeed skips the rewrite."""
     base = max(max(live), max(completed_parts(out_dir), default=0)) + 1
     columns = meta["columns"]
     arrow_schema = pa.schema(
         [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
     )
     block_rows = meta.get("block_rows") or 65536
+    col = tag[0]
     plan = [(base + i, int(p)) for i, p in enumerate(affected)]
     plan_df = spark.createDataFrame(plan, "new_pid int, old_pid int").repartition(
         max(1, min(len(plan), 4 * spark.sparkContext.defaultParallelism))
@@ -1382,16 +1368,7 @@ def delete_rows(
                     list(_decode_part_batches(out_dir, columns, arrow_schema, old_pid)),
                     schema=arrow_schema,
                 )
-                v = tbl.column(col)
-                # and_kleene: false AND null = false, so a NULL value
-                # yields match=false (kept) — plain and_ would propagate
-                # null into the mask and filter() would drop the row
-                match = pc.is_valid(v)  # NULL never matches the range
-                if lo is not None:
-                    match = pc.and_kleene(match, pc.greater_equal(v, pa.scalar(lo, v.type)))
-                if hi is not None:
-                    match = pc.and_kleene(match, pc.less_equal(v, pa.scalar(hi, v.type)))
-                keep = tbl.filter(pc.invert(match))
+                keep = tbl.filter(pc.invert(mask_fn(tbl.column(col))))
                 n_before, n_after = tbl.num_rows, keep.num_rows
                 wrote = -1
                 if n_after < n_before and n_after > 0:
@@ -1401,12 +1378,8 @@ def delete_rows(
                     )
                     wrote = new_pid
                 yield pa.RecordBatch.from_pylist(
-                    [{
-                        "old_pid": old_pid,
-                        "new_pid": wrote,
-                        "n_before": n_before,
-                        "n_after": n_after,
-                    }],
+                    [{"old_pid": old_pid, "new_pid": wrote,
+                      "n_before": n_before, "n_after": n_after}],
                     schema=pa.schema(
                         [("old_pid", pa.int32()), ("new_pid", pa.int32()),
                          ("n_before", pa.int64()), ("n_after", pa.int64())]
@@ -1435,7 +1408,7 @@ def delete_rows(
         "n_rows": -deleted,
         "enc_bytes": 0,
         "layout": meta.get("layout", "clustered"),
-        "delete": [col, lo, hi],
+        "delete": tag,
         "ts": time.time(),
     }
     with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
@@ -1444,6 +1417,123 @@ def delete_rows(
         "parts_scanned": len(affected),
         "parts_rewritten": len(removed),
         "rows_deleted": int(deleted),
+    }
+
+
+def _load_live(out_dir: str, col: str) -> tuple[dict, list[int]]:
+    with open(os.path.join(out_dir, "_table_meta.json")) as fh:
+        meta = json.load(fh)
+    if col not in meta["columns"]:
+        raise ValueError(f"unknown column {col!r}; table has {meta['columns']}")
+    live = snapshot_parts(out_dir)
+    if live is None:
+        live = sorted(completed_parts(out_dir))
+    return meta, live
+
+
+def delete_rows(
+    spark: SparkSession,
+    out_dir: str,
+    where: tuple,
+) -> dict:
+    """Row-level DELETE as a new snapshot (Iceberg copy-on-write posture).
+
+    ``where=(col, lo, hi)`` deletes rows with ``lo <= col <= hi`` (either
+    bound may be None for a half-open range; NULL never matches, matching
+    SQL range semantics). Zone maps bound the work: parts whose [min,max]
+    cannot overlap the range are untouched; overlapping (or stat-less)
+    parts are decoded, filtered exactly, and re-encoded under new part
+    ids in one Spark job. A rewritten part that turns out unchanged keeps
+    its original id (no write). Earlier snapshots still time-travel to
+    the pre-delete rows; ``expire_snapshots`` reclaims the bytes.
+
+    Delete snapshots are flagged so the changefeed stream reader does not
+    re-deliver the rewritten rows (the feed is append-only, like
+    compaction rewrites)."""
+    col, lo, hi = where
+    meta, live = _load_live(out_dir, col)
+    affected = prune_parts(out_dir, where, live)  # overlap or no stats
+    if not affected:
+        return {"parts_scanned": 0, "parts_rewritten": 0, "rows_deleted": 0}
+
+    def mask(v):
+        import pyarrow.compute as pc
+
+        # and_kleene: false AND null = false, so a NULL value yields
+        # match=false (kept) — plain and_ would propagate null into the
+        # mask and filter() would drop the row
+        m = pc.is_valid(v)  # NULL never matches the range
+        if lo is not None:
+            m = pc.and_kleene(m, pc.greater_equal(v, pa.scalar(lo, v.type)))
+        if hi is not None:
+            m = pc.and_kleene(m, pc.less_equal(v, pa.scalar(hi, v.type)))
+        return m
+
+    return _copy_on_write_delete(
+        spark, out_dir, affected, live, meta, mask, [col, lo, hi]
+    )
+
+
+def upsert_rows(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    *,
+    max_keys: int = 5_000_000,
+    **encode_kwargs,
+) -> dict:
+    """MERGE (upsert) by key: rows of ``df`` replace existing rows with
+    the same ``key_col`` value; new keys append. Copy-on-write like
+    :func:`delete_rows`:
+
+    1. zone maps bound the delete side — only live parts whose
+       ``key_col`` [min, max] overlaps the incoming key span are scanned;
+    2. affected parts are rewritten without the incoming keys (exact
+       set membership via a broadcast key set, not just the range);
+       unchanged parts keep their ids with no write;
+    3. ``df`` appends under new part ids (standard append snapshot), so
+       the table moves through two snapshots: delete-matching, then add.
+       Readers resolve either the pre-merge table or a complete step —
+       never a torn part.
+
+    The incoming key set is collected to the driver and broadcast to the
+    rewrite tasks (bounded by ``max_keys``, refused above it — an
+    unbounded-key merge should cluster the incoming batch by the table's
+    cluster key and run per-key-range deletes instead; this surface
+    targets the common bounded-batch upsert)."""
+    keys_rows = df.select(key_col).distinct().limit(max_keys + 1).collect()
+    if len(keys_rows) > max_keys:
+        raise ValueError(
+            f"upsert_rows refused: more than max_keys={max_keys} distinct "
+            f"keys; cluster the batch and delete by key range + append, "
+            f"or raise max_keys"
+        )
+    keys = sorted(r[0] for r in keys_rows if r[0] is not None)
+    deleted = {"parts_scanned": 0, "parts_rewritten": 0, "rows_deleted": 0}
+    if keys and os.path.exists(os.path.join(out_dir, "_table_meta.json")):
+        meta, live = _load_live(out_dir, key_col)
+        affected = prune_parts(out_dir, (key_col, keys[0], keys[-1]), live)
+        if affected:
+            key_bc = spark.sparkContext.broadcast(keys)
+
+            def mask(v):
+                import pyarrow.compute as pc
+
+                return pc.and_kleene(
+                    pc.is_valid(v),
+                    pc.is_in(v, value_set=pa.array(key_bc.value).cast(v.type)),
+                )
+
+            deleted = _copy_on_write_delete(
+                spark, out_dir, affected, live, meta, mask,
+                [key_col, "in-set", len(keys)],
+            )
+    app = encode_table(spark, df, out_dir, append=True, **encode_kwargs)
+    return {
+        "rows_deleted": deleted["rows_deleted"],
+        "parts_rewritten": deleted["parts_rewritten"],
+        "rows_appended": app["n_rows"],
     }
 
 

@@ -1127,3 +1127,39 @@ def test_schema_evolution_datasource_roundtrip(spark, tmp_path):
     # IS NOT NULL on the evolved column prunes pre-evolution parts
     assert ds.filter(F.col("w").isNotNull()).count() == 50
     assert ds.filter(F.col("w") >= 2400).count() == 10
+
+
+def test_upsert_rows_merge_by_key(spark, tmp_path):
+    """MERGE: incoming rows replace same-key rows exactly (set
+    membership, not range), new keys append, untouched parts keep ids."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_table, encode_table, upsert_rows
+
+    out = str(tmp_path / "upsert")
+    d1 = spark.range(1000).select(
+        F.col("id"), (F.col("id") / 200).cast("int").alias("g"),
+        F.lit("old").alias("val"),
+    )
+    encode_table(spark, d1, out, cluster_by=["g"], salt_by=["id"], sort_by=["g", "id"],
+                 num_parts=5, target_part_rows=200, resume=False)
+    # update keys 100..109 and 950..954, insert 2000..2004
+    up = spark.createDataFrame(
+        [(k, k // 200, "new") for k in list(range(100, 110)) + list(range(950, 955))]
+        + [(k, 10, "new") for k in range(2000, 2005)],
+        "id long, g int, val string",
+    )
+    rep = upsert_rows(spark, up, out, "id",
+                      cluster_by=["g"], salt_by=["id"], sort_by=["g", "id"],
+                      num_parts=2, target_part_rows=200)
+    assert rep["rows_deleted"] == 15
+    assert rep["rows_appended"] == 20
+    dec = decode_table(spark, out)
+    assert dec.count() == 1005
+    vals = {r["id"]: r["val"] for r in dec.collect()}
+    for k in list(range(100, 110)) + list(range(950, 955)) + list(range(2000, 2005)):
+        assert vals[k] == "new", k
+    assert vals[99] == "old" and vals[110] == "old" and vals[949] == "old"
+    # exact set membership: key 105 was updated but 105.5-ish neighbors
+    # in the same zone-map span survive as old
+    assert sum(1 for v in vals.values() if v == "new") == 20

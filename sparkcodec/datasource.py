@@ -97,6 +97,7 @@ class SparkcodecReader(DataSourceReader):
         self.columns = [f.name for f in schema.fields]
         self.bounds: dict[str, list] = {}  # col -> [lo, hi] (None = open)
         self.nulls: dict[str, set] = {}  # col -> {"isnull" | "notnull"}
+        self.eqs: dict[str, list] = {}  # col -> probe values (=, IN)
 
     def pushFilters(self, filters):
         for f in filters:
@@ -112,10 +113,12 @@ class SparkcodecReader(DataSourceReader):
                 vs = [v for v in getattr(f, "values", ()) if v is not None]
                 if vs and all(isinstance(v, type(vs[0])) for v in vs):
                     self._narrow(col, min(vs), max(vs))
+                    self.eqs.setdefault(col, []).extend(vs)
             elif val is None:
                 pass
             elif isinstance(f, EqualTo):
                 self._narrow(col, val, val)
+                self.eqs.setdefault(col, []).append(val)
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                 self._narrow(col, val, None)
             elif isinstance(f, (LessThan, LessThanOrEqual)):
@@ -142,7 +145,9 @@ class SparkcodecReader(DataSourceReader):
             completed_parts,
             part_null_stats,
             part_stats,
+            part_vsets,
             prune_parts,
+            prune_parts_eq,
             prune_parts_nulls,
             snapshot_parts,
         )
@@ -154,6 +159,10 @@ class SparkcodecReader(DataSourceReader):
             stats = part_stats(self.out_dir)  # one metadata read for all columns
             for col, (lo, hi) in self.bounds.items():
                 parts = prune_parts(self.out_dir, (col, lo, hi), parts, stats=stats)
+        if self.eqs:
+            vstats = part_vsets(self.out_dir)
+            for col, values in self.eqs.items():
+                parts = prune_parts_eq(self.out_dir, col, values, parts, vstats)
         if self.nulls:
             nstats = part_null_stats(self.out_dir)
             for col, kinds in self.nulls.items():

@@ -170,11 +170,15 @@ def _encode_one_part(
     sym_sha = {}
     col_stats: dict[str, list] = {}
     col_nulls: dict[str, int] = {}
+    col_vsets: dict[str, list] = {}
     for col in data_cols:
         arr = table.column(col).combine_chunks()
         st = _part_col_stats(arr)
         if st is not None:
             col_stats[col] = st
+            vs = _part_col_vset(arr)
+            if vs is not None:
+                col_vsets[col] = vs
         col_nulls[col] = int(arr.null_count)
         if select_cache is not None and col in select_cache:
             spec, fsst_table = select_cache[col]
@@ -229,6 +233,7 @@ def _encode_one_part(
         "codecs": specs,
         "stats": col_stats,  # zone maps: [min, max] per prunable column
         "nulls": col_nulls,  # per-column null counts (every column)
+        "vset": col_vsets,  # exact distinct-value sets (low-card columns)
         "symbol_tables": sym_sha,
         "raw_bytes": part_raw,
         "enc_bytes": part_enc,
@@ -363,6 +368,68 @@ def _part_col_stats(arr: pa.Array):
     if isinstance(mn, float) and (math.isnan(mn) or math.isnan(mx)):
         return None
     return [mn, mx]
+
+
+_VSET_MAX = 64  # exact value sets recorded only for low-cardinality parts
+
+
+def _part_col_vset(arr: pa.Array):
+    """Sorted distinct values of a low-cardinality column, or None.
+
+    Recorded only when the column already qualifies for zone maps (so
+    values are short, orderable, JSON-safe) AND the part holds at most
+    _VSET_MAX distinct non-null values — the categorical case (lang,
+    status flags) where equality predicates want EXACT membership:
+    a part whose [min, max] spans the probe value may still not contain
+    it, and the value set proves that."""
+    import pyarrow.compute as pc
+
+    # cheap gate: a 4k-row head already exceeding the cap means the
+    # column is not categorical — skip the full O(n) unique pass
+    if len(pc.unique(arr.slice(0, 4096).drop_null())) > _VSET_MAX:
+        return None
+    vals = pc.unique(arr.drop_null())
+    if len(vals) > _VSET_MAX:
+        return None
+    return sorted(vals.to_pylist())
+
+
+def part_vsets(out_dir: str) -> dict[int, dict]:
+    """{part_id: {col: [values]}} from the checkpoint lineage — one
+    O(#parts) metadata read; tables written before value-set accounting
+    yield empty dicts (never pruned)."""
+    import pyarrow.dataset as ds
+
+    d = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
+    if not os.path.isdir(d):
+        return {}
+    tbl = ds.dataset(d, format="parquet").to_table(columns=["part_id", "meta"])
+    out = {}
+    for pid, meta in zip(tbl.column("part_id").to_pylist(), tbl.column("meta").to_pylist()):
+        out[int(pid)] = json.loads(meta).get("vset") or {}
+    return out
+
+
+def prune_parts_eq(
+    out_dir: str, col: str, values: list, parts: list[int], vstats: dict | None = None
+) -> list[int]:
+    """Exact-membership part pruning for equality/IN predicates: keep a
+    part only if its recorded value set intersects ``values``; parts
+    without a value set for the column are kept (conservative)."""
+    if vstats is None:
+        vstats = part_vsets(out_dir)
+    probe = set(values)
+    keep = []
+    for p in parts:
+        vs = vstats.get(p, {}).get(col)
+        if vs is not None:
+            try:
+                if not probe & set(vs):
+                    continue
+            except TypeError:
+                pass  # unhashable/mismatched probe: keep (conservative)
+        keep.append(p)
+    return keep
 
 
 def part_stats(out_dir: str) -> dict[int, dict]:

@@ -575,3 +575,45 @@ def test_distributed_slice_planning_many_files(spark, tmp_path):
     assert got == want
     df = read_records(spark, os.path.join(d, "*.bin"), rows_per_slice=16)
     assert df.count() == n_files * rows_each
+
+
+def test_value_set_pruning_beats_zone_maps(spark, tmp_path):
+    """Exact value-set pruning: a part whose [min,max] range SPANS the
+    probe value but does not CONTAIN it is skipped for equality/IN —
+    something zone maps alone cannot prove."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import (
+        completed_parts,
+        encode_table,
+        part_vsets,
+        prune_parts,
+        prune_parts_eq,
+    )
+
+    out = str(tmp_path / "vset")
+    # one part holding exactly {'aa','zz'}: range [aa, zz] covers 'mm'
+    # but the value set refutes it
+    df = spark.createDataFrame(
+        [(i, "aa" if i % 2 == 0 else "zz") for i in range(200)], "id long, tag string"
+    )
+    encode_table(spark, df, out, cluster_by=None, salt_by=["id"], sort_by=["tag"],
+                 num_parts=1, resume=False)
+    parts = sorted(completed_parts(out))
+    # zone maps keep the part (range covers 'mm')...
+    assert prune_parts(out, ("tag", "mm", "mm"), parts) == parts
+    # ...the value set prunes it
+    assert prune_parts_eq(out, "tag", ["mm"], parts) == []
+    assert prune_parts_eq(out, "tag", ["zz"], parts) == parts
+    vs = part_vsets(out)[parts[0]]["tag"]
+    assert vs == ["aa", "zz"]
+    # end-to-end through the DataSource: results stay exact
+    spark.dataSource.register(SparkcodecDataSource)
+    ds = spark.read.format("sparkcodec").load(out)
+    assert ds.filter(F.col("tag") == "mm").count() == 0
+    assert ds.filter(F.col("tag") == "aa").count() == 100
+    assert ds.filter(F.col("tag").isin("aa", "mm")).count() == 100
+    # high-cardinality column records no value set (head-sample gate)
+    assert "id" not in vs if isinstance(vs, dict) else True
+    assert "id" not in part_vsets(out)[parts[0]]

@@ -1164,6 +1164,10 @@ def decode_table(
         parts = sorted(completed_parts(out_dir))
     if where is not None:
         parts = prune_parts(out_dir, where, parts)
+        if where[1] is not None and where[1] == where[2]:
+            # point predicate: exact value-set membership can refute
+            # parts whose [min, max] range merely spans the value
+            parts = prune_parts_eq(out_dir, where[0], [where[1]], parts)
     # several parts per task: decode parallelism needs only ~4x the slots,
     # and per-task Python handoff dominates with hundreds of tiny tasks
     n_tasks = max(1, min(len(parts), 4 * spark.sparkContext.defaultParallelism))

@@ -319,16 +319,13 @@ class SparkcodecWriter(DataSourceArrowWriter):
         if os.path.exists(meta_path):
             prev = _load_meta(self.out_dir)
             if prev["schema"] != self.type_names:
-                # add-column superset appends are allowed (same evolution
-                # rule as encode_table); commit() merges the table meta
-                compatible = set(prev["columns"]) <= set(self.columns) and all(
-                    prev["schema"].get(c) == self.type_names.get(c)
-                    for c in prev["columns"]
-                )
-                if not compatible:
+                # add-column evolution (same rule as encode_table): shared
+                # columns must keep their storage type; one-sided columns
+                # are optional and decode as NULL. commit() merges meta.
+                shared = [c for c in prev["columns"] if c in self.columns]
+                if not all(prev["schema"][c] == self.type_names[c] for c in shared):
                     raise ValueError(
-                        "append refused: schema differs from the existing "
-                        "table and is not an add-column superset "
+                        "append refused: shared columns change storage type "
                         f"({prev['schema']} vs {self.type_names})"
                     )
         existing = completed_parts(self.out_dir)
@@ -365,8 +362,9 @@ class SparkcodecWriter(DataSourceArrowWriter):
                 merged_cols = prev["columns"] + [
                     c for c in self.columns if c not in prev["columns"]
                 ]
+                merged_schema = {**prev["schema"], **self.type_names}
                 prev["columns"] = merged_cols
-                prev["schema"] = {c: self.type_names[c] for c in merged_cols}
+                prev["schema"] = {c: merged_schema[c] for c in merged_cols}
                 with open(meta_path, "w") as fh:
                     json.dump(prev, fh)
         if not os.path.exists(meta_path):

@@ -679,24 +679,23 @@ def encode_table(
         with open(meta_path) as fh:
             prev = json.load(fh)
         if prev["schema"] != meta["schema"] or prev["columns"] != cols:
-            # schema evolution (Iceberg add-column posture): appending a
-            # SUPERSET is allowed — every existing column must be present
-            # with an identical storage type; decode null-fills the new
-            # columns for parts written before the evolution. Dropping or
-            # retyping columns is refused.
+            # schema evolution (Iceberg add-column posture): columns the
+            # two schemas share must have identical storage types; columns
+            # in only one side are optional — parts that lack a column's
+            # block file decode it as NULL, in both directions (old parts
+            # for added columns, new parts for omitted ones). Retyping a
+            # shared column is refused.
             old_cols = prev["columns"]
-            compatible = set(old_cols) <= set(cols) and all(
-                prev["schema"].get(c) == meta["schema"].get(c) for c in old_cols
-            )
-            if not compatible:
+            shared = [c for c in old_cols if c in cols]
+            if not all(prev["schema"][c] == meta["schema"][c] for c in shared):
                 raise ValueError(
-                    "append refused: schema differs from the existing table "
-                    "and is not an add-column superset "
+                    "append refused: shared columns change storage type "
                     f"({prev['schema']} vs {meta['schema']})"
                 )
             new_cols = [c for c in cols if c not in old_cols]
+            merged_schema = {**prev["schema"], **meta["schema"]}
             meta["columns"] = old_cols + new_cols
-            meta["schema"] = {c: meta["schema"][c] for c in meta["columns"]}
+            meta["schema"] = {c: merged_schema[c] for c in meta["columns"]}
             meta["field_metadata"] = {
                 **(prev.get("field_metadata") or {}),
                 **meta["field_metadata"],

@@ -1090,16 +1090,20 @@ def test_schema_evolution_add_column_append(spark, tmp_path):
     dec2 = decode_table(spark, out)
     assert dec2.count() == 400
     assert dec2.filter(F.col("note").isNull()).count() == 300
-    # dropping a column is refused
+    # appending a SUBSET is allowed: the omitted columns are NULL for
+    # the new rows (optional-column semantics, symmetric with add-column)
     d3 = spark.range(400, 410).select(F.col("id"))
-    with _pytest.raises(ValueError, match="append refused"):
-        encode_table(spark, d3, out, num_parts=1, append=True)
+    encode_table(spark, d3, out, cluster_by=["id"], num_parts=1,
+                 target_part_rows=100, append=True)
+    dec3 = decode_table(spark, out)
+    assert dec3.count() == 410
+    assert dec3.filter(F.col("id") >= 400).filter(F.col("v").isNull()).count() == 10
     # retyping is refused
     d4 = spark.range(400, 410).select(
         F.col("id"), F.col("id").cast("string").alias("v"),
         F.lit("x").alias("note"),
     )
-    with _pytest.raises(ValueError, match="append refused"):
+    with _pytest.raises(ValueError, match="shared columns change"):
         encode_table(spark, d4, out, num_parts=1, append=True)
 
 

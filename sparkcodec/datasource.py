@@ -365,8 +365,9 @@ class SparkcodecWriter(DataSourceArrowWriter):
                 merged_schema = {**prev["schema"], **self.type_names}
                 prev["columns"] = merged_cols
                 prev["schema"] = {c: merged_schema[c] for c in merged_cols}
-                with open(meta_path, "w") as fh:
-                    json.dump(prev, fh)
+                from .engine import _atomic_write_json
+
+                _atomic_write_json(meta_path, prev)
         if not os.path.exists(meta_path):
             meta = {
                 "schema": self.type_names,
@@ -381,8 +382,9 @@ class SparkcodecWriter(DataSourceArrowWriter):
                 "field_metadata": {},
                 "engine_version": "0.1.0",
             }
-            with open(meta_path, "w") as fh:
-                json.dump(meta, fh)
+            from .engine import _atomic_write_json
+
+            _atomic_write_json(meta_path, meta)
         snaps = snapshots(self.out_dir)
         if not snaps:
             # pre-snapshot table (parts exist but no log): this entry becomes

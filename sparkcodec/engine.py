@@ -143,6 +143,14 @@ def _atomic_write_blocks(path: str, rows: list[dict]) -> int:
     return size
 
 
+def _atomic_write_json(path: str, obj) -> None:
+    """tmp+rename so concurrent readers never see a truncated file."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, indent=1)
+    os.replace(tmp, path)
+
+
 def _encode_one_part(
     part_id: int,
     batches: list[pa.RecordBatch],
@@ -700,8 +708,7 @@ def encode_table(
                 **(prev.get("field_metadata") or {}),
                 **meta["field_metadata"],
             }
-            with open(meta_path, "w") as fh:
-                json.dump(meta, fh, indent=1)
+            _atomic_write_json(meta_path, meta)
         existing = completed_parts(out_dir)
         if resume and os.path.exists(pending_path):
             with open(pending_path) as fh:
@@ -736,8 +743,7 @@ def encode_table(
                     f"checkpointed run: {diffs}; rerun with resume=False to "
                     f"re-encode from scratch"
                 )
-        with open(meta_path, "w") as fh:
-            json.dump(meta, fh, indent=1)
+        _atomic_write_json(meta_path, meta)
         done = completed_parts(out_dir) if resume else set()
 
     # input_file_name() must bind below any multi-source join, so attach it

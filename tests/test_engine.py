@@ -705,8 +705,10 @@ def test_python_datasource_writer_roundtrip(spark, tmp_path):
     # schema mismatch refused
     import pytest as _pytest
 
-    bad = spark.range(5).select(F.col("id"), F.col("id").alias("other"))
-    with _pytest.raises(Exception, match="append refused|schema"):
+    # optional-column evolution: adding/omitting columns is allowed, but
+    # RETYPING a shared column is still refused
+    bad = spark.range(5).select(F.col("id").cast("string").alias("id"))
+    with _pytest.raises(Exception, match="shared columns change|append refused"):
         bad.write.format("sparkcodec").mode("append").save(out)
 
 

@@ -7,7 +7,8 @@
 
 --delete removes rows with lo <= col <= hi as a copy-on-write snapshot
 (zone maps bound the rewrite to overlapping parts; omit lo or hi for a
-half-open range). --compact merges small live parts into bigger ones as a new snapshot
+half-open range). Numeric-looking bounds parse as numbers; quote a bound
+('100') to force a string comparison on string columns. --compact merges small live parts into bigger ones as a new snapshot
 (earlier snapshots stay time-travelable); --expire-keep-last N deletes
 part files referenced by no retained snapshot and squashes the log.
 Run compaction on a schedule after streaming ingestion
@@ -41,6 +42,8 @@ def main() -> int:
         def coerce(v):
             if not v:
                 return None
+            if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+                return v[1:-1]  # quoted: force string bound
             for cast in (int, float):
                 try:
                     return cast(v)

@@ -143,6 +143,7 @@ class SparkcodecReader(DataSourceReader):
     def partitions(self):
         from .engine import (
             completed_parts,
+            part_meta,
             part_null_stats,
             part_stats,
             part_vsets,
@@ -155,19 +156,21 @@ class SparkcodecReader(DataSourceReader):
         parts = snapshot_parts(self.out_dir, self.snapshot_id)
         if parts is None:
             parts = sorted(completed_parts(self.out_dir))
-        if self.bounds:
-            stats = part_stats(self.out_dir)  # one metadata read for all columns
+        if self.bounds or self.eqs or self.nulls:
+            pm = part_meta(self.out_dir)  # ONE metadata read for all dimensions
             for col, (lo, hi) in self.bounds.items():
-                parts = prune_parts(self.out_dir, (col, lo, hi), parts, stats=stats)
-        if self.eqs:
-            vstats = part_vsets(self.out_dir)
+                parts = prune_parts(
+                    self.out_dir, (col, lo, hi), parts, stats=part_stats(self.out_dir, pm)
+                )
             for col, values in self.eqs.items():
-                parts = prune_parts_eq(self.out_dir, col, values, parts, vstats)
-        if self.nulls:
-            nstats = part_null_stats(self.out_dir)
+                parts = prune_parts_eq(
+                    self.out_dir, col, values, parts, part_vsets(self.out_dir, pm)
+                )
             for col, kinds in self.nulls.items():
                 for kind in kinds:
-                    parts = prune_parts_nulls(self.out_dir, col, kind, parts, nstats)
+                    parts = prune_parts_nulls(
+                        self.out_dir, col, kind, parts, part_null_stats(self.out_dir, pm)
+                    )
         if not parts:
             return [InputPartition([])]
         n_tasks = self.n_tasks or min(len(parts), _default_tasks())
@@ -319,15 +322,11 @@ class SparkcodecWriter(DataSourceArrowWriter):
         if os.path.exists(meta_path):
             prev = _load_meta(self.out_dir)
             if prev["schema"] != self.type_names:
-                # add-column evolution (same rule as encode_table): shared
-                # columns must keep their storage type; one-sided columns
-                # are optional and decode as NULL. commit() merges meta.
-                shared = [c for c in prev["columns"] if c in self.columns]
-                if not all(prev["schema"][c] == self.type_names[c] for c in shared):
-                    raise ValueError(
-                        "append refused: shared columns change storage type "
-                        f"({prev['schema']} vs {self.type_names})"
-                    )
+                # add-column evolution, same rule as encode_table (shared
+                # engine helper); commit() merges the meta
+                from .engine import check_schema_evolution
+
+                check_schema_evolution(prev, self.type_names, self.columns)
         existing = completed_parts(self.out_dir)
         self.base = (max(existing) + 1) if existing else 0
 
@@ -356,18 +355,16 @@ class SparkcodecWriter(DataSourceArrowWriter):
         if os.path.exists(meta_path):
             prev = _load_meta(self.out_dir)
             if prev["schema"] != self.type_names:
-                # add-column evolution validated in __init__: merge meta so
-                # readers see the union (old parts decode the new columns
-                # as nulls)
-                merged_cols = prev["columns"] + [
-                    c for c in self.columns if c not in prev["columns"]
-                ]
-                merged_schema = {**prev["schema"], **self.type_names}
-                prev["columns"] = merged_cols
-                prev["schema"] = {c: merged_schema[c] for c in merged_cols}
-                from .engine import _atomic_write_json
+                # add-column evolution validated in __init__: merge meta
+                # through the shared engine helper so readers see the
+                # union (old parts decode the new columns as nulls) and
+                # existing field metadata survives
+                from .engine import _atomic_write_json, merge_evolved_meta
 
-                _atomic_write_json(meta_path, prev)
+                _atomic_write_json(
+                    meta_path,
+                    merge_evolved_meta(prev, self.type_names, self.columns),
+                )
         if not os.path.exists(meta_path):
             meta = {
                 "schema": self.type_names,
@@ -387,15 +384,11 @@ class SparkcodecWriter(DataSourceArrowWriter):
             _atomic_write_json(meta_path, meta)
         snaps = snapshots(self.out_dir)
         if not snaps:
-            # pre-snapshot table (parts exist but no log): this entry becomes
-            # the root snapshot, so it must carry the legacy parts below base
-            # too — otherwise snapshot-resolving readers drop every
-            # pre-existing row (same rule as encode_table / compact_table)
-            from .engine import completed_parts
+            # pre-snapshot table (parts exist but no log): this entry
+            # becomes the root snapshot (shared engine rule)
+            from .engine import legacy_root_parts
 
-            parts = sorted(
-                set(parts) | {p for p in completed_parts(self.out_dir) if p < self.base}
-            )
+            parts = legacy_root_parts(self.out_dir, parts, self.base)
         entry = {
             "id": (snaps[-1]["id"] + 1) if snaps else 1,
             "parent": snaps[-1]["id"] if snaps else 0,

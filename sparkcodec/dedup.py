@@ -50,9 +50,17 @@ def _shingles(
     k: int,
     max_chars: int = SHINGLE_MAX_CHARS,
 ) -> DataFrame:
-    txt = F.col(text_col).substr(F.lit(1), F.lit(max_chars))
-    return df.select(
+    # project the capped text ONCE: embedding the substr in the transform
+    # lambda would re-slice the full document per shingle position (HOF
+    # lambdas are interpreted with no loop-invariant hoisting — O(cap^2)
+    # bytes copied for a cap-length doc)
+    capped = df.select(
         F.col(key_col).alias("key"),
+        F.col(text_col).substr(F.lit(1), F.lit(max_chars)).alias("__txt"),
+    )
+    txt = F.col("__txt")
+    return capped.select(
+        "key",
         F.explode_outer(
             F.array_distinct(
                 F.transform(

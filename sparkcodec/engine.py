@@ -151,6 +151,45 @@ def _atomic_write_json(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+def legacy_root_parts(out_dir: str, parts: list[int], base: int) -> list[int]:
+    """Widen a commit that ROOTS the snapshot log of a pre-snapshot table:
+    the entry must carry the legacy parts below ``base`` too, or
+    snapshot-resolving readers silently drop every pre-existing row."""
+    return sorted(set(parts) | {p for p in completed_parts(out_dir) if p < base})
+
+
+def check_schema_evolution(prev: dict, schema: dict[str, str], columns: list[str]):
+    """Validate an append's schema against the existing table meta under
+    the add-column evolution rule: shared columns must keep their storage
+    type; one-sided columns are optional (absent block files decode as
+    NULL). Raises on retyping."""
+    shared = [c for c in prev["columns"] if c in columns]
+    if not all(prev["schema"][c] == schema[c] for c in shared):
+        raise ValueError(
+            "append refused: shared columns change storage type "
+            f"({prev['schema']} vs {schema})"
+        )
+
+
+def merge_evolved_meta(
+    prev: dict, schema: dict[str, str], columns: list[str],
+    field_metadata: dict | None = None,
+) -> dict:
+    """Union an append's schema into the existing table meta (validated
+    by :func:`check_schema_evolution`): old column order is preserved,
+    new columns append, field metadata from both sides merges."""
+    new_cols = [c for c in columns if c not in prev["columns"]]
+    merged_schema = {**prev["schema"], **schema}
+    out = dict(prev)
+    out["columns"] = prev["columns"] + new_cols
+    out["schema"] = {c: merged_schema[c] for c in out["columns"]}
+    out["field_metadata"] = {
+        **(prev.get("field_metadata") or {}),
+        **(field_metadata or {}),
+    }
+    return out
+
+
 def _encode_one_part(
     part_id: int,
     batches: list[pa.RecordBatch],
@@ -402,20 +441,41 @@ def _part_col_vset(arr: pa.Array):
     return sorted(vals.to_pylist())
 
 
-def part_vsets(out_dir: str) -> dict[int, dict]:
-    """{part_id: {col: [values]}} from the checkpoint lineage — one
-    O(#parts) metadata read; tables written before value-set accounting
-    yield empty dicts (never pruned)."""
+def part_meta(out_dir: str) -> dict[int, dict]:
+    """All pruning metadata in ONE O(#parts) checkpoint read:
+    {part_id: {"n_rows", "stats", "nulls", "vset"}}. The per-dimension
+    accessors below are views over this — callers applying several
+    pruning dimensions (DataSource partitions, decode_table) should load
+    this once instead of scanning the checkpoint dataset per dimension."""
     import pyarrow.dataset as ds
 
     d = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
     if not os.path.isdir(d):
         return {}
-    tbl = ds.dataset(d, format="parquet").to_table(columns=["part_id", "meta"])
+    tbl = ds.dataset(d, format="parquet").to_table(
+        columns=["part_id", "n_rows", "meta"]
+    )
     out = {}
-    for pid, meta in zip(tbl.column("part_id").to_pylist(), tbl.column("meta").to_pylist()):
-        out[int(pid)] = json.loads(meta).get("vset") or {}
+    for pid, n, meta in zip(
+        tbl.column("part_id").to_pylist(),
+        tbl.column("n_rows").to_pylist(),
+        tbl.column("meta").to_pylist(),
+    ):
+        m = json.loads(meta)
+        out[int(pid)] = {
+            "n_rows": int(n),
+            "stats": m.get("stats") or {},
+            "nulls": m.get("nulls") or {},
+            "vset": m.get("vset") or {},
+        }
     return out
+
+
+def part_vsets(out_dir: str, meta: dict | None = None) -> dict[int, dict]:
+    """{part_id: {col: [values]}}; tables written before value-set
+    accounting yield empty dicts (never pruned)."""
+    pm = meta if meta is not None else part_meta(out_dir)
+    return {p: d["vset"] for p, d in pm.items()}
 
 
 def prune_parts_eq(
@@ -427,32 +487,36 @@ def prune_parts_eq(
     if vstats is None:
         vstats = part_vsets(out_dir)
     probe = set(values)
+
+    def _kind(x):
+        # bool before int (bool is an int subclass); int/float unify so
+        # probe 3 matches stored 3.0 the same way set equality does
+        if isinstance(x, bool):
+            return "bool"
+        if isinstance(x, (int, float)):
+            return "num"
+        return type(x).__name__
+
+    probe_kinds = {_kind(v) for v in probe}
     keep = []
     for p in parts:
         vs = vstats.get(p, {}).get(col)
         if vs is not None:
-            try:
-                if not probe & set(vs):
-                    continue
-            except TypeError:
-                pass  # unhashable/mismatched probe: keep (conservative)
+            # a type-mismatched probe (e.g. string "3" against an int
+            # value set) must KEEP the part — set intersection would just
+            # come back empty and silently prune matching data, unlike
+            # the range path where the comparison raises TypeError
+            if probe_kinds <= {_kind(x) for x in vs} and not probe & set(vs):
+                continue
         keep.append(p)
     return keep
 
 
-def part_stats(out_dir: str) -> dict[int, dict]:
+def part_stats(out_dir: str, meta: dict | None = None) -> dict[int, dict]:
     """Per-part zone maps ({part_id: {col: [min, max]}}) from the
     checkpoint lineage — one O(#parts) metadata read, no payload I/O."""
-    import pyarrow.dataset as ds
-
-    d = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
-    if not os.path.isdir(d):
-        return {}
-    tbl = ds.dataset(d, format="parquet").to_table(columns=["part_id", "meta"])
-    out = {}
-    for pid, meta in zip(tbl.column("part_id").to_pylist(), tbl.column("meta").to_pylist()):
-        out[int(pid)] = json.loads(meta).get("stats") or {}
-    return out
+    pm = meta if meta is not None else part_meta(out_dir)
+    return {p: d["stats"] for p, d in pm.items()}
 
 
 def prune_parts(
@@ -481,24 +545,12 @@ def prune_parts(
     return keep
 
 
-def part_null_stats(out_dir: str) -> dict[int, dict]:
-    """{part_id: {"n_rows": n, "nulls": {col: null_count}}} from the
-    checkpoint lineage — one O(#parts) metadata read. Tables written
-    before null accounting have an empty "nulls" dict (never pruned)."""
-    import pyarrow.dataset as ds
-
-    d = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
-    if not os.path.isdir(d):
-        return {}
-    tbl = ds.dataset(d, format="parquet").to_table(columns=["part_id", "n_rows", "meta"])
-    out = {}
-    for pid, n, meta in zip(
-        tbl.column("part_id").to_pylist(),
-        tbl.column("n_rows").to_pylist(),
-        tbl.column("meta").to_pylist(),
-    ):
-        out[int(pid)] = {"n_rows": int(n), "nulls": json.loads(meta).get("nulls") or {}}
-    return out
+def part_null_stats(out_dir: str, meta: dict | None = None) -> dict[int, dict]:
+    """{part_id: {"n_rows": n, "nulls": {col: null_count}}}; tables
+    written before null accounting have an empty "nulls" dict (never
+    pruned)."""
+    pm = meta if meta is not None else part_meta(out_dir)
+    return {p: {"n_rows": d["n_rows"], "nulls": d["nulls"]} for p, d in pm.items()}
 
 
 def prune_parts_nulls(
@@ -682,7 +734,6 @@ def encode_table(
         part_keys = part_keys + ("target_part_rows",)
     run_config = {k: meta[k] for k in part_keys}
     base = 0
-    pre_existing: set[int] = set()  # legacy parts below base (pre-snapshot table)
     if append and os.path.exists(meta_path):
         with open(meta_path) as fh:
             prev = json.load(fh)
@@ -693,21 +744,11 @@ def encode_table(
             # block file decode it as NULL, in both directions (old parts
             # for added columns, new parts for omitted ones). Retyping a
             # shared column is refused.
-            old_cols = prev["columns"]
-            shared = [c for c in old_cols if c in cols]
-            if not all(prev["schema"][c] == meta["schema"][c] for c in shared):
-                raise ValueError(
-                    "append refused: shared columns change storage type "
-                    f"({prev['schema']} vs {meta['schema']})"
-                )
-            new_cols = [c for c in cols if c not in old_cols]
-            merged_schema = {**prev["schema"], **meta["schema"]}
-            meta["columns"] = old_cols + new_cols
-            meta["schema"] = {c: merged_schema[c] for c in meta["columns"]}
-            meta["field_metadata"] = {
-                **(prev.get("field_metadata") or {}),
-                **meta["field_metadata"],
-            }
+            check_schema_evolution(prev, meta["schema"], cols)
+            merged = merge_evolved_meta(
+                prev, meta["schema"], cols, meta["field_metadata"]
+            )
+            meta.update(merged)
             _atomic_write_json(meta_path, meta)
         existing = completed_parts(out_dir)
         if resume and os.path.exists(pending_path):
@@ -725,7 +766,6 @@ def encode_table(
             with open(pending_path, "w") as fh:
                 json.dump({"base": base, "config": run_config}, fh)
         done = {p for p in existing if p >= base} if resume else set()
-        pre_existing = {p for p in existing if p < base}
     else:
         if resume and os.path.exists(meta_path):
             with open(meta_path) as fh:
@@ -829,10 +869,9 @@ def encode_table(
     # appending to a pre-snapshot table (no _snapshots.jsonl, e.g. written
     # by an older engine): the entry about to be written becomes the ROOT
     # snapshot, so it must carry the full live set — the legacy parts below
-    # base included — or snapshot-resolving readers silently drop every
-    # base-table row (compact_table applies the same legacy rule)
-    if append and not snaps and pre_existing:
-        new_parts = sorted(set(new_parts) | pre_existing)
+    # base included (compact_table applies the same legacy rule)
+    if append and not snaps:
+        new_parts = legacy_root_parts(out_dir, new_parts, base)
     # append: commit when this run produced or resumed any part (a fully
     # checkpointed append that crashed before its commit still commits on
     # resume); create: commit when work happened or no snapshot exists yet
@@ -1168,11 +1207,14 @@ def decode_table(
     if parts is None:
         parts = sorted(completed_parts(out_dir))
     if where is not None:
-        parts = prune_parts(out_dir, where, parts)
+        pm = part_meta(out_dir)  # one read feeds both pruning dimensions
+        parts = prune_parts(out_dir, where, parts, stats=part_stats(out_dir, pm))
         if where[1] is not None and where[1] == where[2]:
             # point predicate: exact value-set membership can refute
             # parts whose [min, max] range merely spans the value
-            parts = prune_parts_eq(out_dir, where[0], [where[1]], parts)
+            parts = prune_parts_eq(
+                out_dir, where[0], [where[1]], parts, part_vsets(out_dir, pm)
+            )
     # several parts per task: decode parallelism needs only ~4x the slots,
     # and per-task Python handoff dominates with hundreds of tiny tasks
     n_tasks = max(1, min(len(parts), 4 * spark.sparkContext.defaultParallelism))
@@ -1413,6 +1455,7 @@ def _copy_on_write_delete(
     meta: dict,
     mask_fn,
     tag: list,
+    extra: dict | None = None,
 ) -> dict:
     """Shared copy-on-write rewrite for row-level delete/merge: decode
     each affected part, drop the rows ``mask_fn`` marks (a picklable
@@ -1420,7 +1463,26 @@ def _copy_on_write_delete(
     null-safe), re-encode survivors under new part ids, and commit one
     snapshot (removed_parts = changed parts only; an untouched part
     keeps its id with no write). ``tag`` is recorded under the entry's
-    ``delete`` key so the changefeed skips the rewrite."""
+    ``delete`` key so the changefeed skips the rewrite.
+
+    On a pre-snapshot (legacy) table a ROOT snapshot of the current live
+    set is committed BEFORE any rewritten part is written: from that
+    moment readers resolve the snapshot log, so the new parts stay
+    invisible orphans until the delete entry commits — without this the
+    completed_parts fallback would show survivor rows twice (old part +
+    rewrite), permanently if the job crashed mid-way."""
+    if not snapshots(out_dir):
+        root = {
+            "id": 1,
+            "parent": 0,
+            "new_parts": sorted(live),
+            "n_rows": 0,
+            "enc_bytes": 0,
+            "layout": meta.get("layout", "clustered"),
+            "ts": time.time(),
+        }
+        with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
+            fh.write(json.dumps(root, separators=(",", ":")) + "\n")
     base = max(max(live), max(completed_parts(out_dir), default=0)) + 1
     columns = meta["columns"]
     arrow_schema = pa.schema(
@@ -1470,16 +1532,11 @@ def _copy_on_write_delete(
     deleted = sum(r["n_before"] - r["n_after"] for r in summary)
     if not removed:
         return {"parts_scanned": len(affected), "parts_rewritten": 0, "rows_deleted": 0}
-    snaps = snapshots(out_dir)
-    if snaps:
-        new_parts = created
-    else:
-        # legacy table without a snapshot log: root with the full live set
-        new_parts = sorted(set(created) | (set(live) - set(removed)))
+    snaps = snapshots(out_dir)  # never empty: the legacy root committed above
     entry = {
-        "id": (snaps[-1]["id"] + 1) if snaps else 1,
-        "parent": snaps[-1]["id"] if snaps else 0,
-        "new_parts": new_parts,
+        "id": snaps[-1]["id"] + 1,
+        "parent": snaps[-1]["id"],
+        "new_parts": created,
         "removed_parts": removed,
         "n_rows": -deleted,
         "enc_bytes": 0,
@@ -1487,6 +1544,8 @@ def _copy_on_write_delete(
         "delete": tag,
         "ts": time.time(),
     }
+    if extra:
+        entry.update(extra)
     with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
         fh.write(json.dumps(entry, separators=(",", ":")) + "\n")
     return {
@@ -1571,7 +1630,12 @@ def upsert_rows(
     3. ``df`` appends under new part ids (standard append snapshot), so
        the table moves through two snapshots: delete-matching, then add.
        Readers resolve either the pre-merge table or a complete step —
-       never a torn part.
+       never a torn part. The two steps are NOT one atomic commit: a
+       crash between them leaves the delete applied without the new
+       rows. Both snapshots carry the same ``merge`` id, so a retry (or
+       audit) can detect a delete entry whose merge id has no matching
+       append and re-run the append; time travel to the pre-merge
+       snapshot recovers the deleted rows either way.
 
     The incoming key set is collected to the driver and broadcast to the
     rewrite tasks (bounded by ``max_keys``, refused above it — an
@@ -1586,6 +1650,7 @@ def upsert_rows(
             f"or raise max_keys"
         )
     keys = sorted(r[0] for r in keys_rows if r[0] is not None)
+    merge_id = uuid.uuid4().hex[:16]
     deleted = {"parts_scanned": 0, "parts_rewritten": 0, "rows_deleted": 0}
     if keys and os.path.exists(os.path.join(out_dir, "_table_meta.json")):
         meta, live = _load_live(out_dir, key_col)
@@ -1603,9 +1668,12 @@ def upsert_rows(
 
             deleted = _copy_on_write_delete(
                 spark, out_dir, affected, live, meta, mask,
-                [key_col, "in-set", len(keys)],
+                [key_col, "in-set", len(keys)], extra={"merge": merge_id},
             )
-    app = encode_table(spark, df, out_dir, append=True, **encode_kwargs)
+    app = encode_table(
+        spark, df, out_dir, append=True,
+        snapshot_extra={"merge": merge_id}, **encode_kwargs,
+    )
     return {
         "rows_deleted": deleted["rows_deleted"],
         "parts_rewritten": deleted["parts_rewritten"],

@@ -179,7 +179,16 @@ def encode_stream(
             return
         tag = [ckpt_key, int(batch_id)]
         if any(s.get("stream") == tag for s in snapshots(out_dir)):
-            return  # replay of a fully committed batch: exactly-once no-op
+            # replay of a fully committed batch: exactly-once no-op. The
+            # crash that caused the replay may have hit between the
+            # snapshot commit and encode_table's pending-file cleanup; a
+            # stale _pending_append.json would make the NEXT batch reuse
+            # this batch's part-id base and anti-join its rows away, so
+            # finish the cleanup here (single-writer contract).
+            pend = os.path.join(out_dir, "_pending_append.json")
+            if os.path.exists(pend):
+                os.remove(pend)
+            return
         encode_table(
             batch_df.sparkSession,
             batch_df,

@@ -1169,3 +1169,22 @@ def test_upsert_rows_merge_by_key(spark, tmp_path):
     # exact set membership: key 105 was updated but 105.5-ish neighbors
     # in the same zone-map span survive as old
     assert sum(1 for v in vals.values() if v == "new") == 20
+
+
+def test_prune_parts_eq_type_mismatch_keeps(spark, tmp_path):
+    """A type-mismatched equality probe (string '3' against an int value
+    set) must KEEP parts — set intersection comes back empty without
+    raising, so without the type guard matching data would silently
+    vanish."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import completed_parts, encode_table, prune_parts_eq
+
+    out = str(tmp_path / "eqguard")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 4).alias("g"))
+    encode_table(spark, df, out, cluster_by=None, salt_by=["id"], sort_by=["g"],
+                 num_parts=1, resume=False)
+    parts = sorted(completed_parts(out))
+    assert prune_parts_eq(out, "g", ["3"], parts) == parts  # mismatched: keep
+    assert prune_parts_eq(out, "g", [3], parts) == parts    # present: keep
+    assert prune_parts_eq(out, "g", [9], parts) == []       # absent: prune

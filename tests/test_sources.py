@@ -377,6 +377,13 @@ def test_encode_stream_replay_of_committed_batch_is_noop(spark, tmp_path):
     crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
     if os.path.exists(crc):
         os.remove(crc)  # hadoop checksum twin; a real crash loses both
+    # the same crash window can also leave encode_table's pending-append
+    # marker behind (snapshot committed, cleanup lost) — the replay must
+    # clear it or the NEXT batch would reuse this batch's part-id base
+    import json as _json
+
+    with open(os.path.join(out, "_pending_append.json"), "w") as fh:
+        _json.dump({"base": 2, "config": {}}, fh)
     # the stopped query deregisters its checkpoint lock asynchronously
     import time as _time
 
@@ -389,6 +396,7 @@ def test_encode_stream_replay_of_committed_batch_is_noop(spark, tmp_path):
     q2.stop()
     snaps = snapshots(out)
     assert len(snaps) == 3, [s.get("stream") for s in snaps]
+    assert not os.path.exists(os.path.join(out, "_pending_append.json"))
     dec = decode_table(spark, out)
     assert dec.count() == 150
     assert dec.agg({"k": "max"}).collect()[0][0] == 149

@@ -148,6 +148,7 @@ class SparkcodecReader(DataSourceReader):
             part_stats,
             part_vsets,
             prune_parts,
+            prune_parts_bloom,
             prune_parts_eq,
             prune_parts_nulls,
             snapshot_parts,
@@ -165,6 +166,10 @@ class SparkcodecReader(DataSourceReader):
             for col, values in self.eqs.items():
                 parts = prune_parts_eq(
                     self.out_dir, col, values, parts, part_vsets(self.out_dir, pm)
+                )
+                parts = prune_parts_bloom(
+                    self.out_dir, col, values, parts,
+                    {p: d["bloom"] for p, d in pm.items()},
                 )
             for col, kinds in self.nulls.items():
                 for kind in kinds:

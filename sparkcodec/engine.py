@@ -218,6 +218,7 @@ def _encode_one_part(
     col_stats: dict[str, list] = {}
     col_nulls: dict[str, int] = {}
     col_vsets: dict[str, list] = {}
+    col_blooms: dict[str, dict] = {}
     for col in data_cols:
         arr = table.column(col).combine_chunks()
         st = _part_col_stats(arr)
@@ -226,6 +227,10 @@ def _encode_one_part(
             vs = _part_col_vset(arr)
             if vs is not None:
                 col_vsets[col] = vs
+            else:
+                bl = _part_col_bloom(arr)
+                if bl is not None:
+                    col_blooms[col] = bl
         col_nulls[col] = int(arr.null_count)
         if select_cache is not None and col in select_cache:
             spec, fsst_table = select_cache[col]
@@ -281,6 +286,7 @@ def _encode_one_part(
         "stats": col_stats,  # zone maps: [min, max] per prunable column
         "nulls": col_nulls,  # per-column null counts (every column)
         "vset": col_vsets,  # exact distinct-value sets (low-card columns)
+        "bloom": col_blooms,  # point-lookup blooms (mid-card columns)
         "symbol_tables": sym_sha,
         "raw_bytes": part_raw,
         "enc_bytes": part_enc,
@@ -441,6 +447,95 @@ def _part_col_vset(arr: pa.Array):
     return sorted(vals.to_pylist())
 
 
+_BLOOM_M = 1 << 16  # bits (8 KiB bitset; zlib-compressed in lineage)
+_BLOOM_K = 4
+_BLOOM_MAX_DISTINCT = 8192  # FPR <~2% at this fill; above it, skip
+
+
+def _bloom_key(v) -> str:
+    # kind-tagged so an int never matches a float/string bit pattern;
+    # cross-kind probes are handled conservatively at prune time
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        return f"f:{v!r}"
+    return f"s:{v}"
+
+
+def _bloom_positions(v):
+    import hashlib
+
+    d = hashlib.blake2b(_bloom_key(v).encode(), digest_size=16).digest()
+    return [
+        int.from_bytes(d[i * 4 : (i + 1) * 4], "little") % _BLOOM_M
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _part_col_bloom(arr: pa.Array):
+    """Bloom filter over a part's distinct values for MID-cardinality
+    columns (above the exact value-set cap, below _BLOOM_MAX_DISTINCT) —
+    the point-lookup pruner for columns where [min, max] spans are wide
+    and value sets would be too big. Returns {"kinds": [...], "b64": z}
+    or None. High-cardinality columns are skipped via the same head
+    gate as value sets (a full-unique pass there buys nothing)."""
+    import base64
+    import zlib
+
+    import pyarrow.compute as pc
+
+    head = pc.unique(arr.slice(0, 4096).drop_null())
+    if len(head) >= 4096:
+        return None  # (near-)unique column: bloom would saturate
+    vals = pc.unique(arr.drop_null())
+    if not (_VSET_MAX < len(vals) <= _BLOOM_MAX_DISTINCT):
+        return None  # small cards use the exact value set instead
+    bits = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+    kinds = set()
+    for v in vals.to_pylist():
+        kinds.add(_bloom_key(v)[0])
+        for pos in _bloom_positions(v):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {
+        "kinds": sorted(kinds),
+        "b64": base64.b64encode(zlib.compress(bits.tobytes())).decode(),
+    }
+
+
+def prune_parts_bloom(
+    out_dir: str, col: str, values: list, parts: list[int], blooms: dict | None = None
+) -> list[int]:
+    """Bloom-filter part pruning for equality/IN: drop a part when every
+    probe value misses its bloom. Probes whose kind the bloom never saw
+    keep the part (cross-type equality goes through Spark casts the
+    bloom can't model); parts without a bloom are kept."""
+    import base64
+    import zlib
+
+    if blooms is None:
+        blooms = {p: d["bloom"] for p, d in part_meta(out_dir).items()}
+    probes = [(_bloom_key(v)[0], _bloom_positions(v)) for v in values]
+    keep = []
+    for p in parts:
+        rec = (blooms.get(p) or {}).get(col)
+        if rec is not None:
+            kinds = set(rec["kinds"])
+            if all(k in kinds for k, _ in probes):
+                bits = np.frombuffer(
+                    zlib.decompress(base64.b64decode(rec["b64"])), dtype=np.uint8
+                )
+                hit = any(
+                    all(bits[pos >> 3] & (1 << (pos & 7)) for pos in poss)
+                    for _, poss in probes
+                )
+                if not hit:
+                    continue
+        keep.append(p)
+    return keep
+
+
 def part_meta(out_dir: str) -> dict[int, dict]:
     """All pruning metadata in ONE O(#parts) checkpoint read:
     {part_id: {"n_rows", "stats", "nulls", "vset"}}. The per-dimension
@@ -467,6 +562,7 @@ def part_meta(out_dir: str) -> dict[int, dict]:
             "stats": m.get("stats") or {},
             "nulls": m.get("nulls") or {},
             "vset": m.get("vset") or {},
+            "bloom": m.get("bloom") or {},
         }
     return out
 
@@ -1214,6 +1310,10 @@ def decode_table(
             # parts whose [min, max] range merely spans the value
             parts = prune_parts_eq(
                 out_dir, where[0], [where[1]], parts, part_vsets(out_dir, pm)
+            )
+            parts = prune_parts_bloom(
+                out_dir, where[0], [where[1]], parts,
+                {p: d["bloom"] for p, d in pm.items()},
             )
     # several parts per task: decode parallelism needs only ~4x the slots,
     # and per-task Python handoff dominates with hundreds of tiny tasks

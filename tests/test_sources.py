@@ -625,3 +625,44 @@ def test_value_set_pruning_beats_zone_maps(spark, tmp_path):
     # high-cardinality column records no value set (head-sample gate)
     assert "id" not in vs if isinstance(vs, dict) else True
     assert "id" not in part_vsets(out)[parts[0]]
+
+
+def test_bloom_pruning_mid_cardinality(spark, tmp_path):
+    """Mid-cardinality columns (above the exact value-set cap) record a
+    bloom filter: absent point probes prune parts, present values and
+    cross-kind probes keep them, (near-)unique columns record nothing."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import (
+        completed_parts,
+        encode_table,
+        part_meta,
+        prune_parts_bloom,
+        prune_parts_eq,
+    )
+
+    out = str(tmp_path / "bloom")
+    # tag has 500 distinct values (> _VSET_MAX=64, <= bloom cap); id is unique
+    df = spark.range(5000).select(
+        F.col("id"), F.concat(F.lit("v"), (F.col("id") % 500)).alias("tag")
+    )
+    encode_table(spark, df, out, cluster_by=None, salt_by=["id"], sort_by=["tag"],
+                 num_parts=1, resume=False)
+    parts = sorted(completed_parts(out))
+    pm = part_meta(out)
+    rec = pm[parts[0]]["bloom"]
+    assert "tag" in rec and rec["tag"]["kinds"] == ["s"], rec.keys()
+    assert "id" not in rec  # unique column: head gate skips the bloom
+    assert "tag" not in pm[parts[0]]["vset"]  # too many distinct for vset
+    blooms = {p: d["bloom"] for p, d in pm.items()}
+    assert prune_parts_bloom(out, "tag", ["nope"], parts, blooms) == []
+    assert prune_parts_bloom(out, "tag", ["v123"], parts, blooms) == parts
+    assert prune_parts_bloom(out, "tag", [123], parts, blooms) == parts  # kind miss
+    # value-set path stays conservative for this column (no vset stored)
+    assert prune_parts_eq(out, "tag", ["nope"], parts) == parts
+    # end-to-end: DS point read stays exact, absent value scans nothing
+    spark.dataSource.register(SparkcodecDataSource)
+    ds = spark.read.format("sparkcodec").load(out)
+    assert ds.filter(F.col("tag") == "v123").count() == 10
+    assert ds.filter(F.col("tag") == "absent").count() == 0

@@ -8,7 +8,10 @@
 --delete removes rows with lo <= col <= hi as a copy-on-write snapshot
 (zone maps bound the rewrite to overlapping parts; omit lo or hi for a
 half-open range). Numeric-looking bounds parse as numbers; quote a bound
-('100') to force a string comparison on string columns. --compact merges small live parts into bigger ones as a new snapshot
+('100') to force a string comparison on string columns — quoted bounds
+may contain colons (ts:'12:00':'13:00'). The separate
+--delete-col/--delete-lo/--delete-hi flags avoid quoting entirely.
+--compact merges small live parts into bigger ones as a new snapshot
 (earlier snapshots stay time-travelable); --expire-keep-last N deletes
 part files referenced by no retained snapshot and squashes the log.
 Run compaction on a schedule after streaming ingestion
@@ -24,6 +27,47 @@ import json
 import sys
 
 
+def _coerce_bound(v: str | None):
+    """Bound literal -> engine value: empty = open bound, quoted = forced
+    string (quotes stripped), numeric-looking = int/float, else string."""
+    if not v:
+        return None
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+        return v[1:-1]  # quoted: force string bound
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
+
+
+def parse_delete_spec(spec: str) -> tuple:
+    """Parse ``col:lo:hi`` into a delete predicate, splitting on ':' only
+    OUTSIDE quotes so a quoted bound containing a colon (the documented
+    string-forcing syntax, e.g. ``ts:'12:00':'13:00'``) stays one token."""
+    toks: list[str] = []
+    cur: list[str] = []
+    q: str | None = None
+    for ch in spec:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            cur.append(ch)
+            q = ch
+        elif ch == ":":
+            toks.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    toks.append("".join(cur))
+    if len(toks) != 3:
+        raise ValueError(f"--delete expects col:lo:hi, got {spec!r}")
+    return toks[0], _coerce_bound(toks[1]), _coerce_bound(toks[2])
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--table", required=True, help="encoded blocks dir")
@@ -31,29 +75,30 @@ def main() -> int:
     ap.add_argument("--target-part-rows", type=int, default=262_144)
     ap.add_argument("--expire-keep-last", type=int, default=None)
     ap.add_argument("--delete", default=None, help="col:lo:hi range to delete")
+    ap.add_argument("--delete-col", default=None, help="delete: column name")
+    ap.add_argument("--delete-lo", default=None, help="delete: low bound (always a string)")
+    ap.add_argument("--delete-hi", default=None, help="delete: high bound (always a string)")
     args = ap.parse_args()
 
     out = {}
-    if args.delete:
+    if args.delete or args.delete_col:
         from pyspark.sql import SparkSession
 
         from sparkcodec.engine import delete_rows
 
-        def coerce(v):
-            if not v:
-                return None
-            if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
-                return v[1:-1]  # quoted: force string bound
-            for cast in (int, float):
-                try:
-                    return cast(v)
-                except ValueError:
-                    pass
-            return v
-
-        col, lo, hi = args.delete.split(":", 2)
+        if args.delete_col:
+            col, lo, hi = (
+                args.delete_col,
+                _coerce_bound(args.delete_lo),
+                _coerce_bound(args.delete_hi),
+            )
+        else:
+            try:
+                col, lo, hi = parse_delete_spec(args.delete)
+            except ValueError as e:
+                ap.error(str(e))
         spark = SparkSession.builder.appName("sparkcodec-maintain").getOrCreate()
-        out["delete"] = delete_rows(spark, args.table, (col, coerce(lo), coerce(hi)))
+        out["delete"] = delete_rows(spark, args.table, (col, lo, hi))
     if args.compact:
         from pyspark.sql import SparkSession
 

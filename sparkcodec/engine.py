@@ -460,6 +460,11 @@ def _bloom_key(v) -> str:
     if isinstance(v, int):
         return f"i:{v}"
     if isinstance(v, float):
+        # IEEE equality must drive the key: -0.0 == 0.0 but their reprs
+        # differ, so normalize signed zero or a part storing -0.0 would
+        # be bloom-pruned for probe 0.0 (silently dropping matches)
+        if v == 0:
+            v = 0.0
         return f"f:{v!r}"
     return f"s:{v}"
 

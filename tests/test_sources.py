@@ -666,3 +666,23 @@ def test_bloom_pruning_mid_cardinality(spark, tmp_path):
     ds = spark.read.format("sparkcodec").load(out)
     assert ds.filter(F.col("tag") == "v123").count() == 10
     assert ds.filter(F.col("tag") == "absent").count() == 0
+
+
+def test_bloom_key_signed_zero():
+    """IEEE -0.0 == 0.0, so build and probe must agree on one key — a
+    part storing -0.0 must not be bloom-pruned for probe 0.0."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sparkcodec.engine import _bloom_key, _part_col_bloom, prune_parts_bloom
+
+    assert _bloom_key(-0.0) == _bloom_key(0.0)
+    assert _bloom_key(0.0) != _bloom_key(0)  # kinds stay distinct
+    # bloom built over a mid-cardinality float column containing -0.0
+    vals = np.concatenate([[-0.0], np.arange(1, 200, dtype=np.float64)])
+    rec = _part_col_bloom(pa.array(np.tile(vals, 30)))
+    assert rec is not None and rec["kinds"] == ["f"]
+    blooms = {0: {"x": rec}}
+    assert prune_parts_bloom(".", "x", [0.0], [0], blooms) == [0]  # kept
+    assert prune_parts_bloom(".", "x", [-0.0], [0], blooms) == [0]
+    assert prune_parts_bloom(".", "x", [777.5], [0], blooms) == []  # pruned

@@ -6,7 +6,7 @@ Cluster usage (same packaging as jobs/encode_job.py):
     spark-submit --py-files sparkcodec.zip jobs/decode_job.py \
         --input /mnt/shared/enc --output /mnt/shared/decoded \
         [--columns lang,repo] [--snapshot-id 3] \
-        [--where repo:repoA:repoZ]
+        [--where repo:repoA:repoZ] [--where stars:100:]
 
 --columns prunes at the file level (only those columns' block files are
 read); --snapshot-id time-travels to an earlier committed append;
@@ -14,6 +14,8 @@ read); --snapshot-id time-travels to an earlier committed append;
 recorded zone maps before any payload is decoded (conservative — rows
 outside [lo, hi] may remain; bounds are coerced to the column's
 recorded type, so '100' on a string column stays the string '100').
+Repeat --where for a conjunction: each predicate prunes independently
+and the surviving block row ranges intersect.
 Omit --output to just count rows (a decode smoke).
 
 Prints one JSON line with row count, wall seconds, and the pruning
@@ -49,7 +51,10 @@ def main() -> int:
     ap.add_argument("--output", default=None, help="parquet out dir; omit to count only")
     ap.add_argument("--columns", default=None, help="comma-separated subset")
     ap.add_argument("--snapshot-id", type=int, default=None)
-    ap.add_argument("--where", default=None, help="col:lo:hi (empty bound = open)")
+    ap.add_argument(
+        "--where", action="append", default=None,
+        help="col:lo:hi (empty bound = open); repeat for a conjunction",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,25 +67,30 @@ def main() -> int:
     )
 
     spark = SparkSession.builder.appName("sparkcodec-decode").getOrCreate()
-    where = None
+    wheres = []
     if args.where:
         import json as _json
         import os as _os
 
-        col, lo, hi = args.where.split(":", 2)
         with open(_os.path.join(args.input, "_table_meta.json")) as fh:
-            tname = _json.load(fh)["schema"][col]
-        where = (col, _bound(lo, tname), _bound(hi, tname))
+            schema = _json.load(fh)["schema"]
+        for spec in args.where:
+            col, lo, hi = spec.split(":", 2)
+            tname = schema[col]
+            wheres.append((col, _bound(lo, tname), _bound(hi, tname)))
     columns = args.columns.split(",") if args.columns else None
 
     parts = snapshot_parts(args.input, args.snapshot_id)
     if parts is None:
         parts = sorted(completed_parts(args.input))
-    kept = prune_parts(args.input, where, parts) if where else parts
+    kept = parts
+    for w in wheres:
+        kept = prune_parts(args.input, w, kept)
 
     t0 = time.time()
     df = decode_table(
-        spark, args.input, columns=columns, snapshot_id=args.snapshot_id, where=where
+        spark, args.input, columns=columns, snapshot_id=args.snapshot_id,
+        where=wheres or None,
     )
     if args.output:
         df.write.mode("overwrite").parquet(args.output)

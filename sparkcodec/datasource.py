@@ -70,19 +70,7 @@ def _default_tasks() -> int:
     return 4 * (os.cpu_count() or 8)
 
 
-def _intersect_ranges(a, b):
-    """Intersection of two sorted half-open range lists."""
-    out, i, j = [], 0, 0
-    while i < len(a) and j < len(b):
-        lo = max(a[i][0], b[j][0])
-        hi = min(a[i][1], b[j][1])
-        if lo < hi:
-            out.append([lo, hi])
-        if a[i][1] <= b[j][1]:
-            i += 1
-        else:
-            j += 1
-    return out
+from .engine import _intersect_ranges  # shared with decode_table's multi-predicate path
 
 
 class SparkcodecReader(DataSourceReader):

@@ -1063,6 +1063,56 @@ def _to_output_type(arr: pa.Array, target: pa.DataType) -> pa.Array:
     return arr.cast(target)
 
 
+def _intersect_ranges(a, b):
+    """Intersection of two sorted half-open row-range lists — shared by
+    the engine decode kernel and the DataSource reader (both prune
+    block-level ranges per predicate column, then intersect)."""
+    out, i, j = [], 0, 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if lo < hi:
+            out.append([lo, hi])
+        if a[i][1] <= b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def _normalize_where(where) -> list[tuple]:
+    """``where`` may be one ``(col, lo, hi)`` predicate or a list of them
+    (conjunction). Returns a list of 3-tuples."""
+    if where is None:
+        return []
+    if len(where) == 3 and isinstance(where[0], str):
+        return [tuple(where)]
+    out = []
+    for w in where:
+        if len(w) != 3 or not isinstance(w[0], str):
+            raise ValueError(
+                f"each predicate must be (col, lo, hi), got {w!r}"
+            )
+        out.append(tuple(w))
+    return out
+
+
+def _keep_row_ranges_multi(out_dir: str, pid: int, wheres: list[tuple]):
+    """Block-level row ranges of one part surviving ALL predicates
+    (conjunction): per-column ranges intersect, exactly like the
+    DataSource reader's multi-bound path. None = nothing pruned."""
+    ranges = None
+    pruned = False
+    for w in wheres:
+        r = _keep_row_ranges(out_dir, pid, w)
+        if r is not None:
+            pruned = True
+            ranges = r if ranges is None else _intersect_ranges(ranges, r)
+            if not ranges:
+                return []
+    return ranges if pruned else None
+
+
 def _keep_row_ranges(out_dir: str, pid: int, where: tuple):
     """Row ranges of one part that survive block-level zone-map pruning.
 
@@ -1240,12 +1290,17 @@ def _decode_part_batches(out_dir: str, columns, arrow_schema: pa.Schema, pid: in
 
 
 def _make_decode_kernel(
-    out_dir: str, columns: list[str], arrow_schema: pa.Schema, where: tuple | None = None
+    out_dir: str,
+    columns: list[str],
+    arrow_schema: pa.Schema,
+    wheres: list[tuple] | None = None,
 ):
     def kernel(batches):
         for batch in batches:
             for pid in batch.column("part_id").to_pylist():
-                ranges = _keep_row_ranges(out_dir, pid, where) if where else None
+                ranges = (
+                    _keep_row_ranges_multi(out_dir, pid, wheres) if wheres else None
+                )
                 if ranges is not None and not ranges:
                     continue  # every block of this part pruned
                 # block grids are per column (the byte cap can split a wide
@@ -1274,7 +1329,7 @@ def decode_table(
     out_dir: str,
     columns: list[str] | None = None,
     snapshot_id: int | None = None,
-    where: tuple | None = None,
+    where: tuple | list | None = None,
 ) -> DataFrame:
     """Reconstruct the table (or a column subset — file-level pruning).
 
@@ -1284,17 +1339,22 @@ def decode_table(
     negative but round-trip bit-exactly). Field metadata recorded at
     encode time (P7) is reattached to the output schema.
 
-    ``where=(col, lo, hi)`` prunes at two levels via zone maps (either
-    bound may be None): whole parts through the checkpoint lineage before
-    any task runs, then individual blocks inside surviving parts through
-    per-block [min, max] metadata — excluded blocks' payloads are never
-    decoded, and the surviving row ranges are applied identically to
-    every requested column (late materialization; one shared row order
-    per part keeps columns aligned across divergent block grids).
-    Pruning is conservative — kept blocks may still hold non-matching
-    rows, so compose with ``df.filter`` for exact results; on a
-    cluster-keyed, sort-keyed table a key predicate typically skips all
-    but a handful of blocks."""
+    ``where`` is one ``(col, lo, hi)`` predicate or a LIST of them — a
+    conjunction, like ``lang='de' AND doc_id BETWEEN a AND b``. Each
+    predicate prunes at two levels via zone maps (either bound may be
+    None): whole parts through the checkpoint lineage before any task
+    runs (point predicates additionally refute through exact value sets
+    and bloom filters), then individual blocks inside surviving parts
+    through per-block [min, max] metadata — excluded blocks' payloads
+    are never decoded. Multi-predicate block pruning intersects the
+    per-column row ranges (the same ``_intersect_ranges`` the DataSource
+    reader applies to pushed filters), and the surviving ranges are
+    applied identically to every requested column (late
+    materialization; one shared row order per part keeps columns aligned
+    across divergent block grids). Pruning is conservative — kept blocks
+    may still hold non-matching rows, so compose with ``df.filter`` for
+    exact results; on a cluster-keyed, sort-keyed table a key predicate
+    typically skips all but a handful of blocks."""
     with open(os.path.join(out_dir, "_table_meta.json")) as fh:
         meta = json.load(fh)
     columns = columns or meta["columns"]
@@ -1307,19 +1367,21 @@ def decode_table(
     parts = snapshot_parts(out_dir, snapshot_id)
     if parts is None:
         parts = sorted(completed_parts(out_dir))
-    if where is not None:
-        pm = part_meta(out_dir)  # one read feeds both pruning dimensions
-        parts = prune_parts(out_dir, where, parts, stats=part_stats(out_dir, pm))
-        if where[1] is not None and where[1] == where[2]:
-            # point predicate: exact value-set membership can refute
-            # parts whose [min, max] range merely spans the value
-            parts = prune_parts_eq(
-                out_dir, where[0], [where[1]], parts, part_vsets(out_dir, pm)
-            )
-            parts = prune_parts_bloom(
-                out_dir, where[0], [where[1]], parts,
-                {p: d["bloom"] for p, d in pm.items()},
-            )
+    wheres = _normalize_where(where)
+    if wheres:
+        pm = part_meta(out_dir)  # one read feeds every pruning dimension
+        for w in wheres:
+            parts = prune_parts(out_dir, w, parts, stats=part_stats(out_dir, pm))
+            if w[1] is not None and w[1] == w[2]:
+                # point predicate: exact value-set membership can refute
+                # parts whose [min, max] range merely spans the value
+                parts = prune_parts_eq(
+                    out_dir, w[0], [w[1]], parts, part_vsets(out_dir, pm)
+                )
+                parts = prune_parts_bloom(
+                    out_dir, w[0], [w[1]], parts,
+                    {p: d["bloom"] for p, d in pm.items()},
+                )
     # several parts per task: decode parallelism needs only ~4x the slots,
     # and per-task Python handoff dominates with hundreds of tiny tasks
     n_tasks = max(1, min(len(parts), 4 * spark.sparkContext.defaultParallelism))
@@ -1328,7 +1390,7 @@ def decode_table(
         f"`{c}` {_SPARK_TYPE_OF[meta['schema'][c]]}" for c in columns
     )
     out = parts_df.mapInArrow(
-        _make_decode_kernel(out_dir, columns, arrow_schema, where), spark_fields
+        _make_decode_kernel(out_dir, columns, arrow_schema, wheres), spark_fields
     )
     for c, md in (meta.get("field_metadata") or {}).items():
         if c in columns:

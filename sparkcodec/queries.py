@@ -1497,3 +1497,54 @@ FROM documents WHERE lang <> 'de' GROUP BY lang
 
 QUERIES["delete_rows_stats"] = q_delete_rows_stats
 ORACLES["delete_rows_stats"] = SQL_DELETE_ROWS_STATS
+
+
+def q_multi_pred_prune(spark, sf_dir):
+    """Conjunctive predicate pushdown into the encoded format: encode
+    documents clustered by lang and sorted by (lang, doc_id), then decode
+    with where=[('lang','de','de'), ('doc_id', 50, 300)] — each predicate
+    prunes parts (zone map + value set + bloom for the point predicate)
+    and blocks independently, and the surviving block row ranges
+    INTERSECT, so the scan reads strictly fewer bytes than either
+    predicate alone (asserted with I/O counters in
+    tests/test_engine.py). Pruning stays conservative; the exact filter
+    composes on top and the oracle aggregates the filtered source."""
+    from .engine import decode_table, encode_table
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sparkcodec_mpred_{abs(hash(sf_dir)) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark, d, out,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=8, resume=False,
+    )
+    dec = decode_table(
+        spark, out, where=[("lang", "de", "de"), ("doc_id", 50, 300)]
+    )
+    return (
+        dec.filter((F.col("lang") == "de") & F.col("doc_id").between(50, 300))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_text_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SQL_MULTI_PRED_PRUNE = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(length(text)) AS BIGINT) AS total_text_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents WHERE lang = 'de' AND doc_id BETWEEN 50 AND 300 GROUP BY lang
+"""
+
+QUERIES["multi_pred_prune"] = q_multi_pred_prune
+ORACLES["multi_pred_prune"] = SQL_MULTI_PRED_PRUNE

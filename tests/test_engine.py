@@ -945,6 +945,83 @@ def test_block_pruning_skips_bytes_not_just_decode(spark, tmp_path):
     assert dec.count() == 101
 
 
+def test_multi_predicate_where_intersects_and_reads_fewer_bytes(spark, tmp_path):
+    """decode_table(where=[pred1, pred2]) must intersect the block row
+    ranges of both predicates: the conjunction's byte-skip counters are
+    strictly tighter than either predicate alone, and results stay exact."""
+    import pyarrow as _pa
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        _IO_COUNTERS,
+        _decode_column_ranges,
+        _keep_row_ranges,
+        _keep_row_ranges_multi,
+        _reset_io_counters,
+        completed_parts,
+        decode_table,
+        encode_table,
+    )
+
+    out = str(tmp_path / "mpred")
+    # a ascends, b descends: each predicate prunes a DIFFERENT band of
+    # blocks, so the intersection is strictly smaller than either side
+    df = spark.range(4000).select(
+        F.col("id").alias("a"), (F.lit(3999) - F.col("id")).alias("b")
+    )
+    encode_table(spark, df, out, cluster_by=None, salt_by=["a"], sort_by=["a"],
+                 num_parts=1, resume=False, block_rows=256)
+    [pid] = completed_parts(out)
+    wa = ("a", 1000, 2000)   # rows 1000..2000
+    wb = ("b", 1500, 2500)   # rows 1499..2499
+    ra = _keep_row_ranges(out, pid, wa)
+    rb = _keep_row_ranges(out, pid, wb)
+    rab = _keep_row_ranges_multi(out, pid, [wa, wb])
+    cov = lambda rs: sum(hi - lo for lo, hi in rs)  # noqa: E731
+    assert ra and rb and rab
+    assert cov(rab) < cov(ra) and cov(rab) < cov(rb), (cov(ra), cov(rb), cov(rab))
+
+    def bytes_for(ranges):
+        _reset_io_counters()
+        _decode_column_ranges(out, "a", pid, _pa.int64(), ranges)
+        _decode_column_ranges(out, "b", pid, _pa.int64(), ranges)
+        return _IO_COUNTERS["bytes_read"]
+
+    b_ab, b_a, b_b = bytes_for(rab), bytes_for(ra), bytes_for(rb)
+    assert b_ab < b_a and b_ab < b_b, (b_ab, b_a, b_b)
+    # end-to-end: conjunction decode is exact after the residual filter
+    dec = decode_table(spark, out, where=[wa, wb]).filter(
+        F.col("a").between(1000, 2000) & F.col("b").between(1500, 2500)
+    )
+    assert dec.count() == 502  # ids 1499..2000 (b=3999-id, b<=2500 -> id>=1499)
+    # single-tuple where still accepted (back-compat)
+    assert decode_table(spark, out, where=wa).filter(
+        F.col("a").between(1000, 2000)
+    ).count() == 1001
+
+
+def test_multi_predicate_where_part_pruning(spark, tmp_path):
+    """Part-level pruning applies every predicate: a conjunction whose
+    point predicate value-set-prunes and whose range predicate zone-map
+    prunes touches only parts surviving BOTH."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_table, encode_table
+
+    out = str(tmp_path / "mpredparts")
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.concat(F.lit("g"), (F.col("id") % 4)).alias("grp"),
+    )
+    encode_table(spark, df, out, cluster_by=["grp"], salt_by=["id"],
+                 sort_by=["grp", "id"], num_parts=8, target_part_rows=300,
+                 resume=False)
+    dec = decode_table(spark, out, where=[("grp", "g1", "g1"), ("id", 100, 400)])
+    exact = dec.filter((F.col("grp") == "g1") & F.col("id").between(100, 400))
+    assert exact.count() == 75  # ids 101,105,...397: 4k+1 in [100,400]
+
+
 def test_decode_legacy_single_rowgroup_files(spark, tmp_path):
     """Files written before the one-row-group-per-block layout (all block
     rows in one row group) still decode correctly through the pruned

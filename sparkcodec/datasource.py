@@ -248,9 +248,14 @@ class SparkcodecStreamReader(DataSourceStreamReader):
             for s in snapshots(self.out_dir)
             # compaction/delete snapshots rewrite existing rows — replaying
             # their rewritten parts would duplicate data already delivered
-            # (the changefeed is append-only; deletes are not replayed)
+            # (the changefeed is append-only; deletes are not replayed).
+            # Merge entries record which parts carry genuinely new rows
+            # under append_parts: deliver those, skip the rewrites.
             if lo < s["id"] <= hi and not s.get("compaction") and not s.get("delete")
-            for p in s["new_parts"]
+            for p in (
+                s["append_parts"] if s.get("append_parts") is not None
+                else s["new_parts"]
+            )
         ]
         if not parts:
             return [InputPartition([])]
@@ -382,6 +387,7 @@ class SparkcodecWriter(DataSourceArrowWriter):
             from .engine import legacy_root_parts
 
             parts = legacy_root_parts(self.out_dir, parts, self.base)
+        cur = _load_meta(self.out_dir)
         entry = {
             "id": (snaps[-1]["id"] + 1) if snaps else 1,
             "parent": snaps[-1]["id"] if snaps else 0,
@@ -389,6 +395,10 @@ class SparkcodecWriter(DataSourceArrowWriter):
             "n_rows": sum(m.n_rows for m in messages if m),
             "enc_bytes": sum(m.enc_bytes for m in messages if m),
             "layout": "aligned",
+            # schema versioned per snapshot (time travel reads the schema
+            # in effect at commit time, engine.snapshot_schema)
+            "columns": cur["columns"],
+            "schema": cur["schema"],
             "ts": time.time(),
         }
         with open(os.path.join(self.out_dir, "_snapshots.jsonl"), "a") as fh:

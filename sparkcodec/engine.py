@@ -708,6 +708,51 @@ def _keep_row_ranges_nulls(out_dir: str, pid: int, col: str, kind: str):
     return ranges if pruned_any else None
 
 
+def _commit_snapshot_entry(
+    out_dir: str, entry: dict, *, append: bool, evolved_meta: dict | None = None
+) -> dict:
+    """Publish a prepared snapshot entry: write the (possibly evolved)
+    table meta first, then append the entry with id/parent assigned from
+    the current log tip. The single-line log append is the atomic publish
+    point — everything written before it (parts, evolved meta) is either
+    invisible (orphan parts) or benign (an extra nullable column) until
+    the entry lands. Deferring the evolved-meta write to here closes the
+    window where a failed or refused append permanently widened the
+    schema."""
+    if evolved_meta is not None:
+        _atomic_write_json(os.path.join(out_dir, "_table_meta.json"), evolved_meta)
+    snaps = snapshots(out_dir)
+    e = dict(entry)
+    e["id"] = (snaps[-1]["id"] + 1) if snaps else 1
+    e["parent"] = snaps[-1]["id"] if (snaps and append) else 0
+    with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
+        fh.write(json.dumps(e, separators=(",", ":")) + "\n")
+    return e
+
+
+def _ensure_snapshot_root(out_dir: str, live: list[int], meta: dict) -> None:
+    """Root the snapshot log of a pre-snapshot (legacy) table with its
+    current live set BEFORE any copy-on-write rewrite is written: from
+    that moment readers resolve the log, so rewritten parts stay
+    invisible orphans until their entry commits — without this the
+    completed_parts fallback would show survivor rows twice."""
+    if snapshots(out_dir):
+        return
+    root = {
+        "id": 1,
+        "parent": 0,
+        "new_parts": sorted(live),
+        "n_rows": 0,
+        "enc_bytes": 0,
+        "layout": meta.get("layout", "clustered"),
+        "columns": meta["columns"],
+        "schema": meta["schema"],
+        "ts": time.time(),
+    }
+    with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
+        fh.write(json.dumps(root, separators=(",", ":")) + "\n")
+
+
 def completed_parts(out_dir: str) -> set[int]:
     d = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
     if not os.path.isdir(d):
@@ -736,6 +781,7 @@ def encode_table(
     resume: bool = True,
     append: bool = False,
     snapshot_extra: dict | None = None,
+    commit: bool = True,
 ) -> dict:
     """Encode ``df`` into a blocks table at ``out_dir``; returns metrics.
 
@@ -767,6 +813,13 @@ def encode_table(
     reuses the interrupted run's part-id base (recorded in
     ``_pending_append.json``) and must present the same partitioning
     config — the same guard the base table applies.
+
+    ``commit=False`` runs the full encode but defers the snapshot
+    publish: the prepared entry (and any evolved table meta) comes back
+    under ``result["pending_commit"]`` for the caller to publish via
+    ``_commit_snapshot_entry`` — this is how ``upsert_rows`` folds an
+    append and a copy-on-write delete into ONE atomic snapshot. Until
+    the caller commits, the written parts are invisible orphans.
     """
     cols = df.columns
     if cluster_by is None and "repo" in cols:
@@ -835,6 +888,7 @@ def encode_table(
         part_keys = part_keys + ("target_part_rows",)
     run_config = {k: meta[k] for k in part_keys}
     base = 0
+    evolved_meta = None
     if append and os.path.exists(meta_path):
         with open(meta_path) as fh:
             prev = json.load(fh)
@@ -844,13 +898,15 @@ def encode_table(
             # in only one side are optional — parts that lack a column's
             # block file decode it as NULL, in both directions (old parts
             # for added columns, new parts for omitted ones). Retyping a
-            # shared column is refused.
+            # shared column is refused. The merged meta is NOT written
+            # here: it publishes at the snapshot-commit point, so a
+            # failed or refused append never widens the schema.
             check_schema_evolution(prev, meta["schema"], cols)
             merged = merge_evolved_meta(
                 prev, meta["schema"], cols, meta["field_metadata"]
             )
             meta.update(merged)
-            _atomic_write_json(meta_path, meta)
+            evolved_meta = meta
         existing = completed_parts(out_dir)
         if resume and os.path.exists(pending_path):
             with open(pending_path) as fh:
@@ -976,15 +1032,17 @@ def encode_table(
     # append: commit when this run produced or resumed any part (a fully
     # checkpointed append that crashed before its commit still commits on
     # resume); create: commit when work happened or no snapshot exists yet
+    entry = None
     if (rows or done) if append else (rows or not snaps):
-        sid = (snaps[-1]["id"] + 1) if snaps else 1
         entry = {
-            "id": sid,
-            "parent": snaps[-1]["id"] if (snaps and append) else 0,
             "new_parts": new_parts,
             "n_rows": sum(r["n_rows"] for r in rows),
             "enc_bytes": sum(r["enc_bytes"] for r in rows),
             "layout": layout,
+            # schema versioned per snapshot: time travel to a
+            # pre-evolution snapshot reads the schema in effect then
+            "columns": meta["columns"],
+            "schema": meta["schema"],
             "ts": time.time(),
         }
         if snapshot_extra:
@@ -992,12 +1050,14 @@ def encode_table(
             # (checkpoint, batch_id) tag) ride the committed entry so
             # replays can recognize an already-committed unit of work
             entry.update(snapshot_extra)
-        with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
-            fh.write(json.dumps(entry, separators=(",", ":")) + "\n")
+        if commit:
+            _commit_snapshot_entry(
+                out_dir, entry, append=append, evolved_meta=evolved_meta
+            )
     for p in (pending_path, os.path.join(out_dir, "_aligned_fingerprint_append")):
         if os.path.exists(p):
             os.remove(p)
-    return {
+    result = {
         "parts_encoded": len(rows),
         "parts_skipped": len(done),
         "n_rows": sum(r["n_rows"] for r in rows),
@@ -1005,6 +1065,11 @@ def encode_table(
         "enc_bytes": sum(r["enc_bytes"] for r in rows),
         "wall_sec": wall,
     }
+    if not commit:
+        result["pending_commit"] = (
+            {"entry": entry, "evolved_meta": evolved_meta} if entry else None
+        )
+    return result
 
 
 def snapshots(out_dir: str) -> list[dict]:
@@ -1038,6 +1103,22 @@ def snapshot_parts(out_dir: str, snapshot_id: int | None = None) -> list[int] | 
         live -= set(s.get("removed_parts", []))
         live |= set(s["new_parts"])
     return sorted(live)
+
+
+def snapshot_schema(out_dir: str, snapshot_id: int) -> tuple[list, dict] | None:
+    """(columns, schema) in effect at ``snapshot_id``: the nearest entry
+    in its parent chain that recorded one (commits stamp the schema since
+    schema-per-snapshot versioning landed). None for chains written
+    entirely by older engines — callers fall back to the current table
+    meta, the pre-versioning behavior."""
+    snaps = snapshots(out_dir)
+    by_id = {s["id"]: s for s in snaps}
+    cur = by_id.get(snapshot_id)
+    while cur:
+        if "schema" in cur:
+            return cur.get("columns") or list(cur["schema"]), cur["schema"]
+        cur = by_id.get(cur["parent"])
+    return None
 
 
 def _spark_schema_arrow(df: DataFrame) -> dict:
@@ -1357,6 +1438,14 @@ def decode_table(
     typically skips all but a handful of blocks."""
     with open(os.path.join(out_dir, "_table_meta.json")) as fh:
         meta = json.load(fh)
+    if snapshot_id is not None:
+        # time travel reads the schema in effect AT that snapshot (a
+        # later add-column evolution must not leak into the past); chains
+        # predating schema-per-snapshot versioning fall back to the
+        # current meta
+        ss = snapshot_schema(out_dir, snapshot_id)
+        if ss is not None:
+            meta = dict(meta, columns=ss[0], schema=ss[1])
     columns = columns or meta["columns"]
     arrow_schema = pa.schema(
         [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
@@ -1602,6 +1691,8 @@ def compact_table(
         "n_rows": sum(r["n_rows"] for r in summary),
         "enc_bytes": sum(r["enc_bytes"] for r in summary),
         "layout": meta.get("layout", "clustered"),
+        "columns": meta["columns"],
+        "schema": meta["schema"],
         "compaction": True,
         "ts": time.time(),
     }
@@ -1623,6 +1714,7 @@ def _copy_on_write_delete(
     mask_fn,
     tag: list,
     extra: dict | None = None,
+    commit: bool = True,
 ) -> dict:
     """Shared copy-on-write rewrite for row-level delete/merge: decode
     each affected part, drop the rows ``mask_fn`` marks (a picklable
@@ -1633,23 +1725,17 @@ def _copy_on_write_delete(
     ``delete`` key so the changefeed skips the rewrite.
 
     On a pre-snapshot (legacy) table a ROOT snapshot of the current live
-    set is committed BEFORE any rewritten part is written: from that
-    moment readers resolve the snapshot log, so the new parts stay
-    invisible orphans until the delete entry commits — without this the
-    completed_parts fallback would show survivor rows twice (old part +
-    rewrite), permanently if the job crashed mid-way."""
-    if not snapshots(out_dir):
-        root = {
-            "id": 1,
-            "parent": 0,
-            "new_parts": sorted(live),
-            "n_rows": 0,
-            "enc_bytes": 0,
-            "layout": meta.get("layout", "clustered"),
-            "ts": time.time(),
-        }
-        with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
-            fh.write(json.dumps(root, separators=(",", ":")) + "\n")
+    set is committed BEFORE any rewritten part is written
+    (:func:`_ensure_snapshot_root`): from that moment readers resolve
+    the snapshot log, so the new parts stay invisible orphans until the
+    delete entry commits — without this the completed_parts fallback
+    would show survivor rows twice (old part + rewrite), permanently if
+    the job crashed mid-way.
+
+    ``commit=False`` skips the snapshot publish and returns the
+    removed/created part ids under ``result["pending"]`` — the merge
+    path folds them with its append into one atomic entry."""
+    _ensure_snapshot_root(out_dir, live, meta)
     base = max(max(live), max(completed_parts(out_dir), default=0)) + 1
     columns = meta["columns"]
     arrow_schema = pa.schema(
@@ -1697,29 +1783,37 @@ def _copy_on_write_delete(
     removed = sorted(r["old_pid"] for r in summary if r["n_after"] < r["n_before"])
     created = sorted(r["new_pid"] for r in summary if r["new_pid"] >= 0)
     deleted = sum(r["n_before"] - r["n_after"] for r in summary)
+    out = {
+        "parts_scanned": len(affected),
+        "parts_rewritten": len(removed),
+        "rows_deleted": int(deleted),
+    }
     if not removed:
-        return {"parts_scanned": len(affected), "parts_rewritten": 0, "rows_deleted": 0}
-    snaps = snapshots(out_dir)  # never empty: the legacy root committed above
+        if not commit:
+            out["pending"] = {"removed_parts": [], "new_parts": [], "rows_deleted": 0}
+        return out
     entry = {
-        "id": snaps[-1]["id"] + 1,
-        "parent": snaps[-1]["id"],
         "new_parts": created,
         "removed_parts": removed,
         "n_rows": -deleted,
         "enc_bytes": 0,
         "layout": meta.get("layout", "clustered"),
+        "columns": meta["columns"],
+        "schema": meta["schema"],
         "delete": tag,
         "ts": time.time(),
     }
     if extra:
         entry.update(extra)
-    with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
-        fh.write(json.dumps(entry, separators=(",", ":")) + "\n")
-    return {
-        "parts_scanned": len(affected),
-        "parts_rewritten": len(removed),
-        "rows_deleted": int(deleted),
-    }
+    if commit:
+        _commit_snapshot_entry(out_dir, entry, append=True)
+    else:
+        out["pending"] = {
+            "removed_parts": removed,
+            "new_parts": created,
+            "rows_deleted": int(deleted),
+        }
+    return out
 
 
 def _load_live(out_dir: str, col: str) -> tuple[dict, list[int]]:
@@ -1776,74 +1870,241 @@ def delete_rows(
     )
 
 
+def _rewrite_parts_dropping_matched_keys(
+    spark: SparkSession,
+    out_dir: str,
+    affected: list[int],
+    live: list[int],
+    meta: dict,
+    df: DataFrame,
+    key_col: str,
+) -> dict:
+    """Join-based delete mask for the merge rewrite — the incoming keys
+    NEVER visit the driver, so the merge batch's distinct-key count is
+    unbounded. Shape:
+
+    1. decode only ``key_col`` of each affected part -> (old_pid, key)
+       rows (one cheap column, zone-map-bounded part set);
+    2. inner-join (shuffle, keys only) against the DISTINCT incoming
+       keys — exact membership, so a range-affected part holding none of
+       the keys drops out here and keeps its id with no write;
+    3. group matched keys by part (``applyInPandas``): each rewrite task
+       holds one part's matched keys — memory bounded by that part's own
+       row count, not the incoming batch size — decodes the part, drops
+       the matched rows, re-encodes under its pre-assigned new id.
+
+    Returns the same ``pending`` shape as
+    ``_copy_on_write_delete(commit=False)``; the caller owns the commit.
+    """
+    base = max(max(live), max(completed_parts(out_dir), default=0)) + 1
+    mapping = {int(p): base + i for i, p in enumerate(affected)}
+    columns = meta["columns"]
+    arrow_schema = pa.schema(
+        [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
+    )
+    key_arrow = _DECODE_ARROW_OF[meta["schema"][key_col]]
+    key_spark = _SPARK_TYPE_OF[meta["schema"][key_col]]
+    key_schema = pa.schema([(key_col, key_arrow)])
+    block_rows = meta.get("block_rows") or 65536
+
+    plan_df = spark.createDataFrame(
+        [(int(p),) for p in affected], "old_pid int"
+    ).repartition(max(1, min(len(affected), 4 * spark.sparkContext.defaultParallelism)))
+
+    def key_kernel(batches):
+        for batch in batches:
+            for pid in batch.column("old_pid").to_pylist():
+                for b in _decode_part_batches(out_dir, [key_col], key_schema, pid):
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([pid] * b.num_rows, type=pa.int32()),
+                            b.column(0),
+                        ],
+                        names=["old_pid", "__k"],
+                    )
+
+    part_keys = plan_df.mapInArrow(key_kernel, f"old_pid int, __k {key_spark}")
+    incoming = (
+        df.select(F.col(key_col).cast(key_spark).alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .distinct()
+    )
+    matched = part_keys.join(incoming, on="__k", how="inner").select(
+        "old_pid", "__k"
+    )
+
+    def rewrite(pdf):
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        old_pid = int(pdf["old_pid"].iloc[0])
+        keys = pa.Array.from_pandas(pdf["__k"]).cast(key_arrow)
+        tbl = pa.Table.from_batches(
+            list(_decode_part_batches(out_dir, columns, arrow_schema, old_pid)),
+            schema=arrow_schema,
+        )
+        v = tbl.column(key_col)
+        m = pc.and_kleene(pc.is_valid(v), pc.is_in(v, value_set=keys))
+        keep = tbl.filter(pc.invert(m))
+        n_before, n_after = tbl.num_rows, keep.num_rows
+        wrote = -1
+        if n_after < n_before and n_after > 0:
+            _encode_one_part(
+                mapping[old_pid], keep.to_batches(max_chunksize=65536), columns,
+                out_dir, block_rows, 32 << 20, set(), {},
+            )
+            wrote = mapping[old_pid]
+        return pd.DataFrame(
+            [{"old_pid": old_pid, "new_pid": wrote,
+              "n_before": n_before, "n_after": n_after}]
+        )
+
+    summary = (
+        matched.groupBy("old_pid")
+        .applyInPandas(rewrite, "old_pid int, new_pid int, n_before long, n_after long")
+        .collect()
+    )
+    removed = sorted(r["old_pid"] for r in summary if r["n_after"] < r["n_before"])
+    created = sorted(r["new_pid"] for r in summary if r["new_pid"] >= 0)
+    deleted = sum(r["n_before"] - r["n_after"] for r in summary)
+    return {
+        "parts_scanned": len(affected),
+        "parts_rewritten": len(removed),
+        "rows_deleted": int(deleted),
+        "pending": {
+            "removed_parts": removed,
+            "new_parts": created,
+            "rows_deleted": int(deleted),
+        },
+    }
+
+
 def upsert_rows(
     spark: SparkSession,
     df: DataFrame,
     out_dir: str,
     key_col: str,
     *,
-    max_keys: int = 5_000_000,
+    broadcast_keys: int = 100_000,
     **encode_kwargs,
 ) -> dict:
-    """MERGE (upsert) by key: rows of ``df`` replace existing rows with
-    the same ``key_col`` value; new keys append. Copy-on-write like
-    :func:`delete_rows`:
+    """MERGE (upsert) by key as ONE atomic snapshot: rows of ``df``
+    replace existing rows with the same ``key_col`` value; new keys
+    append. Copy-on-write like :func:`delete_rows`:
 
     1. zone maps bound the delete side — only live parts whose
-       ``key_col`` [min, max] overlaps the incoming key span are scanned;
-    2. affected parts are rewritten without the incoming keys (exact
-       set membership via a broadcast key set, not just the range);
+       ``key_col`` [min, max] overlaps the incoming key span are
+       scanned (one tiny min/max aggregation over the batch);
+    2. affected parts are rewritten without the incoming keys, exact
+       set membership: at most ``broadcast_keys`` distinct keys ride a
+       driver broadcast into the mask (plus value-set/bloom part
+       refutation); above that the mask becomes a distributed
+       key-column join (:func:`_rewrite_parts_dropping_matched_keys`)
+       and the keys never visit the driver — no key-count ceiling;
        unchanged parts keep their ids with no write;
-    3. ``df`` appends under new part ids (standard append snapshot), so
-       the table moves through two snapshots: delete-matching, then add.
-       Readers resolve either the pre-merge table or a complete step —
-       never a torn part. The two steps are NOT one atomic commit: a
-       crash between them leaves the delete applied without the new
-       rows. Both snapshots carry the same ``merge`` id, so a retry (or
-       audit) can detect a delete entry whose merge id has no matching
-       append and re-run the append; time travel to the pre-merge
-       snapshot recovers the deleted rows either way.
+    3. ``df`` appends under new part ids with the snapshot publish
+       DEFERRED (``encode_table(commit=False)``), then ONE combined
+       entry carrying ``removed_parts`` (rewrites) + ``new_parts``
+       (rewrites ∪ appends) + the ``merge`` id commits — readers
+       resolve either the complete pre-merge table or the complete
+       post-merge table, never a delete-without-replacement state. A
+       crash before the commit leaves only invisible orphan parts
+       (reclaimed by ``expire_snapshots``); rerunning the merge is
+       safe.
 
-    The incoming key set is collected to the driver and broadcast to the
-    rewrite tasks (bounded by ``max_keys``, refused above it — an
-    unbounded-key merge should cluster the incoming batch by the table's
-    cluster key and run per-key-range deletes instead; this surface
-    targets the common bounded-batch upsert)."""
-    keys_rows = df.select(key_col).distinct().limit(max_keys + 1).collect()
-    if len(keys_rows) > max_keys:
-        raise ValueError(
-            f"upsert_rows refused: more than max_keys={max_keys} distinct "
-            f"keys; cluster the batch and delete by key range + append, "
-            f"or raise max_keys"
-        )
-    keys = sorted(r[0] for r in keys_rows if r[0] is not None)
+    The entry's ``append_parts`` records which new parts carry
+    genuinely new rows, so the changefeed delivers the appended rows
+    and skips the rewrites."""
     merge_id = uuid.uuid4().hex[:16]
-    deleted = {"parts_scanned": 0, "parts_rewritten": 0, "rows_deleted": 0}
-    if keys and os.path.exists(os.path.join(out_dir, "_table_meta.json")):
+    pending_del = {"removed_parts": [], "new_parts": [], "rows_deleted": 0}
+    parts_rewritten = 0
+    meta = None
+    if os.path.exists(os.path.join(out_dir, "_table_meta.json")):
         meta, live = _load_live(out_dir, key_col)
-        affected = prune_parts(out_dir, (key_col, keys[0], keys[-1]), live)
+        span = df.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).first()
+        affected = (
+            prune_parts(out_dir, (key_col, span["lo"], span["hi"]), live)
+            if span["lo"] is not None and live
+            else []
+        )
         if affected:
-            key_bc = spark.sparkContext.broadcast(keys)
-
-            def mask(v):
-                import pyarrow.compute as pc
-
-                return pc.and_kleene(
-                    pc.is_valid(v),
-                    pc.is_in(v, value_set=pa.array(key_bc.value).cast(v.type)),
-                )
-
-            deleted = _copy_on_write_delete(
-                spark, out_dir, affected, live, meta, mask,
-                [key_col, "in-set", len(keys)], extra={"merge": merge_id},
+            # legacy tables root the log BEFORE any rewrite lands, so the
+            # rewrites stay invisible until the combined entry commits
+            _ensure_snapshot_root(out_dir, live, meta)
+            head = (
+                df.select(key_col).where(F.col(key_col).isNotNull())
+                .distinct().limit(broadcast_keys + 1).collect()
             )
+            if len(head) <= broadcast_keys:
+                keys = sorted(r[0] for r in head)
+                # exact membership can refute parts the range merely spans
+                pm = part_meta(out_dir)
+                affected = prune_parts_eq(
+                    out_dir, key_col, keys, affected, part_vsets(out_dir, pm)
+                )
+                affected = prune_parts_bloom(
+                    out_dir, key_col, keys, affected,
+                    {p: d["bloom"] for p, d in pm.items()},
+                )
+            if affected and len(head) <= broadcast_keys and keys:
+                key_bc = spark.sparkContext.broadcast(keys)
+
+                def mask(v):
+                    import pyarrow.compute as pc
+
+                    return pc.and_kleene(
+                        pc.is_valid(v),
+                        pc.is_in(v, value_set=pa.array(key_bc.value).cast(v.type)),
+                    )
+
+                rep = _copy_on_write_delete(
+                    spark, out_dir, affected, live, meta, mask,
+                    [key_col, "in-set", len(keys)], commit=False,
+                )
+                pending_del = rep["pending"]
+                parts_rewritten = rep["parts_rewritten"]
+            elif affected:
+                rep = _rewrite_parts_dropping_matched_keys(
+                    spark, out_dir, affected, live, meta, df, key_col
+                )
+                pending_del = rep["pending"]
+                parts_rewritten = rep["parts_rewritten"]
     app = encode_table(
-        spark, df, out_dir, append=True,
-        snapshot_extra={"merge": merge_id}, **encode_kwargs,
+        spark, df, out_dir, append=True, commit=False, **encode_kwargs
+    )
+    pend_app = app.get("pending_commit")
+    append_parts = pend_app["entry"]["new_parts"] if pend_app else []
+    if pend_app is None and not pending_del["removed_parts"]:
+        return {"rows_deleted": 0, "parts_rewritten": 0, "rows_appended": 0}
+    base_entry = pend_app["entry"] if pend_app else {
+        "n_rows": 0,
+        "enc_bytes": 0,
+        "layout": (meta or {}).get("layout", "clustered"),
+        "columns": meta["columns"],
+        "schema": meta["schema"],
+    }
+    entry = {
+        "new_parts": sorted(set(pending_del["new_parts"]) | set(append_parts)),
+        "removed_parts": pending_del["removed_parts"],
+        # the changefeed replays only these (rewrites are old rows)
+        "append_parts": sorted(append_parts),
+        "n_rows": base_entry["n_rows"] - pending_del["rows_deleted"],
+        "enc_bytes": base_entry["enc_bytes"],
+        "layout": base_entry["layout"],
+        "columns": base_entry["columns"],
+        "schema": base_entry["schema"],
+        "merge": merge_id,
+        "ts": time.time(),
+    }
+    _commit_snapshot_entry(
+        out_dir, entry, append=True,
+        evolved_meta=pend_app["evolved_meta"] if pend_app else None,
     )
     return {
-        "rows_deleted": deleted["rows_deleted"],
-        "parts_rewritten": deleted["parts_rewritten"],
+        "rows_deleted": pending_del["rows_deleted"],
+        "parts_rewritten": parts_rewritten,
         "rows_appended": app["n_rows"],
     }
 
@@ -1879,6 +2140,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     first.pop("removed_parts", None)
     first.pop("compaction", None)
     first.pop("delete", None)  # squashed root must replay to fresh consumers
+    first.pop("append_parts", None)  # ditto: merge rewrites fold into the root
     first["parent"] = 0
     squashed = [first] + kept[1:]
     tmp = os.path.join(out_dir, "_snapshots.jsonl.tmp")

@@ -1248,6 +1248,238 @@ def test_upsert_rows_merge_by_key(spark, tmp_path):
     assert sum(1 for v in vals.values() if v == "new") == 20
 
 
+def test_upsert_commits_one_atomic_snapshot(spark, tmp_path):
+    """MERGE is ONE snapshot: the entry carries removed_parts (rewrites)
+    + new_parts (rewrites ∪ appends) + append_parts + the merge id, and
+    an interrupted merge (rewrites written, commit never reached) leaves
+    readers on the complete pre-merge state — no
+    delete-without-replacement window."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        _copy_on_write_delete,
+        _load_live,
+        decode_table,
+        encode_table,
+        prune_parts,
+        snapshots,
+        upsert_rows,
+    )
+
+    out = str(tmp_path / "upsert_atomic")
+    d1 = spark.range(1000).select(
+        F.col("id"), (F.col("id") / 200).cast("int").alias("g"),
+        F.lit("old").alias("val"),
+    )
+    encode_table(spark, d1, out, cluster_by=["g"], salt_by=["id"], sort_by=["g", "id"],
+                 num_parts=5, target_part_rows=200, resume=False)
+    n0 = len(snapshots(out))
+
+    # simulate a crash BETWEEN the rewrite and the commit: run the
+    # rewrite with commit=False and stop — the upsert's actual first step
+    meta, live = _load_live(out, "id")
+    affected = prune_parts(out, ("id", 100, 109), live)
+    assert affected
+
+    def mask(v):
+        import pyarrow.compute as pc
+
+        return pc.and_kleene(
+            pc.is_valid(v),
+            pc.and_kleene(pc.greater_equal(v, 100), pc.less_equal(v, 109)),
+        )
+
+    rep = _copy_on_write_delete(
+        spark, out, affected, live, meta, mask, ["id", 100, 109], commit=False
+    )
+    assert rep["pending"]["removed_parts"], rep
+    # reader still sees the COMPLETE pre-merge table, and the aborted
+    # rewrite committed nothing (the table already had a snapshot log)
+    assert decode_table(spark, out).count() == 1000
+    assert len(snapshots(out)) == n0
+
+    # now the real merge: exactly ONE new snapshot entry
+    n1 = len(snapshots(out))
+    up = spark.createDataFrame(
+        [(k, k // 200, "new") for k in range(100, 110)]
+        + [(k, 10, "new") for k in range(2000, 2005)],
+        "id long, g int, val string",
+    )
+    upsert_rows(spark, up, out, "id",
+                cluster_by=["g"], salt_by=["id"], sort_by=["g", "id"],
+                num_parts=1, target_part_rows=200)
+    snaps = snapshots(out)
+    assert len(snaps) == n1 + 1, (n1, len(snaps))
+    e = snaps[-1]
+    assert e.get("merge") and e["removed_parts"] and e["new_parts"]
+    assert set(e["append_parts"]) <= set(e["new_parts"])
+    assert set(e["removed_parts"]).isdisjoint(e["new_parts"])
+    dec = decode_table(spark, out)
+    assert dec.count() == 1005
+    assert dec.filter(F.col("val") == "new").count() == 15
+
+
+def test_upsert_unbounded_keys_join_path(spark, tmp_path):
+    """Above broadcast_keys the delete mask becomes a distributed join —
+    no driver key materialization, no key-count ceiling — and parts the
+    key range spans but no key actually hits keep their ids unwritten."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        decode_table,
+        encode_table,
+        snapshot_parts,
+        snapshots,
+        upsert_rows,
+    )
+
+    out = str(tmp_path / "upsert_join")
+    d1 = spark.range(2000).select(
+        F.col("id"), (F.col("id") / 250).cast("int").alias("g"),
+        F.lit("old").alias("val"),
+    )
+    encode_table(spark, d1, out, cluster_by=["g"], salt_by=["id"], sort_by=["g", "id"],
+                 num_parts=8, target_part_rows=250, resume=False)
+    before = set(snapshot_parts(out))
+    # 60 distinct update keys clustered in [500, 559] plus inserts far
+    # above; broadcast_keys=10 forces the join path. The key SPAN
+    # [500, 3004] range-affects many parts, but only the parts actually
+    # holding 500..559 may be rewritten.
+    up = spark.createDataFrame(
+        [(k, k // 250, "new") for k in range(500, 560)]
+        + [(k, 12, "new") for k in range(3000, 3005)],
+        "id long, g int, val string",
+    )
+    rep = upsert_rows(spark, up, out, "id", broadcast_keys=10,
+                      cluster_by=["g"], salt_by=["id"], sort_by=["g", "id"],
+                      num_parts=1, target_part_rows=250)
+    assert rep["rows_deleted"] == 60, rep
+    assert rep["rows_appended"] == 65
+    dec = decode_table(spark, out)
+    assert dec.count() == 2005
+    vals = {r["id"]: r["val"] for r in dec.collect()}
+    assert all(vals[k] == "new" for k in range(500, 560))
+    assert all(vals[k] == "new" for k in range(3000, 3005))
+    assert vals[499] == "old" and vals[560] == "old"
+    assert sum(1 for v in vals.values() if v == "new") == 65
+    # untouched parts keep their ids; one combined snapshot
+    after = set(snapshot_parts(out))
+    assert before & after, (before, after)
+    assert snapshots(out)[-1].get("merge")
+
+
+def test_failed_evolution_append_does_not_widen_schema(spark, tmp_path):
+    """A refused append (retyped column) and an interrupted evolved
+    append (commit never reached) both leave _table_meta.json unchanged;
+    the merged meta publishes only at the snapshot commit."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import _commit_snapshot_entry, decode_table, encode_table
+
+    out = str(tmp_path / "evo_defer")
+    d1 = spark.range(200).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    encode_table(spark, d1, out, cluster_by=["id"], salt_by=["v"], num_parts=2,
+                 target_part_rows=100, resume=False)
+    meta_path = _os.path.join(out, "_table_meta.json")
+    before = _json.load(open(meta_path))
+
+    # refused: retyping v -> string must not touch the meta
+    bad = spark.range(200, 250).select(
+        F.col("id"), F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    with _pytest.raises(ValueError):
+        encode_table(spark, bad, out, cluster_by=["id"], salt_by=["v"], num_parts=1,
+                     append=True)
+    assert _json.load(open(meta_path)) == before
+
+    # interrupted: evolved append with commit=False writes parts but NOT
+    # the widened meta; the helper publishes both at commit time
+    d2 = spark.range(200, 300).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("n"), F.col("id")).alias("note"),
+    )
+    res = encode_table(spark, d2, out, cluster_by=["id"], salt_by=["v"], num_parts=1,
+                       target_part_rows=100, append=True, commit=False)
+    assert _json.load(open(meta_path)) == before  # crash here: no widening
+    assert decode_table(spark, out).columns == ["id", "v"]
+    pend = res["pending_commit"]
+    assert pend and pend["evolved_meta"] is not None
+    _commit_snapshot_entry(out, pend["entry"], append=True,
+                           evolved_meta=pend["evolved_meta"])
+    assert _json.load(open(meta_path))["columns"] == ["id", "v", "note"]
+    dec = decode_table(spark, out)
+    assert dec.columns == ["id", "v", "note"]
+    assert dec.count() == 300
+
+
+def test_time_travel_reads_pre_evolution_schema(spark, tmp_path):
+    """decode_table(snapshot_id=pre-evolution) returns the columns in
+    effect at that snapshot, not the widened current schema."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_table, encode_table, snapshots
+
+    out = str(tmp_path / "evo_tt")
+    d1 = spark.range(200).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    encode_table(spark, d1, out, cluster_by=["id"], salt_by=["v"], num_parts=2,
+                 target_part_rows=100, resume=False)
+    first = snapshots(out)[0]["id"]
+    d2 = spark.range(200, 300).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("n"), F.col("id")).alias("note"),
+    )
+    encode_table(spark, d2, out, cluster_by=["id"], salt_by=["v"], num_parts=1,
+                 target_part_rows=100, append=True)
+    assert decode_table(spark, out).columns == ["id", "v", "note"]
+    old = decode_table(spark, out, snapshot_id=first)
+    assert old.columns == ["id", "v"]
+    assert old.count() == 200
+
+
+def test_merge_changefeed_delivers_only_appended_rows(spark, tmp_path):
+    """The combined merge snapshot records append_parts; the changefeed
+    delivers the appended rows and skips the rewrites (no duplicates)."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import encode_table, upsert_rows
+
+    out = str(tmp_path / "merge_feed")
+    d1 = spark.range(600).select(
+        F.col("id"), (F.col("id") / 200).cast("int").alias("g"),
+        F.lit("old").alias("val"),
+    )
+    encode_table(spark, d1, out, cluster_by=["g"], salt_by=["id"], sort_by=["g", "id"],
+                 num_parts=3, target_part_rows=200, resume=False)
+    up = spark.createDataFrame(
+        [(k, k // 200, "new") for k in range(100, 120)]
+        + [(k, 9, "new") for k in range(900, 910)],
+        "id long, g int, val string",
+    )
+    upsert_rows(spark, up, out, "id",
+                cluster_by=["g"], salt_by=["id"], sort_by=["g", "id"],
+                num_parts=1, target_part_rows=200)
+    spark.dataSource.register(SparkcodecDataSource)
+    sink = str(tmp_path / "feed_sink")
+    q = (
+        spark.readStream.format("sparkcodec").load(out)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "feed_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    # original 600 appended rows + 30 merge-appended rows; the 20
+    # updated keys appear twice across snapshots (append-only feed) but
+    # the REWRITTEN parts are never replayed
+    assert got.count() == 630
+    assert got.filter(F.col("val") == "new").count() == 30
+
+
 def test_prune_parts_eq_type_mismatch_keeps(spark, tmp_path):
     """A type-mismatched equality probe (string '3' against an int value
     set) must KEEP parts — set intersection comes back empty without

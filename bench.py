@@ -166,6 +166,9 @@ def main() -> None:
             "compression_ratio_vs_raw": round(encN["raw_bytes"] / max(1, encN["enc_bytes"]), 3),
         },
         "decode_checksum_match": dec["checksum_match"],
+        # per-phase attribution of the decode wall (io vs codec CPU,
+        # single-thread extrapolation) — the decode_verify jitter monitor
+        "decode_phase_profile": dec.get("phase_profile"),
     }
     print(json.dumps(result))
 

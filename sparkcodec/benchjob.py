@@ -97,6 +97,61 @@ def run_calibrate(cores_pairs: list[int]) -> dict:
     return out
 
 
+def _decode_phase_profile(out_dir: str, sample_parts: int = 64) -> dict:
+    """Single-threaded per-phase attribution of the unpruned decode path
+    over a sample of parts: parquet I/O (block file + row-group reads)
+    vs codec decode CPU. The published Spark wall adds scheduling +
+    Arrow->JVM transfer on top; comparing `spark_wall` with
+    `extrapolated_single_thread_sec / cores` bounds that overhead.
+    Diagnoses whether the one-row-group-per-block layout costs the
+    UNPRUNED path anything (VERDICT r3 'what's wrong' #3)."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from sparkcodec.codecs import decode_array
+    from sparkcodec.engine import (
+        _part_file,
+        _read_json,
+        completed_parts,
+        snapshot_parts,
+    )
+
+    meta = _read_json(os.path.join(out_dir, "_table_meta.json"))
+    parts = snapshot_parts(out_dir)
+    if parts is None:
+        parts = sorted(completed_parts(out_dir))
+    sample = parts[:: max(1, len(parts) // sample_parts)][:sample_parts]
+    io_s = dec_s = 0.0
+    n_blocks = 0
+    for pid in sample:
+        for col in meta["columns"]:
+            path = _part_file(out_dir, col, pid)
+            if not os.path.exists(path):
+                continue
+            t0 = time.perf_counter()
+            t = _pq.read_table(path).sort_by("block_id")
+            io_s += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for b in range(t.num_rows):
+                decode_array(
+                    t.column("payload")[b].as_py(),
+                    _json.loads(t.column("meta")[b].as_py()),
+                )
+            dec_s += time.perf_counter() - t0
+            n_blocks += t.num_rows
+    scale = len(parts) / max(1, len(sample))
+    return {
+        "sampled_parts": len(sample),
+        "total_parts": len(parts),
+        "sample_io_read_sec": round(io_s, 3),
+        "sample_codec_decode_sec": round(dec_s, 3),
+        "sample_blocks": n_blocks,
+        "extrapolated_single_thread_sec": round((io_s + dec_s) * scale, 3),
+        "io_fraction": round(io_s / max(1e-9, io_s + dec_s), 3),
+    }
+
+
 def run_decode(cores: int, input_path: str, out_dir: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -124,6 +179,7 @@ def run_decode(cores: int, input_path: str, out_dir: str) -> dict:
         for r, _d, fs in os.walk(out_dir)
         for f in fs
     )
+    prof = _decode_phase_profile(out_dir)
     return {
         "cores": cores,
         "wall_cold": round(walls[0], 3),
@@ -131,6 +187,7 @@ def run_decode(cores: int, input_path: str, out_dir: str) -> dict:
         "rows": agg["n"],
         "checksum_match": bool(agg["n"] == oagg["n"] and agg["chk"] == oagg["chk"]),
         "blocks_disk_bytes": raw,
+        "phase_profile": prof,
     }
 
 

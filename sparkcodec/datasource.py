@@ -50,8 +50,9 @@ from pyspark.sql.datasource import (
 
 
 def _load_meta(path: str) -> dict:
-    with open(os.path.join(path, "_table_meta.json")) as fh:
-        return json.load(fh)
+    from .engine import _j, _read_json
+
+    return _read_json(_j(path, "_table_meta.json"))
 
 
 def _default_tasks() -> int:
@@ -311,13 +312,12 @@ class SparkcodecWriter(DataSourceArrowWriter):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         from .codecs import type_name
-        from .engine import completed_parts
+        from .engine import _acquire_writer_lock, _exists, _j, completed_parts
 
         arrow = to_arrow_schema(schema)
         self.columns = [f.name for f in arrow]
         self.type_names = {f.name: type_name(f.type) for f in arrow}
-        meta_path = os.path.join(self.out_dir, "_table_meta.json")
-        if os.path.exists(meta_path):
+        if _exists(_j(self.out_dir, "_table_meta.json")):
             prev = _load_meta(self.out_dir)
             if prev["schema"] != self.type_names:
                 # add-column evolution, same rule as encode_table (shared
@@ -325,6 +325,10 @@ class SparkcodecWriter(DataSourceArrowWriter):
                 from .engine import check_schema_evolution
 
                 check_schema_evolution(prev, self.type_names, self.columns)
+        # single-writer lease held from planning (driver-side __init__)
+        # through commit()/abort(); part ids are assigned from a
+        # driver-side base, so a concurrent writer would collide
+        self._lock_owner = _acquire_writer_lock(self.out_dir, "ds-write")
         existing = completed_parts(self.out_dir)
         self.base = (max(existing) + 1) if existing else 0
 
@@ -346,68 +350,77 @@ class SparkcodecWriter(DataSourceArrowWriter):
     def commit(self, messages):
         import time
 
-        from .engine import snapshots
+        from .engine import (
+            _append_log_line,
+            _atomic_write_json,
+            _exists,
+            _j,
+            _release_writer_lock,
+            snapshots,
+        )
 
-        parts = sorted(m.part_id for m in messages if m and m.part_id >= 0)
-        meta_path = os.path.join(self.out_dir, "_table_meta.json")
-        if os.path.exists(meta_path):
-            prev = _load_meta(self.out_dir)
-            if prev["schema"] != self.type_names:
-                # add-column evolution validated in __init__: merge meta
-                # through the shared engine helper so readers see the
-                # union (old parts decode the new columns as nulls) and
-                # existing field metadata survives
-                from .engine import _atomic_write_json, merge_evolved_meta
+        try:
+            parts = sorted(m.part_id for m in messages if m and m.part_id >= 0)
+            meta_path = _j(self.out_dir, "_table_meta.json")
+            if _exists(meta_path):
+                prev = _load_meta(self.out_dir)
+                if prev["schema"] != self.type_names:
+                    # add-column evolution validated in __init__: merge meta
+                    # through the shared engine helper so readers see the
+                    # union (old parts decode the new columns as nulls) and
+                    # existing field metadata survives
+                    from .engine import merge_evolved_meta
 
-                _atomic_write_json(
-                    meta_path,
-                    merge_evolved_meta(prev, self.type_names, self.columns),
-                )
-        if not os.path.exists(meta_path):
-            meta = {
-                "schema": self.type_names,
-                "columns": self.columns,
-                "num_parts": -1,
+                    _atomic_write_json(
+                        meta_path,
+                        merge_evolved_meta(prev, self.type_names, self.columns),
+                    )
+            if not _exists(meta_path):
+                meta = {
+                    "schema": self.type_names,
+                    "columns": self.columns,
+                    "num_parts": -1,
+                    "layout": "aligned",
+                    "cluster_by": None,
+                    "salt_by": None,
+                    "sort_by": [],
+                    "block_rows": self.block_rows,
+                    "target_part_rows": None,
+                    "field_metadata": {},
+                    "engine_version": "0.1.0",
+                }
+                _atomic_write_json(meta_path, meta)
+            snaps = snapshots(self.out_dir)
+            if not snaps:
+                # pre-snapshot table (parts exist but no log): this entry
+                # becomes the root snapshot (shared engine rule)
+                from .engine import legacy_root_parts
+
+                parts = legacy_root_parts(self.out_dir, parts, self.base)
+            cur = _load_meta(self.out_dir)
+            entry = {
+                "id": (snaps[-1]["id"] + 1) if snaps else 1,
+                "parent": snaps[-1]["id"] if snaps else 0,
+                "new_parts": parts,
+                "n_rows": sum(m.n_rows for m in messages if m),
+                "enc_bytes": sum(m.enc_bytes for m in messages if m),
                 "layout": "aligned",
-                "cluster_by": None,
-                "salt_by": None,
-                "sort_by": [],
-                "block_rows": self.block_rows,
-                "target_part_rows": None,
-                "field_metadata": {},
-                "engine_version": "0.1.0",
+                # schema versioned per snapshot (time travel reads the
+                # schema in effect at commit time, engine.snapshot_schema)
+                "columns": cur["columns"],
+                "schema": cur["schema"],
+                "ts": time.time(),
             }
-            from .engine import _atomic_write_json
-
-            _atomic_write_json(meta_path, meta)
-        snaps = snapshots(self.out_dir)
-        if not snaps:
-            # pre-snapshot table (parts exist but no log): this entry
-            # becomes the root snapshot (shared engine rule)
-            from .engine import legacy_root_parts
-
-            parts = legacy_root_parts(self.out_dir, parts, self.base)
-        cur = _load_meta(self.out_dir)
-        entry = {
-            "id": (snaps[-1]["id"] + 1) if snaps else 1,
-            "parent": snaps[-1]["id"] if snaps else 0,
-            "new_parts": parts,
-            "n_rows": sum(m.n_rows for m in messages if m),
-            "enc_bytes": sum(m.enc_bytes for m in messages if m),
-            "layout": "aligned",
-            # schema versioned per snapshot (time travel reads the schema
-            # in effect at commit time, engine.snapshot_schema)
-            "columns": cur["columns"],
-            "schema": cur["schema"],
-            "ts": time.time(),
-        }
-        with open(os.path.join(self.out_dir, "_snapshots.jsonl"), "a") as fh:
-            fh.write(json.dumps(entry, separators=(",", ":")) + "\n")
+            _append_log_line(_j(self.out_dir, "_snapshots.jsonl"), entry)
+        finally:
+            _release_writer_lock(self.out_dir, self._lock_owner)
 
     def abort(self, messages):
         # written parts are invisible without a snapshot commit (readers
         # resolve the snapshot log); leave them for a later resume/retry
-        pass
+        from .engine import _release_writer_lock
+
+        _release_writer_lock(self.out_dir, self._lock_owner)
 
 
 class SparkcodecDataSource(DataSource):
@@ -425,7 +438,9 @@ class SparkcodecDataSource(DataSource):
     projections, so a bare ``.load(dir).select("lang")`` still decodes
     every column. Pass ``.option("columns", "lang,doc_id")`` to restrict
     the scan — only the named columns' block files are opened (file-level
-    pruning, same as ``decode_table(columns=...)``)."""
+    pruning, same as ``decode_table(columns=...)``). The option applies
+    to BOTH the batch reader and the streaming changefeed (the restricted
+    schema flows into the stream reader's decode)."""
 
     @classmethod
     def name(cls):

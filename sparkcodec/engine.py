@@ -46,6 +46,8 @@ from pyspark.sql import functions as F
 
 from .codecs import decode_array, encode_array
 from .codecs.api import type_name
+from .fs import get_fs as _get_fs
+from .fs import join as _j
 from .select import choose_codec
 
 PART_COL = "__sc_part"
@@ -121,11 +123,45 @@ def assign_partitions(
 
 
 def _part_file(out_dir: str, col: str, part_id: int) -> str:
-    return os.path.join(out_dir, "blocks", f"col={col}", f"part_{part_id:06d}.parquet")
+    return _j(out_dir, "blocks", f"col={col}", f"part_{part_id:06d}.parquet")
+
+
+def _exists(path: str) -> bool:
+    return _get_fs(path).exists(path)
+
+
+def _read_json(path: str):
+    fs = _get_fs(path)
+    if fs.native_paths:
+        with open(path) as fh:
+            return json.load(fh)
+    return json.loads(fs.read_bytes(path))
+
+
+def _append_log_line(path: str, obj: dict) -> None:
+    """One committed log entry = one appended line (the atomic publish
+    point on local filesystems; object-store FS impls emulate per their
+    documented strategy — see fs.py)."""
+    _get_fs(path).append_line(path, json.dumps(obj, separators=(",", ":")) + "\n")
+
+
+def _pq_read(path: str, **kw) -> pa.Table:
+    fs = _get_fs(path)
+    if fs.native_paths:
+        return pq.read_table(path, **kw)
+    with fs.open_read(path) as fh:
+        return pq.read_table(fh, **kw)
+
+
+def _pq_file(path: str) -> pq.ParquetFile:
+    fs = _get_fs(path)
+    return pq.ParquetFile(path if fs.native_paths else fs.open_read(path))
 
 
 def _atomic_write_blocks(path: str, rows: list[dict]) -> int:
-    """Write one (column, part) blocks file via tmp+rename; returns bytes.
+    """Write one (column, part) blocks file atomically; returns bytes.
+    Local paths: tmp+rename. Registered object-store schemes: one
+    whole-object PUT (the fs seam's atomic-publish primitive).
 
     One parquet ROW GROUP per block row: readers can then fetch exactly
     the blocks that survive zone-map pruning (`read_row_groups`), so
@@ -133,22 +169,130 @@ def _atomic_write_blocks(path: str, rows: list[dict]) -> int:
     the reference's directory-seek reads (touch_reader.cpp:147-219).
     Metadata overhead is a few hundred bytes per block against multi-MB
     payloads."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     table = pa.Table.from_pylist(rows, schema=BLOCKS_ARROW_SCHEMA)
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    # payloads are pre-compressed by the codecs
-    pq.write_table(table, tmp, compression="none", row_group_size=1)
-    size = os.path.getsize(tmp)
-    os.replace(tmp, path)
-    return size
+    fs = _get_fs(path)
+    if fs.native_paths:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        # payloads are pre-compressed by the codecs
+        pq.write_table(table, tmp, compression="none", row_group_size=1)
+        size = os.path.getsize(tmp)
+        os.replace(tmp, path)
+        return size
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="none", row_group_size=1)
+    return fs.put_atomic(path, buf.getvalue())
 
 
 def _atomic_write_json(path: str, obj) -> None:
-    """tmp+rename so concurrent readers never see a truncated file."""
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump(obj, fh, indent=1)
-    os.replace(tmp, path)
+    """Atomic publish so concurrent readers never see a truncated file."""
+    fs = _get_fs(path)
+    if fs.native_paths:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(obj, fh, indent=1)
+        os.replace(tmp, path)
+        return
+    fs.put_atomic(path, json.dumps(obj, indent=1).encode())
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another writer holds this table's lock (single-writer contract)."""
+
+
+_HELD_LOCKS: set[str] = set()  # process-local reentrancy (merge spans encode)
+_LOCK_LEASE_SEC = 3600.0
+
+
+def _acquire_writer_lock(out_dir: str, op: str, lease_sec: float = _LOCK_LEASE_SEC):
+    """Take the table's single-writer lease (``_writer.lock``) or raise
+    :class:`ConcurrentWriterError` naming the holder. The lock file is
+    created exclusively (O_EXCL locally; an object-store impl should use
+    a conditional PUT); a lease older than its ``lease_sec`` is presumed
+    abandoned (crashed writer) and taken over. Re-acquiring within the
+    same process is a no-op (returns None) so composite operations —
+    upsert's rewrite + append — hold ONE lease end to end."""
+    key = _j(out_dir, "_writer.lock")
+    if key in _HELD_LOCKS:
+        return None
+    fs = _get_fs(out_dir)
+    fs.makedirs(out_dir)
+    me = {
+        "owner": uuid.uuid4().hex,
+        "pid": os.getpid(),
+        "op": op,
+        "ts": time.time(),
+        "lease_sec": lease_sec,
+    }
+    data = json.dumps(me, separators=(",", ":")).encode()
+    for _ in range(3):
+        if fs.create_exclusive(key, data):
+            _HELD_LOCKS.add(key)
+            return me["owner"]
+        try:
+            cur = json.loads(fs.read_bytes(key))
+        except Exception:
+            cur = {}
+        age = time.time() - cur.get("ts", 0)
+        if age > cur.get("lease_sec", lease_sec):
+            # stale lease (writer crashed without releasing): remove and
+            # loop back into the exclusive create — if two takeover
+            # attempts race, exactly one wins the create
+            try:
+                fs.remove(key)
+            except FileNotFoundError:
+                pass
+            continue
+        raise ConcurrentWriterError(
+            f"table at {out_dir} is locked by writer "
+            f"{cur.get('owner', '?')[:8]} (op={cur.get('op')}, "
+            f"pid={cur.get('pid')}, held {age:.0f}s of "
+            f"{cur.get('lease_sec', lease_sec):.0f}s lease); concurrent "
+            f"writes are refused — wait for the holder, or remove "
+            f"_writer.lock if the holder is known dead"
+        )
+    raise ConcurrentWriterError(
+        f"could not acquire writer lock at {out_dir} after stale-lease "
+        f"takeover retries (live contention)"
+    )
+
+
+def _release_writer_lock(out_dir: str, owner: str | None) -> None:
+    if owner is None:
+        return  # reentrant acquisition: the outer holder releases
+    key = _j(out_dir, "_writer.lock")
+    _HELD_LOCKS.discard(key)
+    fs = _get_fs(out_dir)
+    try:
+        if json.loads(fs.read_bytes(key)).get("owner") == owner:
+            fs.remove(key)
+    except (FileNotFoundError, ValueError):
+        pass  # lease expired and was taken over: never remove theirs
+
+
+def _with_writer_lock(op: str):
+    """Decorator enforcing the single-writer contract on a mutating
+    table operation (the function must take ``out_dir``)."""
+    import functools
+    import inspect
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            out_dir = sig.bind_partial(*args, **kwargs).arguments["out_dir"]
+            tok = _acquire_writer_lock(out_dir, op)
+            try:
+                return fn(*args, **kwargs)
+            finally:
+                _release_writer_lock(out_dir, tok)
+
+        return wrapper
+
+    return deco
 
 
 def legacy_root_parts(out_dir: str, parts: list[int], base: int) -> list[int]:
@@ -547,14 +691,21 @@ def part_meta(out_dir: str) -> dict[int, dict]:
     accessors below are views over this — callers applying several
     pruning dimensions (DataSource partitions, decode_table) should load
     this once instead of scanning the checkpoint dataset per dimension."""
-    import pyarrow.dataset as ds
-
-    d = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
-    if not os.path.isdir(d):
+    d = _j(out_dir, "blocks", f"col={CHECKPOINT_COL}")
+    fs = _get_fs(out_dir)
+    names = [
+        f for f in fs.listdir(d)
+        if f.startswith("part_") and f.endswith(".parquet")
+    ]
+    if not names:
         return {}
-    tbl = ds.dataset(d, format="parquet").to_table(
-        columns=["part_id", "n_rows", "meta"]
-    )
+    cols = ["part_id", "n_rows", "meta"]
+    if fs.native_paths:
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(d, format="parquet").to_table(columns=cols)
+    else:
+        tbl = pa.concat_tables([_pq_read(_j(d, f), columns=cols) for f in names])
     out = {}
     for pid, n, meta in zip(
         tbl.column("part_id").to_pylist(),
@@ -685,9 +836,9 @@ def _keep_row_ranges_nulls(out_dir: str, pid: int, col: str, kind: str):
     missing for this part (pre-evolution) is all-NULL: IS NOT NULL prunes
     the whole part, IS NULL keeps it all."""
     path = _part_file(out_dir, col, pid)
-    if not os.path.exists(path):
+    if not _exists(path):
         return [] if kind == "notnull" else None
-    t = pq.read_table(path, columns=["block_id", "n_rows", "meta"]).sort_by("block_id")
+    t = _pq_read(path, columns=["block_id", "n_rows", "meta"]).sort_by("block_id")
     ranges: list[list[int]] = []
     off = 0
     pruned_any = False
@@ -720,13 +871,12 @@ def _commit_snapshot_entry(
     window where a failed or refused append permanently widened the
     schema."""
     if evolved_meta is not None:
-        _atomic_write_json(os.path.join(out_dir, "_table_meta.json"), evolved_meta)
+        _atomic_write_json(_j(out_dir, "_table_meta.json"), evolved_meta)
     snaps = snapshots(out_dir)
     e = dict(entry)
     e["id"] = (snaps[-1]["id"] + 1) if snaps else 1
     e["parent"] = snaps[-1]["id"] if (snaps and append) else 0
-    with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
-        fh.write(json.dumps(e, separators=(",", ":")) + "\n")
+    _append_log_line(_j(out_dir, "_snapshots.jsonl"), e)
     return e
 
 
@@ -749,21 +899,19 @@ def _ensure_snapshot_root(out_dir: str, live: list[int], meta: dict) -> None:
         "schema": meta["schema"],
         "ts": time.time(),
     }
-    with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
-        fh.write(json.dumps(root, separators=(",", ":")) + "\n")
+    _append_log_line(_j(out_dir, "_snapshots.jsonl"), root)
 
 
 def completed_parts(out_dir: str) -> set[int]:
-    d = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
-    if not os.path.isdir(d):
-        return set()
+    d = _j(out_dir, "blocks", f"col={CHECKPOINT_COL}")
     out = set()
-    for f in os.listdir(d):
+    for f in _get_fs(out_dir).listdir(d):
         if f.startswith("part_") and f.endswith(".parquet"):
             out.add(int(f[len("part_") : -len(".parquet")]))
     return out
 
 
+@_with_writer_lock("encode")
 def encode_table(
     spark: SparkSession,
     df: DataFrame,
@@ -836,27 +984,32 @@ def encode_table(
             approx_rows = df.count()
             num_parts = max(1, int(np.ceil(approx_rows / target_part_rows)))
 
-    if "://" in out_dir:
-        raise ValueError(
-            "encode_table writes block files through local filesystem APIs; "
-            "out_dir must be a shared-filesystem path (local/NFS/fuse mount), "
-            f"not a URL: {out_dir!r}"
-        )
+    # raises for unregistered URL schemes; local paths and registered
+    # object-store filesystems (fs.register_filesystem) both work —
+    # workers resolve the same registry at decode/encode kernel time
+    fs = _get_fs(out_dir)
     # a fresh (resume=False, non-append) run must not leave stale parts
     # from an earlier run behind: completed_parts() would blend them into
     # decode output
-    if not resume and not append and os.path.isdir(os.path.join(out_dir, "blocks")):
-        import shutil
+    if not resume and not append:
+        blocks_dir = _j(out_dir, "blocks")
+        if fs.native_paths:
+            if os.path.isdir(blocks_dir):
+                import shutil
 
-        shutil.rmtree(os.path.join(out_dir, "blocks"))
+                shutil.rmtree(blocks_dir)
+        else:
+            for cdir in fs.listdir(blocks_dir):
+                for f in fs.listdir(_j(blocks_dir, cdir)):
+                    fs.remove(_j(blocks_dir, cdir, f))
         for extra in (
             "_aligned_fingerprint", "_log.jsonl", "_snapshots.jsonl",
             "_pending_append.json",
         ):
-            p = os.path.join(out_dir, extra)
-            if os.path.exists(p):
-                os.remove(p)
-    os.makedirs(out_dir, exist_ok=True)
+            p = _j(out_dir, extra)
+            if fs.exists(p):
+                fs.remove(p)
+    fs.makedirs(out_dir)
     meta = {
         "schema": {c: type_name(f) for c, f in _spark_schema_arrow(df).items()},
         "columns": cols,
@@ -881,17 +1034,16 @@ def encode_table(
     # the skew fan-out salt (assign_partitions), so it is part of the
     # partitioning identity for the clustered layout; the aligned layout
     # never salts, so changing it there is harmless.
-    meta_path = os.path.join(out_dir, "_table_meta.json")
-    pending_path = os.path.join(out_dir, "_pending_append.json")
+    meta_path = _j(out_dir, "_table_meta.json")
+    pending_path = _j(out_dir, "_pending_append.json")
     part_keys = ("num_parts", "layout", "cluster_by", "salt_by", "columns")
     if layout != "aligned":
         part_keys = part_keys + ("target_part_rows",)
     run_config = {k: meta[k] for k in part_keys}
     base = 0
     evolved_meta = None
-    if append and os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            prev = json.load(fh)
+    if append and fs.exists(meta_path):
+        prev = _read_json(meta_path)
         if prev["schema"] != meta["schema"] or prev["columns"] != cols:
             # schema evolution (Iceberg add-column posture): columns the
             # two schemas share must have identical storage types; columns
@@ -908,9 +1060,8 @@ def encode_table(
             meta.update(merged)
             evolved_meta = meta
         existing = completed_parts(out_dir)
-        if resume and os.path.exists(pending_path):
-            with open(pending_path) as fh:
-                pend = json.load(fh)
+        if resume and fs.exists(pending_path):
+            pend = _read_json(pending_path)
             if pend.get("config") != run_config:
                 raise ValueError(
                     "append resume refused: partitioning config changed "
@@ -920,13 +1071,11 @@ def encode_table(
             base = pend["base"]
         else:
             base = (max(existing) + 1) if existing else 0
-            with open(pending_path, "w") as fh:
-                json.dump({"base": base, "config": run_config}, fh)
+            _atomic_write_json(pending_path, {"base": base, "config": run_config})
         done = {p for p in existing if p >= base} if resume else set()
     else:
-        if resume and os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                prev = json.load(fh)
+        if resume and fs.exists(meta_path):
+            prev = _read_json(meta_path)
             diffs = {
                 k: (prev.get(k), meta[k])
                 for k in part_keys
@@ -963,11 +1112,11 @@ def encode_table(
         fingerprint = hashlib.sha256(fp_src.encode()).hexdigest()[:16]
         # appends fingerprint their own input plan (the base table's
         # fingerprint describes a different file listing)
-        fp_path = os.path.join(
+        fp_path = _j(
             out_dir, "_aligned_fingerprint_append" if append else "_aligned_fingerprint"
         )
-        if resume and os.path.exists(fp_path):
-            prev_fp = open(fp_path).read().strip()
+        if resume and fs.exists(fp_path):
+            prev_fp = fs.read_bytes(fp_path).decode().strip()
             if prev_fp != fingerprint:
                 raise ValueError(
                     "aligned-layout resume refused: input files or scan "
@@ -976,8 +1125,7 @@ def encode_table(
                     "or restore the original session parallelism"
                 )
         else:
-            with open(fp_path, "w") as fh:
-                fh.write(fingerprint)
+            fs.put_atomic(fp_path, fingerprint.encode())
         work = src.withColumn(
             PART_COL, (F.spark_partition_id() + F.lit(base)).cast("int")
         )
@@ -1014,9 +1162,11 @@ def encode_table(
     wall = time.time() - t0
 
     rows = [r.asDict() for r in summary]
-    with open(os.path.join(out_dir, "_log.jsonl"), "a") as fh:
-        for r in rows:
-            fh.write(json.dumps({k: v for k, v in r.items()}) + "\n")
+    if rows:
+        _get_fs(out_dir).append_line(
+            _j(out_dir, "_log.jsonl"),
+            "".join(json.dumps(dict(r)) + "\n" for r in rows),
+        )
 
     # snapshot commit LAST (Iceberg posture): the entry appears only once
     # every part of this run is durably checkpointed, so readers resolve
@@ -1054,9 +1204,9 @@ def encode_table(
             _commit_snapshot_entry(
                 out_dir, entry, append=append, evolved_meta=evolved_meta
             )
-    for p in (pending_path, os.path.join(out_dir, "_aligned_fingerprint_append")):
-        if os.path.exists(p):
-            os.remove(p)
+    for p in (pending_path, _j(out_dir, "_aligned_fingerprint_append")):
+        if fs.exists(p):
+            fs.remove(p)
     result = {
         "parts_encoded": len(rows),
         "parts_skipped": len(done),
@@ -1074,11 +1224,18 @@ def encode_table(
 
 def snapshots(out_dir: str) -> list[dict]:
     """Committed snapshot entries, oldest first."""
-    path = os.path.join(out_dir, "_snapshots.jsonl")
-    if not os.path.exists(path):
+    path = _j(out_dir, "_snapshots.jsonl")
+    fs = _get_fs(out_dir)
+    if not fs.exists(path):
         return []
-    with open(path) as fh:
-        return [json.loads(line) for line in fh if line.strip()]
+    if fs.native_paths:
+        with open(path) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+    return [
+        json.loads(line)
+        for line in fs.read_bytes(path).decode().splitlines()
+        if line.strip()
+    ]
 
 
 def snapshot_parts(out_dir: str, snapshot_id: int | None = None) -> list[int] | None:
@@ -1206,9 +1363,9 @@ def _keep_row_ranges(out_dir: str, pid: int, where: tuple):
     predicate — every block is prunable."""
     col, lo, hi = where
     path = _part_file(out_dir, col, pid)
-    if not os.path.exists(path):
+    if not _exists(path):
         return []  # schema-evolved column: all NULL, range matches nothing
-    t = pq.read_table(path, columns=["block_id", "n_rows", "meta"]).sort_by("block_id")
+    t = _pq_read(path, columns=["block_id", "n_rows", "meta"]).sort_by("block_id")
     ranges: list[list[int]] = []
     off = 0
     pruned_any = False
@@ -1257,12 +1414,12 @@ def _decode_column_ranges(out_dir, col, pid, target, ranges):
     pruned blocks — CPU savings only). A missing block file (column added
     by schema evolution after this part) yields nulls over the ranges."""
     path = _part_file(out_dir, col, pid)
-    if not os.path.exists(path):
+    if not _exists(path):
         pieces = [pa.nulls(b - a, type=target) for a, b in ranges if b > a]
         return pa.chunked_array(pieces, type=target) if pieces else pa.chunked_array(
             [pa.array([], type=target)], type=target
         )
-    pf = pq.ParquetFile(path)
+    pf = _pq_file(path)
     idx = pf.read(columns=["block_id", "n_rows"])
     blk = idx.column("block_id").to_pylist()
     nrs = idx.column("n_rows").to_pylist()
@@ -1337,7 +1494,7 @@ def _decode_column_ranges(out_dir, col, pid, target, ranges):
 
 
 def _part_row_count(out_dir: str, pid: int) -> int:
-    t = pq.read_table(_part_file(out_dir, CHECKPOINT_COL, pid), columns=["n_rows"])
+    t = _pq_read(_part_file(out_dir, CHECKPOINT_COL, pid), columns=["n_rows"])
     return int(t.column("n_rows")[0].as_py())
 
 
@@ -1350,11 +1507,11 @@ def _decode_part_batches(out_dir: str, columns, arrow_schema: pa.Schema, pid: in
     for col in columns:
         target = arrow_schema.field(col).type
         path = _part_file(out_dir, col, pid)
-        if not os.path.exists(path):
+        if not _exists(path):
             n = _part_row_count(out_dir, pid)
             per_col[col] = pa.chunked_array([pa.nulls(n, type=target)], type=target)
             continue
-        t = pq.read_table(path).sort_by("block_id")
+        t = _pq_read(path).sort_by("block_id")
         chunks = [
             _to_output_type(
                 decode_array(
@@ -1436,8 +1593,7 @@ def decode_table(
     may still hold non-matching rows, so compose with ``df.filter`` for
     exact results; on a cluster-keyed, sort-keyed table a key predicate
     typically skips all but a handful of blocks."""
-    with open(os.path.join(out_dir, "_table_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = _read_json(_j(out_dir, "_table_meta.json"))
     if snapshot_id is not None:
         # time travel reads the schema in effect AT that snapshot (a
         # later add-column evolution must not leak into the past); chains
@@ -1520,8 +1676,10 @@ _DECODE_ARROW_OF.update(
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Per-partition checkpoint/lineage rows as a DataFrame."""
-    path = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
+    """Per-partition checkpoint/lineage rows as a DataFrame. Requires a
+    Spark-readable path (local/shared mount; on a real cluster any
+    Hadoop-FS URL Spark itself resolves)."""
+    path = _j(out_dir, "blocks", f"col={CHECKPOINT_COL}")
     return spark.read.parquet(path).select(
         "part_id", "n_rows", "raw_bytes", "enc_bytes", F.col("meta").alias("lineage")
     )
@@ -1531,7 +1689,7 @@ def blocks_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-(column, codec) byte accounting over all block files (A7)."""
     # recursiveFileLookup: the physical files already carry `col`; hive
     # col= discovery would clash with it
-    path = os.path.join(out_dir, "blocks")
+    path = _j(out_dir, "blocks")
     df = (
         spark.read.option("recursiveFileLookup", "true")
         .schema(
@@ -1552,21 +1710,35 @@ def blocks_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+# checkpoint files are immutable once written (atomic publish, ids never
+# reused for a different payload), so a watch_encode loop over many parts
+# reads each checkpoint ONCE per process instead of once per tick
+_PROGRESS_CACHE: dict[str, dict[int, tuple[int, int]]] = {}
+
+
 def encode_progress(out_dir: str, num_parts: int | None = None) -> dict:
     """T5 progress snapshot: parts completed / total, row+byte counts so
     far — derived from the durable per-part checkpoint files, so it
     works from any process while (or after) an encode runs."""
     done = completed_parts(out_dir)
-    meta_path = os.path.join(out_dir, "_table_meta.json")
-    if num_parts is None and os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            num_parts = json.load(fh).get("num_parts")
+    meta_path = _j(out_dir, "_table_meta.json")
+    if num_parts is None and _exists(meta_path):
+        num_parts = _read_json(meta_path).get("num_parts")
+    cache = _PROGRESS_CACHE.setdefault(out_dir, {})
     rows = enc = 0
-    d = os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}")
     for pid in done:
-        t = pq.read_table(_part_file(out_dir, CHECKPOINT_COL, pid), columns=["n_rows", "enc_bytes"])
-        rows += t.column("n_rows")[0].as_py()
-        enc += t.column("enc_bytes")[0].as_py()
+        if pid not in cache:
+            t = _pq_read(
+                _part_file(out_dir, CHECKPOINT_COL, pid),
+                columns=["n_rows", "enc_bytes"],
+            )
+            cache[pid] = (
+                int(t.column("n_rows")[0].as_py()),
+                int(t.column("enc_bytes")[0].as_py()),
+            )
+        r, e = cache[pid]
+        rows += r
+        enc += e
     total = num_parts if num_parts and num_parts > 0 else None
     return {
         "parts_done": len(done),
@@ -1596,6 +1768,7 @@ def watch_encode(out_dir: str, num_parts: int | None = None, interval: float = 1
 # ~8 MB — see BENCH.md)
 
 
+@_with_writer_lock("compact")
 def compact_table(
     spark: SparkSession,
     out_dir: str,
@@ -1611,17 +1784,11 @@ def compact_table(
     re-encodes them through the standard part kernel (codec re-selection
     included — merged parts may pick better codecs from fuller samples).
     """
-    with open(os.path.join(out_dir, "_table_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = _read_json(_j(out_dir, "_table_meta.json"))
     live = snapshot_parts(out_dir)
     if live is None:
         live = sorted(completed_parts(out_dir))
-    import pyarrow.dataset as ds
-
-    ck = ds.dataset(
-        os.path.join(out_dir, "blocks", f"col={CHECKPOINT_COL}"), format="parquet"
-    ).to_table(columns=["part_id", "n_rows"])
-    rows_of = dict(zip(ck.column("part_id").to_pylist(), ck.column("n_rows").to_pylist()))
+    rows_of = {p: d["n_rows"] for p, d in part_meta(out_dir).items()}
     groups: list[list[int]] = []
     cur: list[int] = []
     cur_rows = 0
@@ -1696,8 +1863,7 @@ def compact_table(
         "compaction": True,
         "ts": time.time(),
     }
-    with open(os.path.join(out_dir, "_snapshots.jsonl"), "a") as fh:
-        fh.write(json.dumps(entry, separators=(",", ":")) + "\n")
+    _append_log_line(_j(out_dir, "_snapshots.jsonl"), entry)
     return {
         "groups": len(groups),
         "parts_removed": len(removed),
@@ -1817,8 +1983,7 @@ def _copy_on_write_delete(
 
 
 def _load_live(out_dir: str, col: str) -> tuple[dict, list[int]]:
-    with open(os.path.join(out_dir, "_table_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = _read_json(_j(out_dir, "_table_meta.json"))
     if col not in meta["columns"]:
         raise ValueError(f"unknown column {col!r}; table has {meta['columns']}")
     live = snapshot_parts(out_dir)
@@ -1827,6 +1992,7 @@ def _load_live(out_dir: str, col: str) -> tuple[dict, list[int]]:
     return meta, live
 
 
+@_with_writer_lock("delete")
 def delete_rows(
     spark: SparkSession,
     out_dir: str,
@@ -1979,6 +2145,7 @@ def _rewrite_parts_dropping_matched_keys(
     }
 
 
+@_with_writer_lock("merge")
 def upsert_rows(
     spark: SparkSession,
     df: DataFrame,
@@ -2019,7 +2186,7 @@ def upsert_rows(
     pending_del = {"removed_parts": [], "new_parts": [], "rows_deleted": 0}
     parts_rewritten = 0
     meta = None
-    if os.path.exists(os.path.join(out_dir, "_table_meta.json")):
+    if _exists(_j(out_dir, "_table_meta.json")):
         meta, live = _load_live(out_dir, key_col)
         span = df.agg(
             F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
@@ -2109,6 +2276,7 @@ def upsert_rows(
     }
 
 
+@_with_writer_lock("expire")
 def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     """Reclaim storage: keep the newest ``keep_last`` snapshots, delete
     part files referenced by no retained snapshot, and squash the log so
@@ -2123,14 +2291,15 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     for s in kept:
         referenced |= set(snapshot_parts(out_dir, s["id"]))
     deleted = 0
-    blocks = os.path.join(out_dir, "blocks")
-    for cdir in os.listdir(blocks):
-        d = os.path.join(blocks, cdir)
-        for f in os.listdir(d):
+    fs = _get_fs(out_dir)
+    blocks = _j(out_dir, "blocks")
+    for cdir in fs.listdir(blocks):
+        d = _j(blocks, cdir)
+        for f in fs.listdir(d):
             if f.startswith("part_") and f.endswith(".parquet"):
                 pid = int(f[len("part_") : -len(".parquet")])
                 if pid not in referenced:
-                    os.remove(os.path.join(d, f))
+                    fs.remove(_j(d, f))
                     deleted += 1
     # squash: oldest retained snapshot re-rooted with its full live set;
     # it is no longer a compaction delta (a changefeed consumer starting
@@ -2143,9 +2312,8 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     first.pop("append_parts", None)  # ditto: merge rewrites fold into the root
     first["parent"] = 0
     squashed = [first] + kept[1:]
-    tmp = os.path.join(out_dir, "_snapshots.jsonl.tmp")
-    with open(tmp, "w") as fh:
-        for s in squashed:
-            fh.write(json.dumps(s, separators=(",", ":")) + "\n")
-    os.replace(tmp, os.path.join(out_dir, "_snapshots.jsonl"))
+    fs.put_atomic(
+        _j(out_dir, "_snapshots.jsonl"),
+        "".join(json.dumps(s, separators=(",", ":")) + "\n" for s in squashed).encode(),
+    )
     return {"files_deleted": deleted, "snapshots_kept": len(squashed)}

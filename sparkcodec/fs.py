@@ -74,6 +74,12 @@ class FileSystem:
     def getsize(self, path: str) -> int:
         raise NotImplementedError
 
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        """Create ``path`` with ``data`` only if it does not exist;
+        False when it already does. The writer-lock primitive: O_EXCL
+        locally; object stores use a conditional PUT (If-None-Match)."""
+        raise NotImplementedError
+
 
 class LocalFS(FileSystem):
     """Plain paths: tmp+rename publishes, O_APPEND logs — POSIX-atomic
@@ -110,6 +116,18 @@ class LocalFS(FileSystem):
 
     def getsize(self, path: str) -> int:
         return os.path.getsize(path)
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+        finally:
+            os.close(fd)
+        return True
 
 
 class MockObjectFS(FileSystem):
@@ -166,6 +184,20 @@ class MockObjectFS(FileSystem):
 
     def getsize(self, path: str) -> int:
         return os.path.getsize(self._local(path))
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        # stands in for a conditional PUT (HTTP If-None-Match: *)
+        p = self._local(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+        finally:
+            os.close(fd)
+        return True
 
 
 _REGISTRY: dict[str, FileSystem] = {"mock": MockObjectFS()}

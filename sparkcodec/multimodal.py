@@ -44,20 +44,62 @@ def encode_fake_media(kind: str, media_id: int, width: int, height: int, n_frame
 
 
 def decode_header(payload: bytes) -> dict:
-    magic, kind, channels, width, height, n_frames = _HDR.unpack_from(payload, 0)
-    if magic != FAKE_MAGIC:
-        # the real-library path: sniff JPEG/PNG/WAV magic and dispatch
-        raise NotImplementedError(
-            "real media decoding requires Pillow/soundfile/ffmpeg (not in "
-            "this container); only the FAKM fixture format is decodable"
-        )
-    return {
-        "kind": kind.decode().rstrip("\x00"),
-        "channels": channels,
-        "width": width,
-        "height": height,
-        "n_frames": n_frames,
-    }
+    """Sniff the payload magic and decode its typed header.
+
+    Dispatch, most-capable first:
+    * ``FAKM`` — the deterministic test fixture format (always available).
+    * ``RIFF..WAVE`` — REAL decode via the stdlib ``wave`` module:
+      kind='aud', channels=nchannels, width=framerate, height=sampwidth,
+      n_frames=nframes (the audio field mapping).
+    * PNG / JPEG — real decode via Pillow when importable (kind='img',
+      n_frames=1); raises NotImplementedError otherwise, naming the
+      missing library — the Spark plumbing (schema, batching, kernels)
+      is identical either way.
+    """
+    if payload[:4] == FAKE_MAGIC:
+        magic, kind, channels, width, height, n_frames = _HDR.unpack_from(payload, 0)
+        return {
+            "kind": kind.decode().rstrip("\x00"),
+            "channels": channels,
+            "width": width,
+            "height": height,
+            "n_frames": n_frames,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            return {
+                "kind": "aud",
+                "channels": w.getnchannels(),
+                "width": w.getframerate(),
+                "height": w.getsampwidth(),
+                "n_frames": w.getnframes(),
+            }
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:3] == b"\xff\xd8\xff":
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError(
+                "PNG/JPEG decoding requires Pillow (not in this container); "
+                "FAKM and WAV payloads remain decodable"
+            )
+        with Image.open(io.BytesIO(payload)) as im:
+            return {
+                "kind": "img",
+                "channels": len(im.getbands()),
+                "width": im.width,
+                "height": im.height,
+                "n_frames": getattr(im, "n_frames", 1),
+            }
+    raise NotImplementedError(
+        "unrecognized media magic "
+        f"{payload[:4]!r}; decodable formats: FAKM (fixture), WAV "
+        "(stdlib), PNG/JPEG (with Pillow installed)"
+    )
 
 
 def synth_media_df(spark, n: int, seed: int = 42):

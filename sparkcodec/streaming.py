@@ -185,9 +185,11 @@ def encode_stream(
             # stale _pending_append.json would make the NEXT batch reuse
             # this batch's part-id base and anti-join its rows away, so
             # finish the cleanup here (single-writer contract).
-            pend = os.path.join(out_dir, "_pending_append.json")
-            if os.path.exists(pend):
-                os.remove(pend)
+            from .engine import _exists, _get_fs, _j
+
+            pend = _j(out_dir, "_pending_append.json")
+            if _exists(pend):
+                _get_fs(out_dir).remove(pend)
             return
         encode_table(
             batch_df.sparkSession,

@@ -1480,6 +1480,165 @@ def test_merge_changefeed_delivers_only_appended_rows(spark, tmp_path):
     assert got.filter(F.col("val") == "new").count() == 30
 
 
+def test_fs_seam_mock_object_store_lifecycle(spark, tmp_path):
+    """The full table lifecycle through the object-store seam (mock://
+    scheme: whole-object atomic PUTs, no rename, no O_APPEND): encode,
+    pruned decode, append snapshot, delete, compact, expire — every
+    durability path exercised without local-rename semantics."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        compact_table,
+        decode_table,
+        delete_rows,
+        encode_table,
+        expire_snapshots,
+        snapshot_parts,
+        snapshots,
+    )
+
+    out = "mock://" + str(tmp_path / "objstore")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") / 500).cast("int").alias("g"),
+        F.concat(F.lit("t"), F.col("id")).alias("txt"),
+    )
+    rep = encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                       sort_by=["g", "id"], num_parts=4, target_part_rows=500,
+                       resume=False)
+    assert rep["n_rows"] == 2000
+    dec = decode_table(spark, out)
+    assert dec.count() == 2000
+    assert dec.agg(F.sum("id")).collect()[0][0] == sum(range(2000))
+    # pruned decode through the seam
+    assert decode_table(spark, out, where=("id", 100, 200)).filter(
+        F.col("id").between(100, 200)
+    ).count() == 101
+    # append snapshot
+    d2 = spark.range(2000, 2100).select(
+        F.col("id"), (F.col("id") / 500).cast("int").alias("g"),
+        F.concat(F.lit("t"), F.col("id")).alias("txt"),
+    )
+    encode_table(spark, d2, out, cluster_by=["g"], salt_by=["id"],
+                 sort_by=["g", "id"], num_parts=1, target_part_rows=500,
+                 append=True)
+    assert decode_table(spark, out).count() == 2100
+    assert len(snapshots(out)) == 2
+    # delete + compact + expire
+    drep = delete_rows(spark, out, ("id", 0, 99))
+    assert drep["rows_deleted"] == 100
+    assert decode_table(spark, out).count() == 2000
+    compact_table(spark, out, target_part_rows=5000)
+    assert decode_table(spark, out).count() == 2000
+    expire_snapshots(out, keep_last=1)
+    assert decode_table(spark, out).count() == 2000
+    assert set(snapshot_parts(out)) == set(snapshot_parts(out))
+
+
+def test_unregistered_scheme_refused(spark):
+    """An out_dir with an unregistered URL scheme fails fast with a
+    registration hint (replacing the old blanket URL refusal)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_table
+
+    df = spark.range(10).select(F.col("id"))
+    with _pytest.raises(ValueError, match="no filesystem registered"):
+        encode_table(spark, df, "s3://bucket/table", num_parts=1, resume=False)
+
+
+def test_writer_lock_refuses_concurrent_and_takes_over_stale(spark, tmp_path):
+    """Single-writer contract: a held lease refuses a second writer with
+    a clear error; an expired lease is taken over; the lease is released
+    on completion; composite ops (merge) re-enter without deadlock."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        ConcurrentWriterError,
+        decode_table,
+        encode_table,
+        upsert_rows,
+    )
+
+    out = str(tmp_path / "locked")
+    df = spark.range(300).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"], num_parts=2,
+                 target_part_rows=150, resume=False)
+    lock = _os.path.join(out, "_writer.lock")
+    assert not _os.path.exists(lock)  # released after the encode
+
+    # a live foreign lease: second writer refused, table untouched
+    _os.makedirs(out, exist_ok=True)
+    with open(lock, "w") as fh:
+        _json.dump({"owner": "deadbeef", "pid": 1, "op": "encode",
+                    "ts": _time.time(), "lease_sec": 3600}, fh)
+    d2 = spark.range(300, 400).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    with _pytest.raises(ConcurrentWriterError, match="locked by writer deadbeef"):
+        encode_table(spark, d2, out, cluster_by=["g"], salt_by=["id"], num_parts=1,
+                     target_part_rows=150, append=True)
+    assert decode_table(spark, out).count() == 300
+
+    # stale lease (expired): taken over, append proceeds, lock released
+    with open(lock, "w") as fh:
+        _json.dump({"owner": "deadbeef", "pid": 1, "op": "encode",
+                    "ts": _time.time() - 7200, "lease_sec": 3600}, fh)
+    encode_table(spark, d2, out, cluster_by=["g"], salt_by=["id"], num_parts=1,
+                 target_part_rows=150, append=True)
+    assert decode_table(spark, out).count() == 400
+    assert not _os.path.exists(lock)
+
+    # composite op holds ONE lease end to end (reentrant in-process)
+    up = spark.createDataFrame([(50, 2, ), (999, 0)], "id long, g long")
+    upsert_rows(spark, up, out, "id", cluster_by=["g"], salt_by=["id"],
+                num_parts=1, target_part_rows=150)
+    assert not _os.path.exists(lock)
+    assert decode_table(spark, out).count() == 401
+
+
+def test_stream_reader_columns_option_prunes_files(spark, tmp_path):
+    """The changefeed honors the ``columns`` option at the file level:
+    only the named columns' block files are opened. Proven by deleting an
+    unrequested column's block files — the pruned stream still reads
+    correct values (it never opens them), while an unpruned read of that
+    column can only produce nulls."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import encode_table
+
+    out = str(tmp_path / "feedcols")
+    df = spark.range(400).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("t"), F.col("id")).alias("txt"),
+    )
+    encode_table(spark, df, out, cluster_by=["id"], salt_by=["v"], num_parts=2,
+                 target_part_rows=200, resume=False)
+    # remove the txt column's block files entirely
+    for f in _glob.glob(_os.path.join(out, "blocks", "col=txt", "part_*.parquet")):
+        _os.remove(f)
+    spark.dataSource.register(SparkcodecDataSource)
+    sink = str(tmp_path / "cols_sink")
+    q = (
+        spark.readStream.format("sparkcodec").option("columns", "id,v").load(out)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "cols_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.columns == ["id", "v"]
+    assert got.count() == 400
+    assert got.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(400))
+
+
 def test_prune_parts_eq_type_mismatch_keeps(spark, tmp_path):
     """A type-mismatched equality probe (string '3' against an int value
     set) must KEEP parts — set intersection comes back empty without

@@ -1548,3 +1548,78 @@ FROM documents WHERE lang = 'de' AND doc_id BETWEEN 50 AND 300 GROUP BY lang
 
 QUERIES["multi_pred_prune"] = q_multi_pred_prune
 ORACLES["multi_pred_prune"] = SQL_MULTI_PRED_PRUNE
+
+
+def q_merge_upsert_stats(spark, sf_dir):
+    """Atomic key-MERGE end-to-end: encode documents, upsert a batch that
+    REPLACES every 'de' row (same doc_id, new lang/text) and INSERTS new
+    doc_ids above the existing range, then decode the latest snapshot and
+    aggregate. One combined snapshot carries the rewrites and the appends
+    (engine.upsert_rows), so a merge that loses replacements, duplicates
+    keys, or corrupts survivors breaks the oracle match — the oracle
+    computes the same post-merge table relationally (anti-join ∪ updates
+    ∪ inserts)."""
+    from .engine import decode_table, encode_table, upsert_rows
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sparkcodec_merge_{abs(hash(sf_dir)) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark, d, out,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=8, resume=False,
+    )
+    updates = d.filter(F.col("lang") == "de").select(
+        "doc_id",
+        F.concat(F.lit("merged-"), F.col("doc_id")).alias("text"),
+        F.lit("xx").alias("lang"),
+        F.col("source"),
+        F.length(F.concat(F.lit("merged-"), F.col("doc_id"))).cast("long").alias("n_chars"),
+    )
+    inserts = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit("new-"), F.col("doc_id")).alias("text"),
+        F.lit("zz").alias("lang"),
+        F.col("source"),
+        F.length(F.concat(F.lit("new-"), F.col("doc_id"))).cast("long").alias("n_chars"),
+    )
+    batch = updates.unionByName(inserts).select(*d.columns)
+    upsert_rows(
+        spark, batch, out, "doc_id",
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=2,
+    )
+    dec = decode_table(spark, out)
+    return dec.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+SQL_MERGE_UPSERT_STATS = """
+WITH merged AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents WHERE lang <> 'de'
+  UNION ALL
+  SELECT doc_id, 'merged-' || doc_id AS text, 'xx' AS lang, source,
+         length('merged-' || doc_id) AS n_chars
+  FROM documents WHERE lang = 'de'
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new-' || doc_id AS text, 'zz' AS lang,
+         source, length('new-' || doc_id) AS n_chars
+  FROM documents WHERE doc_id < 20
+)
+SELECT lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM merged GROUP BY lang
+"""
+
+QUERIES["merge_upsert_stats"] = q_merge_upsert_stats
+ORACLES["merge_upsert_stats"] = SQL_MERGE_UPSERT_STATS

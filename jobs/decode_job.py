@@ -15,7 +15,9 @@ recorded zone maps before any payload is decoded (conservative — rows
 outside [lo, hi] may remain; bounds are coerced to the column's
 recorded type, so '100' on a string column stays the string '100').
 Repeat --where for a conjunction: each predicate prunes independently
-and the surviving block row ranges intersect.
+and the surviving block row ranges intersect. --where-in col:v1,v2
+prunes by IN-list membership (value sets + blooms refute parts the
+range merely spans).
 Omit --output to just count rows (a decode smoke).
 
 Prints one JSON line with row count, wall seconds, and the pruning
@@ -55,6 +57,10 @@ def main() -> int:
         "--where", action="append", default=None,
         help="col:lo:hi (empty bound = open); repeat for a conjunction",
     )
+    ap.add_argument(
+        "--where-in", action="append", default=None,
+        help="col:v1,v2,... IN-list membership; repeat for a conjunction",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,16 +74,20 @@ def main() -> int:
 
     spark = SparkSession.builder.appName("sparkcodec-decode").getOrCreate()
     wheres = []
-    if args.where:
+    if args.where or args.where_in:
         import json as _json
         import os as _os
 
         with open(_os.path.join(args.input, "_table_meta.json")) as fh:
             schema = _json.load(fh)["schema"]
-        for spec in args.where:
+        for spec in args.where or []:
             col, lo, hi = spec.split(":", 2)
             tname = schema[col]
             wheres.append((col, _bound(lo, tname), _bound(hi, tname)))
+        for spec in args.where_in or []:
+            col, vals = spec.split(":", 1)
+            tname = schema[col]
+            wheres.append((col, [_bound(v, tname) for v in vals.split(",")]))
     columns = args.columns.split(",") if args.columns else None
 
     parts = snapshot_parts(args.input, args.snapshot_id)
@@ -85,7 +95,18 @@ def main() -> int:
         parts = sorted(completed_parts(args.input))
     kept = parts
     for w in wheres:
-        kept = prune_parts(args.input, w, kept)
+        if len(w) == 3:
+            kept = prune_parts(args.input, w, kept)
+        else:
+            from sparkcodec.engine import prune_parts_bloom, prune_parts_eq
+
+            col, vals = w
+            try:
+                kept = prune_parts(args.input, (col, min(vals), max(vals)), kept)
+            except TypeError:
+                pass
+            kept = prune_parts_eq(args.input, col, list(vals), kept)
+            kept = prune_parts_bloom(args.input, col, list(vals), kept)
 
     t0 = time.time()
     df = decode_table(

@@ -1319,20 +1319,32 @@ def _intersect_ranges(a, b):
 
 
 def _normalize_where(where) -> list[tuple]:
-    """``where`` may be one ``(col, lo, hi)`` predicate or a list of them
-    (conjunction). Returns a list of 3-tuples."""
+    """``where`` may be one predicate or a list of them (conjunction).
+    Predicate forms: ``(col, lo, hi)`` — range, either bound None for
+    half-open — or ``(col, [v1, v2, ...])`` — IN-list membership.
+    Returns 3-tuples (range) and 2-tuples (col, tuple-of-values)."""
     if where is None:
         return []
-    if len(where) == 3 and isinstance(where[0], str):
-        return [tuple(where)]
-    out = []
-    for w in where:
-        if len(w) != 3 or not isinstance(w[0], str):
-            raise ValueError(
-                f"each predicate must be (col, lo, hi), got {w!r}"
-            )
-        out.append(tuple(w))
-    return out
+
+    def one(w):
+        if (
+            len(w) == 2
+            and isinstance(w[0], str)
+            and isinstance(w[1], (list, tuple, set, frozenset))
+        ):
+            vals = list(w[1])
+            if not vals:
+                raise ValueError("IN predicate needs at least one value")
+            return (w[0], tuple(vals))
+        if len(w) == 3 and isinstance(w[0], str):
+            return tuple(w)
+        raise ValueError(
+            f"each predicate must be (col, lo, hi) or (col, [values]), got {w!r}"
+        )
+
+    if len(where) in (2, 3) and isinstance(where[0], str):
+        return [one(where)]
+    return [one(w) for w in where]
 
 
 def _keep_row_ranges_multi(out_dir: str, pid: int, wheres: list[tuple]):
@@ -1342,13 +1354,51 @@ def _keep_row_ranges_multi(out_dir: str, pid: int, wheres: list[tuple]):
     ranges = None
     pruned = False
     for w in wheres:
-        r = _keep_row_ranges(out_dir, pid, w)
+        r = (
+            _keep_row_ranges_in(out_dir, pid, w[0], w[1])
+            if len(w) == 2
+            else _keep_row_ranges(out_dir, pid, w)
+        )
         if r is not None:
             pruned = True
             ranges = r if ranges is None else _intersect_ranges(ranges, r)
             if not ranges:
                 return []
     return ranges if pruned else None
+
+
+def _keep_row_ranges_in(out_dir: str, pid: int, col: str, values):
+    """IN-list twin of :func:`_keep_row_ranges`: a block survives when at
+    least one probe value falls inside its [min, max] zone map (exact
+    membership isn't knowable at block level — conservative, like every
+    pruning dimension). A column missing for this part (pre-evolution) is
+    all-NULL and NULL never matches IN."""
+    path = _part_file(out_dir, col, pid)
+    if not _exists(path):
+        return []
+    t = _pq_read(path, columns=["block_id", "n_rows", "meta"]).sort_by("block_id")
+    ranges: list[list[int]] = []
+    off = 0
+    pruned_any = False
+    for b in range(t.num_rows):
+        n = t.column("n_rows")[b].as_py()
+        mm = json.loads(t.column("meta")[b].as_py()).get("mm")
+        keep = True
+        if mm is not None:
+            mn, mx = mm
+            try:
+                if not any(mn <= v <= mx for v in values):
+                    keep = False
+                    pruned_any = True
+            except TypeError:
+                pass  # probe/stat type mismatch: keep (conservative)
+        if keep and n:
+            if ranges and ranges[-1][1] == off:
+                ranges[-1][1] = off + n
+            else:
+                ranges.append([off, off + n])
+        off += n
+    return ranges if pruned_any else None
 
 
 def _keep_row_ranges(out_dir: str, pid: int, where: tuple):
@@ -1577,12 +1627,14 @@ def decode_table(
     negative but round-trip bit-exactly). Field metadata recorded at
     encode time (P7) is reattached to the output schema.
 
-    ``where`` is one ``(col, lo, hi)`` predicate or a LIST of them — a
-    conjunction, like ``lang='de' AND doc_id BETWEEN a AND b``. Each
-    predicate prunes at two levels via zone maps (either bound may be
-    None): whole parts through the checkpoint lineage before any task
-    runs (point predicates additionally refute through exact value sets
-    and bloom filters), then individual blocks inside surviving parts
+    ``where`` is one predicate or a LIST of them — a conjunction, like
+    ``lang='de' AND doc_id BETWEEN a AND b``. Predicate forms:
+    ``(col, lo, hi)`` — range, either bound None for half-open — and
+    ``(col, [v1, v2, ...])`` — IN-list membership. Each predicate prunes
+    at two levels via zone maps: whole parts through the checkpoint
+    lineage before any task runs (point and IN predicates additionally
+    refute through exact value sets and bloom filters — lists probe all
+    values at once), then individual blocks inside surviving parts
     through per-block [min, max] metadata — excluded blocks' payloads
     are never decoded. Multi-predicate block pruning intersects the
     per-column row ranges (the same ``_intersect_ranges`` the DataSource
@@ -1616,15 +1668,32 @@ def decode_table(
     if wheres:
         pm = part_meta(out_dir)  # one read feeds every pruning dimension
         for w in wheres:
-            parts = prune_parts(out_dir, w, parts, stats=part_stats(out_dir, pm))
-            if w[1] is not None and w[1] == w[2]:
-                # point predicate: exact value-set membership can refute
-                # parts whose [min, max] range merely spans the value
+            if len(w) == 2:
+                # IN-list: zone-map span + exact value-set + bloom
+                # membership (prune_parts_eq/_bloom already take lists)
+                col, vals = w
+                try:
+                    span = (col, min(vals), max(vals))
+                except TypeError:
+                    span = None  # mixed-type values: no orderable span
+                if span is not None:
+                    parts = prune_parts(
+                        out_dir, span, parts, stats=part_stats(out_dir, pm)
+                    )
+                probes = list(vals)
+            elif w[1] is not None and w[1] == w[2]:
+                parts = prune_parts(out_dir, w, parts, stats=part_stats(out_dir, pm))
+                probes = [w[1]]  # point predicate: exact membership can
+                # refute parts whose [min, max] range merely spans the value
+            else:
+                parts = prune_parts(out_dir, w, parts, stats=part_stats(out_dir, pm))
+                probes = None
+            if probes is not None:
                 parts = prune_parts_eq(
-                    out_dir, w[0], [w[1]], parts, part_vsets(out_dir, pm)
+                    out_dir, w[0], probes, parts, part_vsets(out_dir, pm)
                 )
                 parts = prune_parts_bloom(
-                    out_dir, w[0], [w[1]], parts,
+                    out_dir, w[0], probes, parts,
                     {p: d["bloom"] for p, d in pm.items()},
                 )
     # several parts per task: decode parallelism needs only ~4x the slots,

@@ -1623,3 +1623,47 @@ FROM merged GROUP BY lang
 
 QUERIES["merge_upsert_stats"] = q_merge_upsert_stats
 ORACLES["merge_upsert_stats"] = SQL_MERGE_UPSERT_STATS
+
+
+def q_in_list_prune(spark, sf_dir):
+    """IN-list predicate pushdown into the encoded format: decode with
+    where=('lang', ['de', 'fr']) — parts are refuted through zone-map
+    span, exact value sets, and bloom filters probing ALL list values at
+    once; blocks survive only when some probe value falls inside their
+    [min, max]. Conservative as always; the exact isin filter composes
+    and the oracle aggregates the filtered source."""
+    from .engine import decode_table, encode_table
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sparkcodec_inlist_{abs(hash(sf_dir)) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark, d, out,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=8, resume=False,
+    )
+    dec = decode_table(spark, out, where=("lang", ["de", "fr"]))
+    return (
+        dec.filter(F.col("lang").isin("de", "fr"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SQL_IN_LIST_PRUNE = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       max(doc_id) AS max_doc_id
+FROM documents WHERE lang IN ('de', 'fr') GROUP BY lang
+"""
+
+QUERIES["in_list_prune"] = q_in_list_prune
+ORACLES["in_list_prune"] = SQL_IN_LIST_PRUNE

@@ -1600,6 +1600,60 @@ def test_writer_lock_refuses_concurrent_and_takes_over_stale(spark, tmp_path):
     assert decode_table(spark, out).count() == 401
 
 
+def test_in_list_where_prunes_parts_and_blocks(spark, tmp_path):
+    """where=(col, [values]) — IN-list membership: value-set/bloom
+    refutation drops parts holding none of the probes; block zone maps
+    drop blocks no probe value can fall into; mixes with range
+    predicates in a conjunction; results stay exact."""
+    import pyarrow as _pa
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        _keep_row_ranges_in,
+        completed_parts,
+        decode_table,
+        encode_table,
+        part_meta,
+        prune_parts_eq,
+    )
+
+    out = str(tmp_path / "inlist")
+    df = spark.range(2000).select(
+        F.col("id"), F.concat(F.lit("g"), (F.col("id") % 8)).alias("grp")
+    )
+    encode_table(spark, df, out, cluster_by=["grp"], salt_by=["id"],
+                 sort_by=["grp", "id"], num_parts=8, target_part_rows=250,
+                 resume=False)
+    parts = sorted(completed_parts(out))
+    # value sets recorded -> an IN probe of absent values prunes all parts
+    assert prune_parts_eq(out, "grp", ["zz", "yy"], parts) == []
+    # IN-list decode: exact after the residual filter
+    dec = decode_table(spark, out, where=("grp", ["g1", "g3"]))
+    assert dec.filter(F.col("grp").isin("g1", "g3")).count() == 500
+    # absent values: every part pruned, zero rows, no task failures
+    assert decode_table(spark, out, where=("grp", ["zz"])).count() == 0
+    # conjunction of IN + range
+    dec2 = decode_table(spark, out, where=[("grp", ["g1"]), ("id", 0, 999)])
+    assert dec2.filter(
+        (F.col("grp") == "g1") & F.col("id").between(0, 999)
+    ).count() == 125
+    # block-level: single sorted part, disjoint id blocks; an IN probe
+    # hitting two bands keeps only their blocks
+    out2 = str(tmp_path / "inlist_blocks")
+    encode_table(spark, spark.range(4000).select(F.col("id")), out2,
+                 cluster_by=None, salt_by=["id"], sort_by=["id"],
+                 num_parts=1, resume=False, block_rows=256)
+    [pid] = completed_parts(out2)
+    ranges = _keep_row_ranges_in(out2, pid, "id", [100, 3900])
+    assert ranges is not None
+    covered = sum(hi - lo for lo, hi in ranges)
+    assert covered <= 512, (ranges, covered)  # two blocks of 256
+    vals = decode_table(spark, out2, where=("id", [100, 3900]))
+    got = {r["id"] for r in vals.collect()}
+    assert {100, 3900} <= got and len(got) <= 512
+
+
 def test_stream_reader_columns_option_prunes_files(spark, tmp_path):
     """The changefeed honors the ``columns`` option at the file level:
     only the named columns' block files are opened. Proven by deleting an

@@ -94,19 +94,32 @@ def main() -> int:
     if parts is None:
         parts = sorted(completed_parts(args.input))
     kept = parts
-    for w in wheres:
-        if len(w) == 3:
-            kept = prune_parts(args.input, w, kept)
-        else:
-            from sparkcodec.engine import prune_parts_bloom, prune_parts_eq
+    if wheres:
+        from sparkcodec.engine import (
+            part_meta,
+            part_stats,
+            part_vsets,
+            prune_parts_bloom,
+            prune_parts_eq,
+        )
 
-            col, vals = w
-            try:
-                kept = prune_parts(args.input, (col, min(vals), max(vals)), kept)
-            except TypeError:
-                pass
-            kept = prune_parts_eq(args.input, col, list(vals), kept)
-            kept = prune_parts_bloom(args.input, col, list(vals), kept)
+        pm = part_meta(args.input)  # ONE metadata read for all predicates
+        stats = part_stats(args.input, pm)
+        vsets = part_vsets(args.input, pm)
+        blooms = {p: d["bloom"] for p, d in pm.items()}
+        for w in wheres:
+            if len(w) == 3:
+                kept = prune_parts(args.input, w, kept, stats=stats)
+            else:
+                col, vals = w
+                try:
+                    kept = prune_parts(
+                        args.input, (col, min(vals), max(vals)), kept, stats=stats
+                    )
+                except TypeError:
+                    pass
+                kept = prune_parts_eq(args.input, col, list(vals), kept, vsets)
+                kept = prune_parts_bloom(args.input, col, list(vals), kept, blooms)
 
     t0 = time.time()
     df = decode_table(

@@ -76,8 +76,15 @@ def main() -> int:
     ap.add_argument("--expire-keep-last", type=int, default=None)
     ap.add_argument("--delete", default=None, help="col:lo:hi range to delete")
     ap.add_argument("--delete-col", default=None, help="delete: column name")
-    ap.add_argument("--delete-lo", default=None, help="delete: low bound (always a string)")
-    ap.add_argument("--delete-hi", default=None, help="delete: high bound (always a string)")
+    ap.add_argument(
+        "--delete-lo", default=None,
+        help="delete: low bound (numeric-looking coerces to a number; "
+             "quote '...' to force a string; may contain colons)",
+    )
+    ap.add_argument(
+        "--delete-hi", default=None,
+        help="delete: high bound (same coercion as --delete-lo)",
+    )
     args = ap.parse_args()
 
     out = {}

@@ -202,7 +202,19 @@ class ConcurrentWriterError(RuntimeError):
     """Another writer holds this table's lock (single-writer contract)."""
 
 
-_HELD_LOCKS: set[str] = set()  # process-local reentrancy (merge spans encode)
+import threading as _threading  # noqa: E402
+
+# In-process lease registry: key -> ident of the thread that acquired.
+# Reentrancy is THREAD-scoped (merge's rewrite + append hold one lease
+# end to end within a single call stack) — a second thread in the same
+# driver writing the same table goes through the on-disk exclusive
+# create and is REFUSED; a process-wide bare set would let it silently
+# bypass the single-writer contract and the first finisher would delete
+# the lock out from under the other. Release pops by key regardless of
+# thread (the DataSource writer acquires in __init__ and Spark may call
+# commit()/abort() from a different driver thread).
+_HELD_LOCKS: dict[str, int] = {}
+_HELD_MUTEX = _threading.Lock()
 _LOCK_LEASE_SEC = 3600.0
 
 
@@ -211,12 +223,15 @@ def _acquire_writer_lock(out_dir: str, op: str, lease_sec: float = _LOCK_LEASE_S
     :class:`ConcurrentWriterError` naming the holder. The lock file is
     created exclusively (O_EXCL locally; an object-store impl should use
     a conditional PUT); a lease older than its ``lease_sec`` is presumed
-    abandoned (crashed writer) and taken over. Re-acquiring within the
-    same process is a no-op (returns None) so composite operations —
-    upsert's rewrite + append — hold ONE lease end to end."""
+    abandoned (crashed writer) and taken over via an ATOMIC claim
+    (``fs.claim_stale`` — rename-based locally, conditional delete on
+    object stores), so two racing takeovers can never both acquire.
+    Re-acquiring within the same thread is a no-op (returns None) so
+    composite operations — upsert's rewrite + append — hold ONE lease."""
     key = _j(out_dir, "_writer.lock")
-    if key in _HELD_LOCKS:
-        return None
+    with _HELD_MUTEX:
+        if _HELD_LOCKS.get(key) == _threading.get_ident():
+            return None  # reentrant within the acquiring thread
     fs = _get_fs(out_dir)
     fs.makedirs(out_dir)
     me = {
@@ -229,7 +244,8 @@ def _acquire_writer_lock(out_dir: str, op: str, lease_sec: float = _LOCK_LEASE_S
     data = json.dumps(me, separators=(",", ":")).encode()
     for _ in range(3):
         if fs.create_exclusive(key, data):
-            _HELD_LOCKS.add(key)
+            with _HELD_MUTEX:
+                _HELD_LOCKS[key] = _threading.get_ident()
             return me["owner"]
         try:
             cur = json.loads(fs.read_bytes(key))
@@ -237,13 +253,10 @@ def _acquire_writer_lock(out_dir: str, op: str, lease_sec: float = _LOCK_LEASE_S
             cur = {}
         age = time.time() - cur.get("ts", 0)
         if age > cur.get("lease_sec", lease_sec):
-            # stale lease (writer crashed without releasing): remove and
-            # loop back into the exclusive create — if two takeover
-            # attempts race, exactly one wins the create
-            try:
-                fs.remove(key)
-            except FileNotFoundError:
-                pass
+            # stale lease (writer crashed without releasing): claim it
+            # atomically — exactly one racer's claim succeeds, the loser
+            # loops back and finds the winner's FRESH lease
+            fs.claim_stale(key)
             continue
         raise ConcurrentWriterError(
             f"table at {out_dir} is locked by writer "
@@ -263,7 +276,8 @@ def _release_writer_lock(out_dir: str, owner: str | None) -> None:
     if owner is None:
         return  # reentrant acquisition: the outer holder releases
     key = _j(out_dir, "_writer.lock")
-    _HELD_LOCKS.discard(key)
+    with _HELD_MUTEX:
+        _HELD_LOCKS.pop(key, None)
     fs = _get_fs(out_dir)
     try:
         if json.loads(fs.read_bytes(key)).get("owner") == owner:
@@ -1009,6 +1023,9 @@ def encode_table(
             p = _j(out_dir, extra)
             if fs.exists(p):
                 fs.remove(p)
+        # part ids are about to be REUSED for different data — the
+        # progress cache's immutability premise no longer holds here
+        _PROGRESS_CACHE.pop(out_dir, None)
     fs.makedirs(out_dir)
     meta = {
         "schema": {c: type_name(f) for c, f in _spark_schema_arrow(df).items()},
@@ -1857,6 +1874,11 @@ def compact_table(
     live = snapshot_parts(out_dir)
     if live is None:
         live = sorted(completed_parts(out_dir))
+    # legacy (pre-snapshot-log) tables: root the log with the current
+    # live set BEFORE any merged part lands — otherwise readers on the
+    # completed_parts fallback would see originals AND merged copies
+    # (duplicate rows), permanently if the job crashed before the commit
+    _ensure_snapshot_root(out_dir, live, meta)
     rows_of = {p: d["n_rows"] for p, d in part_meta(out_dir).items()}
     groups: list[list[int]] = []
     cur: list[int] = []
@@ -1911,18 +1933,11 @@ def compact_table(
     ).collect()
     removed = sorted(p for g in groups for p in g)
     created = sorted(r["part_id"] for r in summary)
-    snaps = snapshots(out_dir)
-    if snaps:
-        new_parts = created
-    else:
-        # legacy table without a snapshot log: this entry becomes the
-        # root, so it must carry the FULL live set (untouched singleton
-        # parts included), not just the merged ones
-        new_parts = sorted(set(created) | (set(live) - set(removed)))
+    snaps = snapshots(out_dir)  # never empty: rooted above before the rewrite
     entry = {
-        "id": (snaps[-1]["id"] + 1) if snaps else 1,
-        "parent": snaps[-1]["id"] if snaps else 0,
-        "new_parts": new_parts,
+        "id": snaps[-1]["id"] + 1,
+        "parent": snaps[-1]["id"],
+        "new_parts": created,
         "removed_parts": removed,
         "n_rows": sum(r["n_rows"] for r in summary),
         "enc_bytes": sum(r["enc_bytes"] for r in summary),
@@ -2252,6 +2267,20 @@ def upsert_rows(
     genuinely new rows, so the changefeed delivers the appended rows
     and skips the rewrites."""
     merge_id = uuid.uuid4().hex[:16]
+    # the batch is read up to four times (key span, distinct-key head,
+    # key join, append encode) — materialize it once instead of
+    # recomputing an arbitrarily expensive upstream pipeline per pass
+    df = df.persist()
+    try:
+        return _upsert_rows_inner(spark, df, out_dir, key_col, merge_id,
+                                  broadcast_keys, encode_kwargs)
+    finally:
+        df.unpersist()
+
+
+def _upsert_rows_inner(
+    spark, df, out_dir, key_col, merge_id, broadcast_keys, encode_kwargs
+) -> dict:
     pending_del = {"removed_parts": [], "new_parts": [], "rows_deleted": 0}
     parts_rewritten = 0
     meta = None
@@ -2321,19 +2350,19 @@ def upsert_rows(
         "columns": meta["columns"],
         "schema": meta["schema"],
     }
-    entry = {
+    # start from the append's prepared entry so caller-scoped identity
+    # keys (snapshot_extra, e.g. a stream replay tag) survive into the
+    # combined commit, then overlay the merge-specific fields
+    entry = dict(base_entry)
+    entry.update({
         "new_parts": sorted(set(pending_del["new_parts"]) | set(append_parts)),
         "removed_parts": pending_del["removed_parts"],
         # the changefeed replays only these (rewrites are old rows)
         "append_parts": sorted(append_parts),
         "n_rows": base_entry["n_rows"] - pending_del["rows_deleted"],
-        "enc_bytes": base_entry["enc_bytes"],
-        "layout": base_entry["layout"],
-        "columns": base_entry["columns"],
-        "schema": base_entry["schema"],
         "merge": merge_id,
         "ts": time.time(),
-    }
+    })
     _commit_snapshot_entry(
         out_dir, entry, append=True,
         evolved_meta=pend_app["evolved_meta"] if pend_app else None,

@@ -80,6 +80,15 @@ class FileSystem:
         locally; object stores use a conditional PUT (If-None-Match)."""
         raise NotImplementedError
 
+    def claim_stale(self, path: str) -> bool:
+        """Atomically remove ``path`` so that of several racing callers
+        EXACTLY ONE returns True (stale-lease takeover: the winner
+        proceeds to create_exclusive; losers loop and find the winner's
+        fresh lease). Locally: rename to a unique tombstone (only one
+        rename of the same source succeeds) then unlink; object stores
+        use a conditional delete (If-Match on the observed ETag)."""
+        raise NotImplementedError
+
 
 class LocalFS(FileSystem):
     """Plain paths: tmp+rename publishes, O_APPEND logs — POSIX-atomic
@@ -129,6 +138,15 @@ class LocalFS(FileSystem):
             os.close(fd)
         return True
 
+    def claim_stale(self, path: str) -> bool:
+        tomb = f"{path}.tomb-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(path, tomb)  # atomic: one renamer of this inode wins
+        except FileNotFoundError:
+            return False  # another claimer already took it
+        os.remove(tomb)
+        return True
+
 
 class MockObjectFS(FileSystem):
     """Object-store semantics over a local backing directory, for tests:
@@ -173,7 +191,7 @@ class MockObjectFS(FileSystem):
         p = self._local(path)
         return [
             n for n in (os.listdir(p) if os.path.isdir(p) else [])
-            if ".put-" not in n
+            if ".put-" not in n and ".tomb-" not in n
         ]
 
     def remove(self, path: str) -> None:
@@ -197,6 +215,17 @@ class MockObjectFS(FileSystem):
             os.write(fd, data)
         finally:
             os.close(fd)
+        return True
+
+    def claim_stale(self, path: str) -> bool:
+        # stands in for a conditional delete (HTTP If-Match: <etag>)
+        p = self._local(path)
+        tomb = f"{p}.tomb-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(p, tomb)
+        except FileNotFoundError:
+            return False
+        os.remove(tomb)
         return True
 
 

@@ -1531,7 +1531,11 @@ def test_fs_seam_mock_object_store_lifecycle(spark, tmp_path):
     assert decode_table(spark, out).count() == 2000
     expire_snapshots(out, keep_last=1)
     assert decode_table(spark, out).count() == 2000
-    assert set(snapshot_parts(out)) == set(snapshot_parts(out))
+    # expiry actually deleted the unreferenced files through the seam:
+    # the on-disk checkpoints now equal exactly the live set
+    from sparkcodec.engine import completed_parts
+
+    assert completed_parts(out) == set(snapshot_parts(out))
 
 
 def test_unregistered_scheme_refused(spark):
@@ -1691,6 +1695,147 @@ def test_stream_reader_columns_option_prunes_files(spark, tmp_path):
     assert got.columns == ["id", "v"]
     assert got.count() == 400
     assert got.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(400))
+
+
+def test_writer_lock_thread_scoped_reentrancy(tmp_path):
+    """Reentrancy is per-THREAD: a second thread in the same process is
+    refused (no silent single-writer bypass), while the acquiring thread
+    re-enters freely and release works cross-thread (the DataSource
+    writer acquires in __init__ and may commit from another thread)."""
+    import threading
+
+    from sparkcodec.engine import (
+        ConcurrentWriterError,
+        _acquire_writer_lock,
+        _release_writer_lock,
+    )
+
+    out = str(tmp_path / "tl")
+    tok = _acquire_writer_lock(out, "op1")
+    assert tok
+    assert _acquire_writer_lock(out, "op1-nested") is None  # same thread
+
+    res = {}
+
+    def other_thread():
+        try:
+            _acquire_writer_lock(out, "op2")
+            res["r"] = "acquired"
+        except ConcurrentWriterError:
+            res["r"] = "refused"
+
+    t = threading.Thread(target=other_thread)
+    t.start()
+    t.join()
+    assert res["r"] == "refused"
+
+    # cross-thread release (DS writer commit pattern): thread B releases
+    # what thread A... rather: B acquires after A releases, A releases B's
+    _release_writer_lock(out, tok)
+
+    def acquire_in_thread():
+        res["tok2"] = _acquire_writer_lock(out, "op3")
+
+    t = threading.Thread(target=acquire_in_thread)
+    t.start()
+    t.join()
+    assert res["tok2"]
+    _release_writer_lock(out, res["tok2"])  # released from the main thread
+    tok3 = _acquire_writer_lock(out, "op4")
+    assert tok3  # lock fully free again
+    _release_writer_lock(out, tok3)
+
+
+def test_claim_stale_exactly_one_winner(tmp_path):
+    """Racing stale-lease takeovers: exactly one claimer wins (the
+    rename-based atomic claim), so two takeover racers can never both
+    end up holding the lease."""
+    import threading
+
+    from sparkcodec.fs import LocalFS
+
+    fs = LocalFS()
+    p = str(tmp_path / "lock")
+    assert fs.create_exclusive(p, b"stale")
+    wins = []
+
+    def claim():
+        wins.append(fs.claim_stale(p))
+
+    ts = [threading.Thread(target=claim) for _ in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert wins.count(True) == 1, wins
+
+
+def test_progress_cache_invalidated_on_fresh_encode(spark, tmp_path):
+    """resume=False reuses part ids for different data — encode_progress
+    must not serve the previous table's cached counts."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_progress, encode_table
+
+    out = str(tmp_path / "prog")
+    encode_table(spark, spark.range(100).select(F.col("id")), out,
+                 cluster_by=None, salt_by=["id"], num_parts=2, resume=False)
+    assert encode_progress(out)["rows_done"] == 100
+    encode_table(spark, spark.range(40).select(F.col("id")), out,
+                 cluster_by=None, salt_by=["id"], num_parts=2, resume=False)
+    assert encode_progress(out)["rows_done"] == 40
+
+
+def test_upsert_preserves_snapshot_extra(spark, tmp_path):
+    """Caller-scoped identity keys (snapshot_extra, e.g. a stream replay
+    tag) must survive into the combined merge entry."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_table, snapshots, upsert_rows
+
+    out = str(tmp_path / "mergextra")
+    d1 = spark.range(200).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    encode_table(spark, d1, out, cluster_by=["g"], salt_by=["id"], num_parts=2,
+                 target_part_rows=100, resume=False)
+    up = spark.createDataFrame([(5, 1), (500, 0)], "id long, g long")
+    upsert_rows(spark, up, out, "id", cluster_by=["g"], salt_by=["id"],
+                num_parts=1, target_part_rows=100,
+                snapshot_extra={"stream": ["ckpt", 7]})
+    e = snapshots(out)[-1]
+    assert e.get("merge") and e.get("stream") == ["ckpt", 7]
+
+
+def test_legacy_compact_roots_before_rewrite(spark, tmp_path):
+    """Compaction of a pre-snapshot-log table roots the log with the
+    live set BEFORE merged parts land — readers mid-compaction (or after
+    a crash before the commit) never see duplicate rows."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        _ensure_snapshot_root,
+        _read_json,
+        compact_table,
+        decode_table,
+        encode_table,
+        snapshots,
+    )
+
+    out = str(tmp_path / "legacycompact")
+    df = spark.range(300).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"], num_parts=6,
+                 target_part_rows=50, resume=False)
+    _os.remove(_os.path.join(out, "_snapshots.jsonl"))  # simulate legacy
+    rep = compact_table(spark, out, target_part_rows=1000)
+    assert rep["groups"] >= 1
+    snaps = snapshots(out)
+    # root carries the pre-compaction live set; the delta entry follows
+    assert snaps[0]["parent"] == 0 and len(snaps) == 2
+    assert snaps[1].get("compaction") and snaps[1]["removed_parts"]
+    dec = decode_table(spark, out)
+    assert dec.count() == 300  # no duplicates
+    assert dec.agg(F.sum("id")).collect()[0][0] == sum(range(300))
 
 
 def test_prune_parts_eq_type_mismatch_keeps(spark, tmp_path):

@@ -1663,12 +1663,17 @@ def decode_table(
     exact results; on a cluster-keyed, sort-keyed table a key predicate
     typically skips all but a handful of blocks."""
     meta = _read_json(_j(out_dir, "_table_meta.json"))
-    if snapshot_id is not None:
-        # time travel reads the schema in effect AT that snapshot (a
-        # later add-column evolution must not leak into the past); chains
-        # predating schema-per-snapshot versioning fall back to the
-        # current meta
-        ss = snapshot_schema(out_dir, snapshot_id)
+    # the read schema is the one recorded AT the resolved snapshot — for
+    # time travel a later add-column evolution must not leak into the
+    # past, and for latest reads a rollback across an evolution narrows
+    # back to the restored snapshot's columns. Chains predating
+    # schema-per-snapshot versioning fall back to the current meta.
+    snaps_for_schema = snapshots(out_dir)
+    sid = snapshot_id if snapshot_id is not None else (
+        snaps_for_schema[-1]["id"] if snaps_for_schema else None
+    )
+    if sid is not None:
+        ss = snapshot_schema(out_dir, sid)
         if ss is not None:
             meta = dict(meta, columns=ss[0], schema=ss[1])
     columns = columns or meta["columns"]
@@ -2372,6 +2377,112 @@ def _upsert_rows_inner(
         "parts_rewritten": parts_rewritten,
         "rows_appended": app["n_rows"],
     }
+
+
+@_with_writer_lock("rollback")
+def rollback_table(out_dir: str, snapshot_id: int) -> dict:
+    """Roll the table back to ``snapshot_id`` as a NEW snapshot (Iceberg
+    posture: rollback is a forward-moving commit, never history
+    rewriting). The entry's live set is exactly the target snapshot's;
+    no part file moves — parts added after the target become orphans of
+    the new tip (still reachable by time travel until
+    ``expire_snapshots``). The entry restores the target's schema, so a
+    rollback across an add-column evolution also narrows the read
+    schema back; the current table meta keeps the union (harmless: the
+    extra columns simply aren't in the rolled-back entry's schema)."""
+    snaps = snapshots(out_dir)
+    if not snaps:
+        raise ValueError(f"table at {out_dir} has no snapshot log")
+    target_parts = snapshot_parts(out_dir, snapshot_id)  # validates the id
+    cur = snapshot_parts(out_dir)
+    ss = snapshot_schema(out_dir, snapshot_id)
+    by_id = {s["id"]: s for s in snaps}
+    entry = {
+        "new_parts": target_parts,
+        "removed_parts": sorted(set(cur) - set(target_parts)),
+        "n_rows": 0,
+        "enc_bytes": 0,
+        "layout": by_id[snapshot_id].get("layout", "clustered"),
+        "rollback_of": snapshot_id,
+        # rollback rewinds visible rows — the changefeed must not replay
+        # the restored parts (consumers already received them)
+        "delete": ["__rollback__", snapshot_id, None],
+        "ts": time.time(),
+    }
+    if ss is not None:
+        entry["columns"], entry["schema"] = ss
+    e = _commit_snapshot_entry(out_dir, entry, append=True)
+    return {
+        "snapshot_id": e["id"],
+        "restored": snapshot_id,
+        "parts_live": len(target_parts),
+        "parts_removed": len(entry["removed_parts"]),
+    }
+
+
+def table_column_stats(out_dir: str, snapshot_id: int | None = None) -> dict:
+    """EXACT per-column statistics from checkpoint metadata alone — no
+    payload decode, one O(#parts) read (the Iceberg table-stats idiom):
+    ``{col: {"min", "max", "nulls", "rows", "exact"}}``.
+
+    Zone maps record [min, max] over each part's NON-NULL values, and
+    null counts are recorded for every column, so:
+    * ``nulls``/``rows`` are always exact;
+    * ``min``/``max`` are exact iff every live part either records stats
+      for the column or holds only NULLs in it (parts skip stats for
+      long strings, NaN-bearing floats, unorderable types) — otherwise
+      they are None with ``exact=False`` (never a wrong value).
+    """
+    meta = _read_json(_j(out_dir, "_table_meta.json"))
+    if snapshot_id is not None:
+        ss = snapshot_schema(out_dir, snapshot_id)
+        if ss is not None:
+            meta = dict(meta, columns=ss[0], schema=ss[1])
+    parts = snapshot_parts(out_dir, snapshot_id)
+    if parts is None:
+        parts = sorted(completed_parts(out_dir))
+    pm = part_meta(out_dir)
+    out: dict = {}
+    for col in meta["columns"]:
+        mn = mx = None
+        nulls: int | None = 0
+        rows = 0
+        exact = True
+        for p in parts:
+            d = pm.get(p)
+            if d is None:
+                exact = False
+                nulls = None
+                continue
+            n = d["n_rows"]
+            rows += n
+            if col in d["nulls"]:
+                nc = d["nulls"][col]
+            elif d["nulls"]:
+                # null accounting present but column absent: the part
+                # predates an add-column evolution — every row is NULL
+                nc = n
+            else:
+                nc = None  # legacy lineage without null accounting
+            if nc is None:
+                exact = False
+                nulls = None
+            elif nulls is not None:
+                nulls += nc
+            st = d["stats"].get(col)
+            if st is not None:
+                mn = st[0] if mn is None or st[0] < mn else mn
+                mx = st[1] if mx is None or st[1] > mx else mx
+            elif nc != n:  # part has non-null values but no zone map
+                exact = False
+        out[col] = {
+            "min": mn if exact else None,
+            "max": mx if exact else None,
+            "nulls": nulls,  # None when some lineage predates accounting
+            "rows": rows,
+            "exact": exact,  # min/max trustworthiness
+        }
+    return out
 
 
 @_with_writer_lock("expire")

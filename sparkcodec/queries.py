@@ -1667,3 +1667,52 @@ FROM documents WHERE lang IN ('de', 'fr') GROUP BY lang
 
 QUERIES["in_list_prune"] = q_in_list_prune
 ORACLES["in_list_prune"] = SQL_IN_LIST_PRUNE
+
+
+def q_metadata_stats(spark, sf_dir):
+    """Metadata-only table statistics (the Iceberg table-stats idiom):
+    after encoding, per-column EXACT min/max/null-count/row-count come
+    from one O(#parts) checkpoint read — zero payload decode, zero Spark
+    jobs (engine.table_column_stats). The oracle recomputes the same
+    numbers relationally over the source, so a zone map that ever
+    recorded a wrong bound (or a null count that drifted) breaks the
+    hash match."""
+    from .engine import encode_table, table_column_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sparkcodec_mstats_{abs(hash(sf_dir)) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark, d, out,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=8, resume=False,
+    )
+    st = table_column_stats(out)
+    rows = [
+        (c, str(st[c]["min"]), str(st[c]["max"]), st[c]["nulls"], st[c]["rows"])
+        for c in ("doc_id", "n_chars", "lang")
+    ]
+    return spark.createDataFrame(
+        rows, "col string, mn string, mx string, nulls long, n_rows long"
+    )
+
+
+SQL_METADATA_STATS = """
+SELECT 'doc_id' AS col, cast(min(doc_id) AS VARCHAR) AS mn,
+       cast(max(doc_id) AS VARCHAR) AS mx,
+       cast(count(*) - count(doc_id) AS BIGINT) AS nulls,
+       count(*) AS n_rows FROM documents
+UNION ALL
+SELECT 'n_chars', cast(min(n_chars) AS VARCHAR), cast(max(n_chars) AS VARCHAR),
+       cast(count(*) - count(n_chars) AS BIGINT), count(*) FROM documents
+UNION ALL
+SELECT 'lang', cast(min(lang) AS VARCHAR), cast(max(lang) AS VARCHAR),
+       cast(count(*) - count(lang) AS BIGINT), count(*) FROM documents
+"""
+
+QUERIES["metadata_stats"] = q_metadata_stats
+ORACLES["metadata_stats"] = SQL_METADATA_STATS

@@ -1838,6 +1838,105 @@ def test_legacy_compact_roots_before_rewrite(spark, tmp_path):
     assert dec.agg(F.sum("id")).collect()[0][0] == sum(range(300))
 
 
+def test_rollback_table(spark, tmp_path):
+    """rollback_table: a forward-moving commit whose live set is exactly
+    the target snapshot's — rows rewind, history survives (time travel
+    to the undone snapshots still works until expiry), the changefeed
+    does not re-deliver restored parts, and rolling back across an
+    add-column evolution narrows the read schema."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import (
+        decode_table,
+        delete_rows,
+        encode_table,
+        rollback_table,
+        snapshots,
+    )
+
+    out = str(tmp_path / "rollback")
+    d1 = spark.range(400).select(F.col("id"), (F.col("id") % 4).alias("g"))
+    encode_table(spark, d1, out, cluster_by=["g"], salt_by=["id"], num_parts=4,
+                 target_part_rows=100, resume=False)
+    s1 = snapshots(out)[-1]["id"]
+    # evolve + append, then delete
+    d2 = spark.range(400, 500).select(
+        F.col("id"), (F.col("id") % 4).alias("g"),
+        F.concat(F.lit("n"), F.col("id")).alias("note"),
+    )
+    encode_table(spark, d2, out, cluster_by=["g"], salt_by=["id"], num_parts=1,
+                 target_part_rows=100, append=True)
+    delete_rows(spark, out, ("id", 0, 49))
+    assert decode_table(spark, out).count() == 450
+    assert decode_table(spark, out).columns == ["id", "g", "note"]
+
+    rep = rollback_table(out, s1)
+    assert rep["restored"] == s1
+    dec = decode_table(spark, out)
+    assert dec.count() == 400  # the delete AND the append are undone
+    assert dec.columns == ["id", "g"]  # schema narrowed back
+    assert dec.agg(F.sum("id")).collect()[0][0] == sum(range(400))
+    # the undone snapshots still time-travel
+    assert decode_table(spark, out, snapshot_id=s1 + 1).count() == 500
+    # changefeed: fresh consumer gets each original row once, never the
+    # rollback's restored parts again
+    spark.dataSource.register(SparkcodecDataSource)
+    sink = str(tmp_path / "rb_sink")
+    q = (
+        spark.readStream.format("sparkcodec").load(out)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "rb_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 500  # appends only, no dupes
+    with _pytest.raises(ValueError):
+        rollback_table(out, 999)
+
+
+def test_table_column_stats_exact(spark, tmp_path):
+    """Metadata-only stats are EXACT or refused: min/max/nulls/rows from
+    one checkpoint read match a full scan; long-string columns (no zone
+    maps) come back exact=False with None bounds, never a wrong value;
+    evolved columns count pre-evolution parts as all-NULL."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_table, table_column_stats
+
+    out = str(tmp_path / "colstats")
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+        F.concat(F.lit("x"), (F.col("id") % 5)).alias("tag"),
+        # >256 chars: no zone map recorded
+        F.rpad(F.lit("long"), 400, "y").alias("big"),
+    )
+    encode_table(spark, df, out, cluster_by=["tag"], salt_by=["id"], num_parts=4,
+                 target_part_rows=250, resume=False)
+    st = table_column_stats(out)
+    assert st["id"] == {"min": 0, "max": 999, "nulls": 0, "rows": 1000, "exact": True}
+    assert st["v"]["min"] == 2 and st["v"]["max"] == 1998
+    assert st["v"]["nulls"] == 100 and st["v"]["exact"]
+    assert st["tag"] == {"min": "x0", "max": "x4", "nulls": 0, "rows": 1000,
+                         "exact": True}
+    assert st["big"]["exact"] is False and st["big"]["min"] is None
+    assert st["big"]["rows"] == 1000 and st["big"]["nulls"] == 0
+    # evolution: new column -> old parts counted as all-NULL
+    d2 = spark.range(1000, 1100).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("x"), (F.col("id") % 5)).alias("tag"),
+        F.rpad(F.lit("long"), 400, "y").alias("big"),
+        F.lit(7).alias("extra"),
+    )
+    encode_table(spark, d2, out, cluster_by=["tag"], salt_by=["id"], num_parts=1,
+                 target_part_rows=250, append=True)
+    st2 = table_column_stats(out)
+    assert st2["extra"]["rows"] == 1100 and st2["extra"]["nulls"] == 1000
+    assert st2["extra"]["min"] == 7 and st2["extra"]["max"] == 7 and st2["extra"]["exact"]
+
+
 def test_prune_parts_eq_type_mismatch_keeps(spark, tmp_path):
     """A type-mismatched equality probe (string '3' against an int value
     set) must KEEP parts — set intersection comes back empty without

@@ -3,7 +3,8 @@
 
     spark-submit --py-files sparkcodec.zip jobs/maintain_job.py \
         --table /mnt/shared/enc [--compact] [--target-part-rows 262144] \
-        [--expire-keep-last 3] [--delete col:lo:hi]
+        [--expire-keep-last 3] [--delete col:lo:hi] [--rollback N] \
+        [--stats] [--history]
 
 --delete removes rows with lo <= col <= hi as a copy-on-write snapshot
 (zone maps bound the rewrite to overlapping parts; omit lo or hi for a
@@ -74,6 +75,18 @@ def main() -> int:
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--target-part-rows", type=int, default=262_144)
     ap.add_argument("--expire-keep-last", type=int, default=None)
+    ap.add_argument(
+        "--rollback", type=int, default=None,
+        help="restore this snapshot id as a new forward-moving commit",
+    )
+    ap.add_argument(
+        "--stats", action="store_true",
+        help="print exact per-column min/max/nulls/rows from metadata only",
+    )
+    ap.add_argument(
+        "--history", action="store_true",
+        help="print the snapshot log (id, parent, parts, rows, flags)",
+    )
     ap.add_argument("--delete", default=None, help="col:lo:hi range to delete")
     ap.add_argument("--delete-col", default=None, help="delete: column name")
     ap.add_argument(
@@ -115,10 +128,36 @@ def main() -> int:
         out["compact"] = compact_table(
             spark, args.table, target_part_rows=args.target_part_rows
         )
+    if args.rollback is not None:
+        from sparkcodec.engine import rollback_table
+
+        out["rollback"] = rollback_table(args.table, args.rollback)
     if args.expire_keep_last is not None:
         from sparkcodec.engine import expire_snapshots
 
         out["expire"] = expire_snapshots(args.table, keep_last=args.expire_keep_last)
+    if args.stats:
+        from sparkcodec.engine import table_column_stats
+
+        out["stats"] = table_column_stats(args.table)
+    if args.history:
+        from sparkcodec.engine import snapshots
+
+        out["history"] = [
+            {
+                "id": s["id"],
+                "parent": s["parent"],
+                "n_new": len(s.get("new_parts", [])),
+                "n_removed": len(s.get("removed_parts", [])),
+                "n_rows": s.get("n_rows"),
+                "flags": sorted(
+                    k for k in ("compaction", "delete", "merge", "rollback_of",
+                                "stream")
+                    if k in s
+                ),
+            }
+            for s in snapshots(args.table)
+        ]
     print(json.dumps(out))
     return 0
 

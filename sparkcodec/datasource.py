@@ -247,12 +247,15 @@ class SparkcodecStreamReader(DataSourceStreamReader):
         parts = [
             int(p)
             for s in snapshots(self.out_dir)
-            # compaction/delete snapshots rewrite existing rows — replaying
-            # their rewritten parts would duplicate data already delivered
-            # (the changefeed is append-only; deletes are not replayed).
-            # Merge entries record which parts carry genuinely new rows
-            # under append_parts: deliver those, skip the rewrites.
-            if lo < s["id"] <= hi and not s.get("compaction") and not s.get("delete")
+            # compaction/delete/rollback snapshots rearrange existing rows
+            # — replaying their parts would duplicate data already
+            # delivered (the changefeed is append-only). Merge entries
+            # record which parts carry genuinely new rows under
+            # append_parts: deliver those, skip the rewrites.
+            if lo < s["id"] <= hi
+            and not s.get("compaction")
+            and not s.get("delete")
+            and not s.get("rollback_of")
             for p in (
                 s["append_parts"] if s.get("append_parts") is not None
                 else s["new_parts"]
@@ -447,10 +450,26 @@ class SparkcodecDataSource(DataSource):
         return "sparkcodec"
 
     def schema(self):
-        from .engine import _SPARK_TYPE_OF
+        from .engine import _SPARK_TYPE_OF, snapshot_schema, snapshots
 
-        meta = _load_meta(self.options.get("path"))
+        path = self.options.get("path")
+        meta = _load_meta(path)
         cols = meta["columns"]
+        # schema as recorded at the resolved snapshot (explicit
+        # snapshot_id option, else the tip): matches decode_table — a
+        # rollback across an add-column evolution narrows the DS read
+        # schema back too
+        snaps = snapshots(path)
+        sid = (
+            int(self.options["snapshot_id"])
+            if self.options.get("snapshot_id")
+            else (snaps[-1]["id"] if snaps else None)
+        )
+        if sid is not None:
+            ss = snapshot_schema(path, sid, snaps=snaps)
+            if ss is not None:
+                cols = ss[0]
+                meta = dict(meta, schema=ss[1])
         sel = self.options.get("columns")
         if sel:
             want = [c.strip() for c in sel.split(",") if c.strip()]

@@ -1255,10 +1255,14 @@ def snapshots(out_dir: str) -> list[dict]:
     ]
 
 
-def snapshot_parts(out_dir: str, snapshot_id: int | None = None) -> list[int] | None:
+def snapshot_parts(
+    out_dir: str, snapshot_id: int | None = None, snaps: list[dict] | None = None
+) -> list[int] | None:
     """Resolve the live part set of a snapshot (default: latest) by
-    walking the parent chain; None when the table predates snapshots."""
-    snaps = snapshots(out_dir)
+    walking the parent chain; None when the table predates snapshots.
+    Pass ``snaps`` when the log is already in hand."""
+    if snaps is None:
+        snaps = snapshots(out_dir)
     if not snaps:
         if snapshot_id is not None:
             raise ValueError(f"table at {out_dir} has no snapshot log")
@@ -1279,13 +1283,17 @@ def snapshot_parts(out_dir: str, snapshot_id: int | None = None) -> list[int] | 
     return sorted(live)
 
 
-def snapshot_schema(out_dir: str, snapshot_id: int) -> tuple[list, dict] | None:
+def snapshot_schema(
+    out_dir: str, snapshot_id: int, snaps: list[dict] | None = None
+) -> tuple[list, dict] | None:
     """(columns, schema) in effect at ``snapshot_id``: the nearest entry
     in its parent chain that recorded one (commits stamp the schema since
     schema-per-snapshot versioning landed). None for chains written
     entirely by older engines — callers fall back to the current table
-    meta, the pre-versioning behavior."""
-    snaps = snapshots(out_dir)
+    meta, the pre-versioning behavior. Pass ``snaps`` when the log is
+    already in hand (avoids a re-read on the decode planning path)."""
+    if snaps is None:
+        snaps = snapshots(out_dir)
     by_id = {s["id"]: s for s in snaps}
     cur = by_id.get(snapshot_id)
     while cur:
@@ -1668,22 +1676,29 @@ def decode_table(
     # past, and for latest reads a rollback across an evolution narrows
     # back to the restored snapshot's columns. Chains predating
     # schema-per-snapshot versioning fall back to the current meta.
-    snaps_for_schema = snapshots(out_dir)
+    snaps = snapshots(out_dir)  # ONE log read feeds schema + part resolution
     sid = snapshot_id if snapshot_id is not None else (
-        snaps_for_schema[-1]["id"] if snaps_for_schema else None
+        snaps[-1]["id"] if snaps else None
     )
     if sid is not None:
-        ss = snapshot_schema(out_dir, sid)
+        ss = snapshot_schema(out_dir, sid, snaps=snaps)
         if ss is not None:
             meta = dict(meta, columns=ss[0], schema=ss[1])
     columns = columns or meta["columns"]
+    unknown = sorted(set(columns) - set(meta["schema"]))
+    if unknown:
+        raise ValueError(
+            f"columns {unknown} not in the schema of snapshot {sid} "
+            f"({meta['columns']}); a rollback may have narrowed the tip "
+            f"schema — pass snapshot_id to read an evolved snapshot"
+        )
     arrow_schema = pa.schema(
         [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
     )
     # snapshot isolation: resolve the part set from the snapshot log when
     # one exists (never reads parts of an uncommitted/interrupted append);
     # pre-snapshot tables fall back to every checkpointed part
-    parts = snapshot_parts(out_dir, snapshot_id)
+    parts = snapshot_parts(out_dir, snapshot_id, snaps=snaps)
     if parts is None:
         parts = sorted(completed_parts(out_dir))
     wheres = _normalize_where(where)
@@ -2393,24 +2408,36 @@ def rollback_table(out_dir: str, snapshot_id: int) -> dict:
     snaps = snapshots(out_dir)
     if not snaps:
         raise ValueError(f"table at {out_dir} has no snapshot log")
-    target_parts = snapshot_parts(out_dir, snapshot_id)  # validates the id
-    cur = snapshot_parts(out_dir)
-    ss = snapshot_schema(out_dir, snapshot_id)
+    target_parts = snapshot_parts(out_dir, snapshot_id, snaps=snaps)  # validates
+    cur = snapshot_parts(out_dir, snaps=snaps)
+    ss = snapshot_schema(out_dir, snapshot_id, snaps=snaps)
+    if ss is None:
+        # target predates schema-per-snapshot versioning: its schema is
+        # unknowable, so stamp the current table meta (the union) — the
+        # chain walk must stop HERE, not drift past the rollback to some
+        # newer evolved entry's schema
+        m = _read_json(_j(out_dir, "_table_meta.json"))
+        ss = (m["columns"], m["schema"])
+    # real row delta for the history audit: visible rows after - before
+    # (one O(#parts) metadata read; this is a maintenance op)
+    rows_of = {p: d["n_rows"] for p, d in part_meta(out_dir).items()}
+    delta = sum(rows_of.get(p, 0) for p in target_parts) - sum(
+        rows_of.get(p, 0) for p in cur
+    )
     by_id = {s["id"]: s for s in snaps}
     entry = {
         "new_parts": target_parts,
         "removed_parts": sorted(set(cur) - set(target_parts)),
-        "n_rows": 0,
+        "n_rows": delta,
         "enc_bytes": 0,
         "layout": by_id[snapshot_id].get("layout", "clustered"),
+        # first-class flag: the changefeed must not replay the restored
+        # parts (consumers already received them)
         "rollback_of": snapshot_id,
-        # rollback rewinds visible rows — the changefeed must not replay
-        # the restored parts (consumers already received them)
-        "delete": ["__rollback__", snapshot_id, None],
+        "columns": ss[0],
+        "schema": ss[1],
         "ts": time.time(),
     }
-    if ss is not None:
-        entry["columns"], entry["schema"] = ss
     e = _commit_snapshot_entry(out_dir, entry, append=True)
     return {
         "snapshot_id": e["id"],
@@ -2427,18 +2454,28 @@ def table_column_stats(out_dir: str, snapshot_id: int | None = None) -> dict:
 
     Zone maps record [min, max] over each part's NON-NULL values, and
     null counts are recorded for every column, so:
-    * ``nulls``/``rows`` are always exact;
+    * ``nulls``/``rows`` are exact whenever every live part's checkpoint
+      metadata is present (``nulls`` additionally needs post-r3 null
+      accounting) — otherwise they come back None, never an undercount;
     * ``min``/``max`` are exact iff every live part either records stats
       for the column or holds only NULLs in it (parts skip stats for
       long strings, NaN-bearing floats, unorderable types) — otherwise
       they are None with ``exact=False`` (never a wrong value).
-    """
+
+    Columns are those of the RESOLVED snapshot's schema (explicit
+    ``snapshot_id``, else the tip) — consistent with ``decode_table``:
+    after a rollback across an add-column evolution, narrowed-away
+    columns are not reported."""
     meta = _read_json(_j(out_dir, "_table_meta.json"))
-    if snapshot_id is not None:
-        ss = snapshot_schema(out_dir, snapshot_id)
+    snaps = snapshots(out_dir)
+    sid = snapshot_id if snapshot_id is not None else (
+        snaps[-1]["id"] if snaps else None
+    )
+    if sid is not None:
+        ss = snapshot_schema(out_dir, sid, snaps=snaps)
         if ss is not None:
             meta = dict(meta, columns=ss[0], schema=ss[1])
-    parts = snapshot_parts(out_dir, snapshot_id)
+    parts = snapshot_parts(out_dir, snapshot_id, snaps=snaps)
     if parts is None:
         parts = sorted(completed_parts(out_dir))
     pm = part_meta(out_dir)
@@ -2446,16 +2483,20 @@ def table_column_stats(out_dir: str, snapshot_id: int | None = None) -> dict:
     for col in meta["columns"]:
         mn = mx = None
         nulls: int | None = 0
-        rows = 0
+        rows: int | None = 0
         exact = True
         for p in parts:
             d = pm.get(p)
             if d is None:
+                # live part with no readable checkpoint meta: every
+                # aggregate would be an undercount — refuse, don't guess
                 exact = False
                 nulls = None
+                rows = None
                 continue
             n = d["n_rows"]
-            rows += n
+            if rows is not None:
+                rows += n
             if col in d["nulls"]:
                 nc = d["nulls"][col]
             elif d["nulls"]:
@@ -2479,7 +2520,7 @@ def table_column_stats(out_dir: str, snapshot_id: int | None = None) -> dict:
             "min": mn if exact else None,
             "max": mx if exact else None,
             "nulls": nulls,  # None when some lineage predates accounting
-            "rows": rows,
+            "rows": rows,  # None when a live part's meta was unreadable
             "exact": exact,  # min/max trustworthiness
         }
     return out
@@ -2519,6 +2560,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     first.pop("compaction", None)
     first.pop("delete", None)  # squashed root must replay to fresh consumers
     first.pop("append_parts", None)  # ditto: merge rewrites fold into the root
+    first.pop("rollback_of", None)  # ditto: restored parts fold into the root
     first["parent"] = 0
     squashed = [first] + kept[1:]
     fs.put_atomic(

@@ -1874,9 +1874,22 @@ def test_rollback_table(spark, tmp_path):
 
     rep = rollback_table(out, s1)
     assert rep["restored"] == s1
+    # the entry records the real visible-row delta (450 -> 400) and the
+    # first-class rollback flag (no fake delete-predicate tag)
+    tip = snapshots(out)[-1]
+    assert tip["n_rows"] == -50 and tip["rollback_of"] == s1
+    assert "delete" not in tip
     dec = decode_table(spark, out)
     assert dec.count() == 400  # the delete AND the append are undone
     assert dec.columns == ["id", "g"]  # schema narrowed back
+    # metadata stats narrow consistently; explicit columns= on a
+    # narrowed-away column fails with a descriptive error
+    from sparkcodec.engine import table_column_stats
+
+    st = table_column_stats(out)
+    assert "note" not in st and st["id"]["rows"] == 400
+    with _pytest.raises(ValueError, match="not in the schema"):
+        decode_table(spark, out, columns=["note"])
     assert dec.agg(F.sum("id")).collect()[0][0] == sum(range(400))
     # the undone snapshots still time-travel
     assert decode_table(spark, out, snapshot_id=s1 + 1).count() == 500
@@ -1892,6 +1905,14 @@ def test_rollback_table(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(sink).count() == 500  # appends only, no dupes
+    # DataSource read agrees: tip-snapshot schema, narrowed back
+    ds = spark.read.format("sparkcodec").load(out)
+    assert ds.columns == ["id", "g"]
+    assert ds.count() == 400
+    # explicit time travel through the DS still sees the evolved schema
+    ds_tt = spark.read.format("sparkcodec").option("snapshot_id", str(s1 + 1)).load(out)
+    assert ds_tt.columns == ["id", "g", "note"]
+    assert ds_tt.count() == 500
     with _pytest.raises(ValueError):
         rollback_table(out, 999)
 

@@ -209,3 +209,62 @@ def encode_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def upsert_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    *,
+    trigger_once: bool = False,
+    **upsert_kwargs,
+):
+    """CDC-style streaming MERGE: each micro-batch upserts by ``key_col``
+    — rows whose key exists replace the stored rows, new keys append —
+    committing ONE atomic snapshot per batch (``engine.upsert_rows``).
+
+    Exactly-once composition mirrors :func:`encode_stream`: the combined
+    merge entry carries a ``stream`` tag of (checkpoint dir, batch_id)
+    — caller-scoped keys survive the merge commit — so a replayed batch
+    whose snapshot already committed is a no-op. A replay of a batch
+    whose merge never committed re-runs against the unchanged pre-merge
+    table (the interrupted attempt left only invisible orphan parts), so
+    the retry produces the same post-merge state. Late/duplicate rows
+    WITHIN the stream are the normal upsert semantics: last write wins
+    per key per batch boundary.
+
+    Returns the StreamingQuery; callers own awaitTermination/stop.
+    """
+    from .engine import snapshots, upsert_rows
+
+    ckpt_key = os.path.abspath(checkpoint_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        tag = [ckpt_key, int(batch_id)]
+        if any(s.get("stream") == tag for s in snapshots(out_dir)):
+            from .engine import _exists, _get_fs, _j
+
+            pend = _j(out_dir, "_pending_append.json")
+            if _exists(pend):
+                _get_fs(out_dir).remove(pend)
+            return
+        upsert_rows(
+            batch_df.sparkSession,
+            batch_df,
+            out_dir,
+            key_col,
+            snapshot_extra={"stream": tag},
+            **upsert_kwargs,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -472,6 +472,58 @@ def test_encode_stream_replay_of_committed_batch_is_noop(spark, tmp_path):
     assert dec.agg({"k": "max"}).collect()[0][0] == 149
 
 
+def test_upsert_stream_cdc_merge(spark, tmp_path):
+    """Streaming MERGE: each micro-batch upserts by key (one atomic
+    snapshot per batch), later batches overwrite earlier keys, and a
+    replayed committed batch is a no-op (the stream tag survives the
+    combined merge entry)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from sparkcodec.engine import decode_table, snapshots
+    from sparkcodec.streaming import upsert_stream
+
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    # batch 0: keys 0..99 v=old; batch 1: keys 50..99 v=new + 100..119 new
+    pd.DataFrame({"k": range(100), "v": ["old"] * 100}).to_parquet(f"{src}/f0.parquet")
+    pd.DataFrame(
+        {"k": list(range(50, 100)) + list(range(100, 120)), "v": ["new"] * 70}
+    ).to_parquet(f"{src}/f1.parquet")
+    out = str(tmp_path / "cdc_enc")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kw = dict(cluster_by=["k"], salt_by=None, sort_by=["k"], num_parts=1,
+              target_part_rows=200)
+    q = upsert_stream(stream, out, ckpt, "k", trigger_once=True, **kw)
+    q.awaitTermination(120)
+    q.stop()
+    snaps = snapshots(out)
+    assert len(snaps) == 2, [s.get("stream") for s in snaps]
+    assert snaps[-1].get("merge") and snaps[-1].get("stream")
+    dec = decode_table(spark, out)
+    assert dec.count() == 120
+    vals = {r["k"]: r["v"] for r in dec.collect()}
+    assert vals[49] == "old" and vals[50] == "new" and vals[119] == "new"
+    assert sum(1 for v in vals.values() if v == "new") == 70
+    # replay with the same checkpoint: no new snapshots, no duplicates
+    for _ in range(50):
+        if not spark.streams.active:
+            break
+        _time.sleep(0.2)
+    q2 = upsert_stream(stream, out, ckpt, "k", trigger_once=True, **kw)
+    q2.awaitTermination(120)
+    q2.stop()
+    assert len(snapshots(out)) == 2
+    assert decode_table(spark, out).count() == 120
+
+
 def _encode_docs(spark, sf_dir, out, **kw):
     from sparkcodec.engine import encode_table
 

@@ -450,26 +450,29 @@ class SparkcodecDataSource(DataSource):
         return "sparkcodec"
 
     def schema(self):
-        from .engine import _SPARK_TYPE_OF, snapshot_schema, snapshots
+        from .engine import _SPARK_TYPE_OF, _resolve_snapshot_meta
 
-        path = self.options.get("path")
-        meta = _load_meta(path)
-        cols = meta["columns"]
-        # schema as recorded at the resolved snapshot (explicit
-        # snapshot_id option, else the tip): matches decode_table — a
-        # rollback across an add-column evolution narrows the DS read
-        # schema back too
-        snaps = snapshots(path)
-        sid = (
-            int(self.options["snapshot_id"])
-            if self.options.get("snapshot_id")
-            else (snaps[-1]["id"] if snaps else None)
-        )
-        if sid is not None:
-            ss = snapshot_schema(path, sid, snaps=snaps)
-            if ss is not None:
-                cols = ss[0]
-                meta = dict(meta, schema=ss[1])
+        # Spark may call schema() repeatedly while planning one read:
+        # compute the snapshot-schema overlay (one log read) once per
+        # DataSource instance
+        cached = getattr(self, "_schema_cache", None)
+        if cached is not None:
+            meta, cols = cached
+        else:
+            path = self.options.get("path")
+            meta = _load_meta(path)
+            # schema as recorded at the resolved snapshot (explicit
+            # snapshot_id option, else the tip): matches decode_table — a
+            # rollback across an add-column evolution narrows the DS read
+            # schema back too
+            sid = (
+                int(self.options["snapshot_id"])
+                if self.options.get("snapshot_id")
+                else None
+            )
+            meta, _sid, _snaps = _resolve_snapshot_meta(path, meta, sid)
+            cols = meta["columns"]
+            self._schema_cache = (meta, cols)
         sel = self.options.get("columns")
         if sel:
             want = [c.strip() for c in sel.split(",") if c.strip()]

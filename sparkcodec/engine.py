@@ -1303,6 +1303,29 @@ def snapshot_schema(
     return None
 
 
+def _resolve_snapshot_meta(
+    out_dir: str,
+    meta: dict,
+    snapshot_id: int | None,
+    snaps: list[dict] | None = None,
+) -> tuple[dict, int | None, list[dict]]:
+    """Overlay the schema recorded at the RESOLVED snapshot (explicit id,
+    else the tip) onto ``meta`` — the one place the
+    tip/explicit-id/pre-versioning-fallback rules live, shared by
+    decode_table, table_column_stats, and the DataSource schema().
+    Returns (meta, resolved_sid, snaps)."""
+    if snaps is None:
+        snaps = snapshots(out_dir)
+    sid = snapshot_id if snapshot_id is not None else (
+        snaps[-1]["id"] if snaps else None
+    )
+    if sid is not None:
+        ss = snapshot_schema(out_dir, sid, snaps=snaps)
+        if ss is not None:
+            meta = dict(meta, columns=ss[0], schema=ss[1])
+    return meta, sid, snaps
+
+
 def _spark_schema_arrow(df: DataFrame) -> dict:
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -1676,22 +1699,19 @@ def decode_table(
     # past, and for latest reads a rollback across an evolution narrows
     # back to the restored snapshot's columns. Chains predating
     # schema-per-snapshot versioning fall back to the current meta.
-    snaps = snapshots(out_dir)  # ONE log read feeds schema + part resolution
-    sid = snapshot_id if snapshot_id is not None else (
-        snaps[-1]["id"] if snaps else None
-    )
-    if sid is not None:
-        ss = snapshot_schema(out_dir, sid, snaps=snaps)
-        if ss is not None:
-            meta = dict(meta, columns=ss[0], schema=ss[1])
+    # ONE log read feeds schema + part resolution
+    meta, sid, snaps = _resolve_snapshot_meta(out_dir, meta, snapshot_id)
     columns = columns or meta["columns"]
     unknown = sorted(set(columns) - set(meta["schema"]))
     if unknown:
-        raise ValueError(
-            f"columns {unknown} not in the schema of snapshot {sid} "
-            f"({meta['columns']}); a rollback may have narrowed the tip "
-            f"schema — pass snapshot_id to read an evolved snapshot"
+        hint = (
+            f"not in the schema of snapshot {sid} ({meta['columns']}); a "
+            f"rollback may have narrowed the tip schema — pass snapshot_id "
+            f"to read an evolved snapshot"
+            if sid is not None
+            else f"not in the table schema ({meta['columns']})"
         )
+        raise ValueError(f"columns {unknown} {hint}")
     arrow_schema = pa.schema(
         [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
     )
@@ -2356,8 +2376,16 @@ def _upsert_rows_inner(
                 )
                 pending_del = rep["pending"]
                 parts_rewritten = rep["parts_rewritten"]
+    # resume=False ALWAYS: the merge's commit is atomic at the end, so a
+    # replayed merge re-encodes from scratch — adopting a crashed
+    # attempt's _pending_append.json base would classify this replay's
+    # own rewrite parts (ids >= that stale base) as already-done and
+    # anti-join their rows away: silent data loss. Orphans of the
+    # crashed attempt are reclaimed by expire_snapshots.
+    encode_kwargs.pop("resume", None)
     app = encode_table(
-        spark, df, out_dir, append=True, commit=False, **encode_kwargs
+        spark, df, out_dir, append=True, commit=False, resume=False,
+        **encode_kwargs,
     )
     pend_app = app.get("pending_commit")
     append_parts = pend_app["entry"]["new_parts"] if pend_app else []
@@ -2419,10 +2447,15 @@ def rollback_table(out_dir: str, snapshot_id: int) -> dict:
         m = _read_json(_j(out_dir, "_table_meta.json"))
         ss = (m["columns"], m["schema"])
     # real row delta for the history audit: visible rows after - before
-    # (one O(#parts) metadata read; this is a maintenance op)
+    # (one O(#parts) metadata read; this is a maintenance op). Refuse to
+    # guess when any involved part's meta is unreadable — same posture
+    # as table_column_stats (None, never a wrong number).
     rows_of = {p: d["n_rows"] for p, d in part_meta(out_dir).items()}
-    delta = sum(rows_of.get(p, 0) for p in target_parts) - sum(
-        rows_of.get(p, 0) for p in cur
+    involved = set(target_parts) | set(cur)
+    delta = (
+        sum(rows_of[p] for p in target_parts) - sum(rows_of[p] for p in cur)
+        if involved <= set(rows_of)
+        else None
     )
     by_id = {s["id"]: s for s in snaps}
     entry = {
@@ -2467,14 +2500,7 @@ def table_column_stats(out_dir: str, snapshot_id: int | None = None) -> dict:
     after a rollback across an add-column evolution, narrowed-away
     columns are not reported."""
     meta = _read_json(_j(out_dir, "_table_meta.json"))
-    snaps = snapshots(out_dir)
-    sid = snapshot_id if snapshot_id is not None else (
-        snaps[-1]["id"] if snaps else None
-    )
-    if sid is not None:
-        ss = snapshot_schema(out_dir, sid, snaps=snaps)
-        if ss is not None:
-            meta = dict(meta, columns=ss[0], schema=ss[1])
+    meta, _sid, snaps = _resolve_snapshot_meta(out_dir, meta, snapshot_id)
     parts = snapshot_parts(out_dir, snapshot_id, snaps=snaps)
     if parts is None:
         parts = sorted(completed_parts(out_dir))

@@ -245,11 +245,11 @@ def upsert_stream(
             return
         tag = [ckpt_key, int(batch_id)]
         if any(s.get("stream") == tag for s in snapshots(out_dir)):
-            from .engine import _exists, _get_fs, _j
-
-            pend = _j(out_dir, "_pending_append.json")
-            if _exists(pend):
-                _get_fs(out_dir).remove(pend)
+            # replay of a fully committed merge: exactly-once no-op.
+            # (Unlike encode_stream there is no stale-pending cleanup
+            # here: the merge's commit happens strictly AFTER
+            # encode_table removed _pending_append.json, so "tag
+            # committed" and "pending exists" cannot co-occur.)
             return
         upsert_rows(
             batch_df.sparkSession,

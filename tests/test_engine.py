@@ -1958,6 +1958,48 @@ def test_table_column_stats_exact(spark, tmp_path):
     assert st2["extra"]["min"] == 7 and st2["extra"]["max"] == 7 and st2["extra"]["exact"]
 
 
+def test_upsert_ignores_stale_pending_append(spark, tmp_path):
+    """A crashed earlier merge attempt can leave _pending_append.json
+    behind; a replayed merge must NOT adopt its part-id base (doing so
+    would classify the replay's own parts as already-done and anti-join
+    their rows away — silent data loss). The merge append always runs
+    resume=False; a caller-passed resume=True is overridden."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_table, encode_table, upsert_rows
+
+    out = str(tmp_path / "stalepend")
+    kw = dict(cluster_by=["g"], salt_by=["id"], sort_by=["g", "id"],
+              num_parts=2, target_part_rows=100)
+    d1 = spark.range(400).select(
+        F.col("id"), (F.col("id") % 4).alias("g"), F.lit("old").alias("val")
+    )
+    encode_table(spark, d1, out, resume=False, **kw)
+    # forge the crashed attempt's pending marker with a MATCHING config
+    # and a low base, the exact poison a resume=True append would drink
+    config = {"num_parts": 2, "layout": "clustered", "cluster_by": ["g"],
+              "salt_by": ["id"], "columns": ["id", "g", "val"],
+              "target_part_rows": 100}
+    with open(_os.path.join(out, "_pending_append.json"), "w") as fh:
+        _json.dump({"base": 1, "config": config}, fh)
+    up = spark.createDataFrame(
+        [(k, k % 4, "new") for k in range(100, 140)]
+        + [(k, 1, "new") for k in range(9000, 9010)],
+        "id long, g long, val string",
+    )
+    rep = upsert_rows(spark, up, out, "id", resume=True, **kw)  # resume overridden
+    assert rep["rows_appended"] == 50, rep
+    dec = decode_table(spark, out)
+    assert dec.count() == 410
+    vals = {r["id"]: r["val"] for r in dec.collect()}
+    assert sum(1 for v in vals.values() if v == "new") == 50
+    assert all(vals[k] == "new" for k in range(9000, 9010))
+    assert not _os.path.exists(_os.path.join(out, "_pending_append.json"))
+
+
 def test_prune_parts_eq_type_mismatch_keeps(spark, tmp_path):
     """A type-mismatched equality probe (string '3' against an int value
     set) must KEEP parts — set intersection comes back empty without

@@ -52,7 +52,10 @@ from .select import choose_codec
 
 PART_COL = "__sc_part"
 FILE_COL = "__sc_file"
+ZV_COL = "__sc_zv"
+ZB_COL = "__sc_zb"
 CHECKPOINT_COL = "_checkpoint"
+ZORDER_BITS = 16  # bucket resolution per z-order dimension
 
 BLOCKS_ARROW_SCHEMA = pa.schema(
     [
@@ -116,6 +119,67 @@ def assign_partitions(
         F.xxhash64(*[F.col(c) for c in cluster_by], salt), F.lit(num_parts)
     ).cast("int")
     return joined.withColumn(PART_COL, part).drop("__fanout")
+
+
+def _zorder_expr(df: DataFrame, zcols: list[str], bits: int = ZORDER_BITS):
+    """Interleaved-bit z-value over numeric columns (Morton order).
+
+    Each column is min-max normalized into a ``bits``-bit bucket (one
+    tiny agg job for the bounds), then the buckets' bits interleave into
+    one long — rows close in EVERY dimension get close z-values, so
+    sorting by it gives every dimension's zone maps locality at once: a
+    conjunctive predicate on k dimensions prunes blocks on all k, where
+    a lexicographic sort only serves the leading column. The classic
+    multi-dimensional clustering trade (Morton 1966; the Delta/Iceberg
+    OPTIMIZE ZORDER idiom): each dimension's individual runs get
+    coarser, so single-column pruning is somewhat weaker than a
+    dedicated sort on that column.
+
+    Pure Catalyst (shift/and/or fold, ~bits*k codegen'd ops); NULLs
+    bucket to 0. Returns (column_expr, {col: [min, max]})."""
+    from pyspark.sql import types as T
+
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    for c in zcols:
+        if c not in schema:
+            raise ValueError(f"zorder_by column {c!r} not in {list(schema)}")
+        if not isinstance(schema[c], numeric):
+            raise ValueError(
+                f"zorder_by supports numeric columns; {c} is {schema[c]} "
+                f"(cast dates/timestamps to long first)"
+            )
+    aggs = []
+    for c in zcols:
+        cc = F.col(c).cast("double")
+        aggs += [F.min(cc).alias(f"__mn_{c}"), F.max(cc).alias(f"__mx_{c}")]
+    row = df.agg(*aggs).first()
+    k = len(zcols)
+    maxb = (1 << bits) - 1
+    expr = F.lit(0).cast("long")
+    bounds = {}
+    for j, c in enumerate(zcols):
+        mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
+        bounds[c] = [mn, mx]
+        if mn is None:
+            bucket = F.lit(0).cast("long")
+        else:
+            span = (mx - mn) or 1.0
+            frac = (F.col(c).cast("double") - F.lit(float(mn))) / F.lit(float(span))
+            bucket = F.coalesce(
+                F.least(
+                    F.lit(maxb),
+                    F.greatest(F.lit(0), (frac * maxb).cast("long")),
+                ),
+                F.lit(0),
+            )
+        for i in range(bits):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+            expr = expr.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return expr, bounds
 
 
 # ---------------------------------------------------------------------------
@@ -935,6 +999,7 @@ def encode_table(
     cluster_by: list[str] | None = None,
     salt_by: list[str] | None = None,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
     block_rows: int = 65536,
     block_bytes: int = 32 << 20,
     target_part_rows: int = 262_144,
@@ -976,6 +1041,16 @@ def encode_table(
     ``_pending_append.json``) and must present the same partitioning
     config — the same guard the base table applies.
 
+    ``zorder_by=[c1, c2, ...]`` (clustered layout only) sorts rows by
+    the interleaved-bit Morton value of the named NUMERIC columns
+    instead of ``sort_by``, and — when no ``cluster_by`` is given —
+    assigns parts from the z-value's high bits, so parts AND blocks get
+    tight zone maps on EVERY named dimension at once: a conjunctive
+    ``where`` on k z-ordered columns prunes on all k (a lexicographic
+    sort only serves the leading column). The trade: each dimension's
+    individual runs get coarser, so single-column pruning and RLE/dict
+    run locality are somewhat weaker than a dedicated single-key sort.
+
     ``commit=False`` runs the full encode but defers the snapshot
     publish: the prepared entry (and any evolved table meta) comes back
     under ``result["pending_commit"]`` for the caller to publish via
@@ -997,6 +1072,26 @@ def encode_table(
         else:
             approx_rows = df.count()
             num_parts = max(1, int(np.ceil(approx_rows / target_part_rows)))
+
+    zb_shift = 0
+    zexpr = None
+    if zorder_by:
+        if layout == "aligned":
+            raise ValueError(
+                "zorder_by requires the clustered layout (the z-sort "
+                "rides the exchange the aligned layout avoids)"
+            )
+        zexpr, _zbounds = _zorder_expr(df, zorder_by)
+        sort_by = [ZV_COL]
+        if not cluster_by:
+            # parts = contiguous z-ranges (high bits of the z-value):
+            # part-level zone maps tighten on every z dimension too
+            total_bits = ZORDER_BITS * len(zorder_by)
+            zb_shift = max(
+                0, total_bits - (int(np.ceil(np.log2(max(2, num_parts)))) + 2)
+            )
+            cluster_by = [ZB_COL]
+            salt_by = salt_by or [c for c in cols if c not in zorder_by] or None
 
     # raises for unregistered URL schemes; local paths and registered
     # object-store filesystems (fs.register_filesystem) both work —
@@ -1035,6 +1130,7 @@ def encode_table(
         "cluster_by": cluster_by,
         "salt_by": salt_by,
         "sort_by": sort_by,
+        "zorder_by": zorder_by,
         "block_rows": block_rows,
         "target_part_rows": target_part_rows,
         # P7 metadata routing: field-level metadata (e.g. Spark's
@@ -1053,7 +1149,8 @@ def encode_table(
     # never salts, so changing it there is harmless.
     meta_path = _j(out_dir, "_table_meta.json")
     pending_path = _j(out_dir, "_pending_append.json")
-    part_keys = ("num_parts", "layout", "cluster_by", "salt_by", "columns")
+    part_keys = ("num_parts", "layout", "cluster_by", "salt_by", "columns",
+                 "zorder_by")
     if layout != "aligned":
         part_keys = part_keys + ("target_part_rows",)
     run_config = {k: meta[k] for k in part_keys}
@@ -1112,6 +1209,10 @@ def encode_table(
     # input_file_name() must bind below any multi-source join, so attach it
     # to the scan before partition assignment (lineage: input files per part)
     src = df.withColumn(FILE_COL, F.input_file_name())
+    if zexpr is not None:
+        src = src.withColumn(ZV_COL, zexpr)
+        if cluster_by == [ZB_COL]:
+            src = src.withColumn(ZB_COL, F.shiftright(F.col(ZV_COL), zb_shift))
 
     if layout == "aligned":
         # split composition depends on the file listing AND the session's

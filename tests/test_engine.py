@@ -1604,6 +1604,94 @@ def test_writer_lock_refuses_concurrent_and_takes_over_stale(spark, tmp_path):
     assert decode_table(spark, out).count() == 401
 
 
+def test_zorder_improves_multi_column_pruning(spark, tmp_path):
+    """zorder_by: a conjunctive two-column predicate prunes strictly
+    more bytes than under a lexicographic (a, b) sort — the z-curve
+    gives BOTH dimensions block locality — while decode stays exact."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        _keep_row_ranges_multi,
+        completed_parts,
+        decode_table,
+        encode_table,
+    )
+
+    # 100x100 grid in scrambled input order
+    df = spark.range(10000).select(
+        (F.col("id") % 100).alias("a"),
+        (F.col("id") / 100).cast("long").alias("b"),
+        F.xxhash64("id").alias("scramble"),
+    ).orderBy("scramble").drop("scramble")
+
+    out_lex = str(tmp_path / "lex")
+    encode_table(spark, df, out_lex, cluster_by=None, salt_by=["a"],
+                 sort_by=["a", "b"], num_parts=1, resume=False, block_rows=256)
+    out_z = str(tmp_path / "zord")
+    encode_table(spark, df, out_z, cluster_by=None, salt_by=["a"],
+                 zorder_by=["a", "b"], num_parts=1, resume=False, block_rows=256)
+
+    wheres = [("a", 10, 20), ("b", 10, 20)]
+
+    def coverage(out):
+        total = 0
+        for pid in completed_parts(out):
+            r = _keep_row_ranges_multi(out, pid, wheres)
+            total += sum(hi - lo for lo, hi in r) if r is not None else 10000
+        return total
+
+    cov_lex, cov_z = coverage(out_lex), coverage(out_z)
+    assert cov_z < cov_lex, (cov_z, cov_lex)
+    # correctness on both layouts
+    for out in (out_lex, out_z):
+        dec = decode_table(spark, out, where=wheres).filter(
+            F.col("a").between(10, 20) & F.col("b").between(10, 20)
+        )
+        assert dec.count() == 121
+        assert decode_table(spark, out).count() == 10000
+
+
+def test_zorder_part_level_pruning_and_guards(spark, tmp_path):
+    """With no cluster_by, parts are contiguous z-ranges: BOTH dimensions
+    part-prune; aligned layout and non-numeric columns are refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        completed_parts,
+        decode_table,
+        encode_table,
+        part_stats,
+        prune_parts,
+    )
+
+    out = str(tmp_path / "zparts")
+    df = spark.range(20000).select(
+        (F.col("id") % 200).alias("a"),
+        (F.col("id") / 200).cast("long").alias("b"),
+    )
+    encode_table(spark, df, out, cluster_by=None, zorder_by=["a", "b"],
+                 num_parts=8, target_part_rows=2500, resume=False)
+    parts = sorted(completed_parts(out))
+    assert len(parts) >= 4
+    st = part_stats(out)
+    kept_a = prune_parts(out, ("a", 0, 20), parts, stats=st)
+    kept_b = prune_parts(out, ("b", 0, 10), parts, stats=st)
+    # both dimensions prune at part level (lexicographic parts would
+    # only ever prune on the leading column)
+    assert len(kept_a) < len(parts), (len(kept_a), len(parts))
+    assert len(kept_b) < len(parts), (len(kept_b), len(parts))
+    assert decode_table(spark, out).count() == 20000
+
+    with _pytest.raises(ValueError, match="clustered layout"):
+        encode_table(spark, df, str(tmp_path / "za"), layout="aligned",
+                     zorder_by=["a"], resume=False)
+    bad = spark.range(10).select(F.col("id"), F.lit("s").alias("txt"))
+    with _pytest.raises(ValueError, match="numeric"):
+        encode_table(spark, bad, str(tmp_path / "zb"), cluster_by=None,
+                     zorder_by=["txt"], num_parts=1, resume=False)
+
+
 def test_in_list_where_prunes_parts_and_blocks(spark, tmp_path):
     """where=(col, [values]) — IN-list membership: value-set/bloom
     refutation drops parts holding none of the probes; block zone maps

@@ -121,22 +121,27 @@ def assign_partitions(
     return joined.withColumn(PART_COL, part).drop("__fanout")
 
 
-def _zorder_expr(df: DataFrame, zcols: list[str], bits: int = ZORDER_BITS):
+def _zorder_expr(df: DataFrame, zcols: list[str]):
     """Interleaved-bit z-value over numeric columns (Morton order).
 
-    Each column is min-max normalized into a ``bits``-bit bucket (one
-    tiny agg job for the bounds), then the buckets' bits interleave into
-    one long — rows close in EVERY dimension get close z-values, so
-    sorting by it gives every dimension's zone maps locality at once: a
+    Each column is min-max normalized into a per-dimension bucket of
+    ``min(ZORDER_BITS, 63 // k)`` bits — scaled down with the dimension
+    count (the Delta OPTIMIZE ZORDER posture) so the interleaved value
+    always fits the 63 non-sign bits of a long: at 16 bits a 4th
+    dimension would set the sign bit and a 5th would wrap shift counts
+    mod 64, silently destroying the clustering. Bits interleave into one
+    long — rows close in EVERY dimension get close z-values, so sorting
+    by it gives every dimension's zone maps locality at once: a
     conjunctive predicate on k dimensions prunes blocks on all k, where
     a lexicographic sort only serves the leading column. The classic
-    multi-dimensional clustering trade (Morton 1966; the Delta/Iceberg
-    OPTIMIZE ZORDER idiom): each dimension's individual runs get
-    coarser, so single-column pruning is somewhat weaker than a
-    dedicated sort on that column.
+    multi-dimensional clustering trade (Morton 1966): each dimension's
+    individual runs get coarser, so single-column pruning and RLE/dict
+    run locality are somewhat weaker than a dedicated single-key sort.
 
     Pure Catalyst (shift/and/or fold, ~bits*k codegen'd ops); NULLs
-    bucket to 0. Returns (column_expr, {col: [min, max]})."""
+    bucket to 0. One agg job computes the bounds AND the row count (the
+    caller reuses it for num_parts sizing — no extra input scan).
+    Returns (column_expr, {col: [min, max]}, bits_per_dim, n_rows)."""
     from pyspark.sql import types as T
 
     numeric = (
@@ -152,12 +157,13 @@ def _zorder_expr(df: DataFrame, zcols: list[str], bits: int = ZORDER_BITS):
                 f"zorder_by supports numeric columns; {c} is {schema[c]} "
                 f"(cast dates/timestamps to long first)"
             )
-    aggs = []
+    k = len(zcols)
+    bits = min(ZORDER_BITS, 63 // k)
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in zcols:
         cc = F.col(c).cast("double")
         aggs += [F.min(cc).alias(f"__mn_{c}"), F.max(cc).alias(f"__mx_{c}")]
     row = df.agg(*aggs).first()
-    k = len(zcols)
     maxb = (1 << bits) - 1
     expr = F.lit(0).cast("long")
     bounds = {}
@@ -179,7 +185,7 @@ def _zorder_expr(df: DataFrame, zcols: list[str], bits: int = ZORDER_BITS):
         for i in range(bits):
             bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
             expr = expr.bitwiseOR(F.shiftleft(bit, i * k + j))
-    return expr, bounds
+    return expr, bounds, bits, int(row["__n"])
 
 
 # ---------------------------------------------------------------------------
@@ -1059,7 +1065,40 @@ def encode_table(
     the caller commits, the written parts are invisible orphans.
     """
     cols = df.columns
-    if cluster_by is None and "repo" in cols:
+    zb_shift = 0
+    zexpr = None
+    zbounds = None
+    zrange_parts = False
+    if zorder_by:
+        if layout == "aligned":
+            raise ValueError(
+                "zorder_by requires the clustered layout (the z-sort "
+                "rides the exchange the aligned layout avoids)"
+            )
+        if sort_by is not None:
+            raise ValueError(
+                "pass either sort_by or zorder_by, not both: zorder_by "
+                "replaces the block sort with the Morton order"
+            )
+        # ONE agg job yields the z bounds AND the row count, so the
+        # num_parts sizing below never re-scans the input
+        zexpr, zbounds, zbits, zcount = _zorder_expr(df, zorder_by)
+        if num_parts is None:
+            num_parts = max(1, int(np.ceil(zcount / target_part_rows)))
+        sort_by = [ZV_COL]
+        if cluster_by is None:
+            # parts = CONTIGUOUS z-ranges: bucket the z-value's high bits
+            # (~4 buckets per part for balance headroom), then bin-pack
+            # ADJACENT buckets into parts by measured row counts below —
+            # part-level zone maps tighten on every z dimension. (A hash
+            # of the buckets would scatter opposite corners of z-space
+            # into one part and void the part-level pruning.)
+            total_bits = zbits * len(zorder_by)
+            zb_shift = max(
+                0, total_bits - (int(np.ceil(np.log2(max(2, num_parts)))) + 2)
+            )
+            zrange_parts = True
+    if cluster_by is None and "repo" in cols and not zorder_by:
         cluster_by = ["repo"]
     if salt_by is None:
         salt_by = [c for c in ("path", "commit") if c in cols] or None
@@ -1072,26 +1111,6 @@ def encode_table(
         else:
             approx_rows = df.count()
             num_parts = max(1, int(np.ceil(approx_rows / target_part_rows)))
-
-    zb_shift = 0
-    zexpr = None
-    if zorder_by:
-        if layout == "aligned":
-            raise ValueError(
-                "zorder_by requires the clustered layout (the z-sort "
-                "rides the exchange the aligned layout avoids)"
-            )
-        zexpr, _zbounds = _zorder_expr(df, zorder_by)
-        sort_by = [ZV_COL]
-        if not cluster_by:
-            # parts = contiguous z-ranges (high bits of the z-value):
-            # part-level zone maps tighten on every z dimension too
-            total_bits = ZORDER_BITS * len(zorder_by)
-            zb_shift = max(
-                0, total_bits - (int(np.ceil(np.log2(max(2, num_parts)))) + 2)
-            )
-            cluster_by = [ZB_COL]
-            salt_by = salt_by or [c for c in cols if c not in zorder_by] or None
 
     # raises for unregistered URL schemes; local paths and registered
     # object-store filesystems (fs.register_filesystem) both work —
@@ -1131,6 +1150,9 @@ def encode_table(
         "salt_by": salt_by,
         "sort_by": sort_by,
         "zorder_by": zorder_by,
+        # informational: this RUN's z normalization space (appends
+        # re-derive their own — per-snapshot z-spaces are self-contained)
+        "zorder_bounds": zbounds,
         "block_rows": block_rows,
         "target_part_rows": target_part_rows,
         # P7 metadata routing: field-level metadata (e.g. Spark's
@@ -1211,7 +1233,7 @@ def encode_table(
     src = df.withColumn(FILE_COL, F.input_file_name())
     if zexpr is not None:
         src = src.withColumn(ZV_COL, zexpr)
-        if cluster_by == [ZB_COL]:
+        if zrange_parts:
             src = src.withColumn(ZB_COL, F.shiftright(F.col(ZV_COL), zb_shift))
 
     if layout == "aligned":
@@ -1253,6 +1275,48 @@ def encode_table(
             )
             work = work.join(F.broadcast(done_df), on=PART_COL, how="left_anti")
         # no exchange: rows stay in scan order within each split
+    elif zrange_parts:
+        # balanced CONTIGUOUS z-range part assignment: count rows per
+        # coarse z-bucket (<= ~4*num_parts buckets — a tiny driver list),
+        # greedily bin-pack ADJACENT buckets to the per-part row target,
+        # broadcast the bucket->part map. Deterministic for a fixed
+        # input (same property every resume path relies on); contiguity
+        # is what makes part-level zone maps tight on every z dimension.
+        cnt_rows = (
+            src.groupBy(ZB_COL).agg(F.count(F.lit(1)).alias("__c")).collect()
+        )
+        buckets = sorted((int(r[ZB_COL]), int(r["__c"])) for r in cnt_rows)
+        total = sum(c for _, c in buckets) or 1
+        per_part = max(1, total // num_parts)
+        mapping = []
+        pid = acc = 0
+        for zb, c in buckets:
+            if acc >= per_part and pid < num_parts - 1:
+                pid += 1
+                acc = 0
+            mapping.append((zb, pid))
+            acc += c
+        map_df = spark.createDataFrame(mapping, f"{ZB_COL} long, __sc_zpart int")
+        work = (
+            src.join(F.broadcast(map_df), on=ZB_COL, how="left")
+            .withColumn(
+                PART_COL, F.coalesce(F.col("__sc_zpart"), F.lit(0)).cast("int")
+            )
+            .drop("__sc_zpart")
+        )
+        if base:
+            work = work.withColumn(PART_COL, (F.col(PART_COL) + F.lit(base)).cast("int"))
+        if done:
+            done_df = spark.createDataFrame(
+                [(int(p),) for p in sorted(done)], f"{PART_COL} int"
+            )
+            work = work.join(F.broadcast(done_df), on=PART_COL, how="left_anti")
+        if shuffle_tasks is None:
+            par = spark.sparkContext.defaultParallelism
+            shuffle_tasks = max(1, min(num_parts, 4 * par))
+        work = work.repartition(shuffle_tasks, PART_COL).sortWithinPartitions(
+            PART_COL, *sort_by
+        )
     else:
         work = assign_partitions(src, num_parts, cluster_by, salt_by, target_part_rows)
         if base:

@@ -1690,6 +1690,19 @@ def test_zorder_part_level_pruning_and_guards(spark, tmp_path):
     with _pytest.raises(ValueError, match="numeric"):
         encode_table(spark, bad, str(tmp_path / "zb"), cluster_by=None,
                      zorder_by=["txt"], num_parts=1, resume=False)
+    with _pytest.raises(ValueError, match="not both"):
+        encode_table(spark, df, str(tmp_path / "zc"), cluster_by=None,
+                     zorder_by=["a"], sort_by=["b"], num_parts=1, resume=False)
+    # 4 dimensions: bits scale to 63//4=15, z-values stay in the positive
+    # long range (no sign-bit flip, no shift wraparound) and round-trip
+    d4 = spark.range(2000).select(
+        (F.col("id") % 10).alias("a"), (F.col("id") % 7).alias("b"),
+        (F.col("id") % 5).alias("c"), (F.col("id") % 3).alias("d"),
+    )
+    out4 = str(tmp_path / "z4")
+    encode_table(spark, d4, out4, cluster_by=None, zorder_by=["a", "b", "c", "d"],
+                 num_parts=2, target_part_rows=1000, resume=False)
+    assert decode_table(spark, out4).count() == 2000
 
 
 def test_in_list_where_prunes_parts_and_blocks(spark, tmp_path):

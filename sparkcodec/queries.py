@@ -1769,3 +1769,85 @@ GROUP BY lang
 
 QUERIES["zorder_prune"] = q_zorder_prune
 ORACLES["zorder_prune"] = SQL_ZORDER_PRUNE
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization — the 4x storage shrink a
+    training pipeline applies before ANN indexing: per-vector max-abs
+    scale, q = floor(x / scale * 127 + 0.5) clamped to [-127, 127]
+    (floor(+0.5) rather than round: both engines floor identically, so
+    no HALF_UP-vs-banker's drift). Pure Catalyst HOFs (transform /
+    aggregate) — no Python in the row path. The result checksums the
+    quantized values and measures reconstruction error, so a wrong
+    scale, clamp, or rounding breaks the oracle match."""
+    e = _t(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.when(absmax > 0, absmax).otherwise(F.lit(1.0)).cast("double")
+    q = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") / scale * 127 + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    with_q = e.select(
+        "vec_id",
+        scale.alias("scale_raw"),  # UNROUNDED: quantize and mse share it
+        q.alias("q"),
+    )
+    recon_err = F.aggregate(
+        F.zip_with(
+            "q",
+            "orig",
+            lambda qi, x: (
+                qi.cast("double") * F.col("scale_raw") / 127 - x.cast("double")
+            ) ** 2,
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    out = (
+        e.select("vec_id", F.col("embedding").alias("orig"))
+        .join(with_q, "vec_id")
+        .select(
+            "vec_id",
+            F.round(F.col("scale_raw"), 6).alias("scale"),
+            F.aggregate(
+                "q", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.round(recon_err, 6).alias("mse6"),
+        )
+    )
+    return out.orderBy("vec_id")
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(x))) > 0
+              THEN cast(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+              ELSE 1.0 END AS scale
+  FROM embeddings
+), qd AS (
+  SELECT vec_id, embedding, scale,
+         list_transform(
+           embedding,
+           x -> greatest(-127, least(127,
+                cast(floor(cast(x AS DOUBLE) / scale * 127 + 0.5) AS INTEGER)))
+         ) AS q
+  FROM base
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       cast(list_sum(q) AS BIGINT) AS q_sum,
+       round(list_sum(list_transform(
+         list_zip(q, embedding),
+         p -> pow(cast(p[1] AS DOUBLE) * scale / 127 - cast(p[2] AS DOUBLE), 2)
+       )), 6) AS mse6
+FROM qd ORDER BY vec_id
+"""
+
+QUERIES["embedding_quantize"] = q_embedding_quantize
+ORACLES["embedding_quantize"] = SQL_EMBEDDING_QUANTIZE

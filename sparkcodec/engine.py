@@ -889,6 +889,42 @@ def part_null_stats(out_dir: str, meta: dict | None = None) -> dict[int, dict]:
     return {p: {"n_rows": d["n_rows"], "nulls": d["nulls"]} for p, d in pm.items()}
 
 
+def _prune_parts_conj(
+    out_dir: str, wheres: list[tuple], parts: list[int], pm: dict
+) -> list[int]:
+    """Part pruning for one CONJUNCTION of normalized predicates through
+    every dimension: zone-map span for ranges; span + exact value-set +
+    bloom membership for point and IN-list predicates."""
+    for w in wheres:
+        if len(w) == 2:
+            # IN-list: zone-map span + exact value-set + bloom membership
+            # (prune_parts_eq/_bloom already take lists)
+            col, vals = w
+            try:
+                span = (col, min(vals), max(vals))
+            except TypeError:
+                span = None  # mixed-type values: no orderable span
+            if span is not None:
+                parts = prune_parts(out_dir, span, parts, stats=part_stats(out_dir, pm))
+            probes = list(vals)
+        elif w[1] is not None and w[1] == w[2]:
+            parts = prune_parts(out_dir, w, parts, stats=part_stats(out_dir, pm))
+            probes = [w[1]]  # point predicate: exact membership can
+            # refute parts whose [min, max] range merely spans the value
+        else:
+            parts = prune_parts(out_dir, w, parts, stats=part_stats(out_dir, pm))
+            probes = None
+        if probes is not None:
+            parts = prune_parts_eq(
+                out_dir, w[0], probes, parts, part_vsets(out_dir, pm)
+            )
+            parts = prune_parts_bloom(
+                out_dir, w[0], probes, parts,
+                {p: d["bloom"] for p, d in pm.items()},
+            )
+    return parts
+
+
 def prune_parts_nulls(
     out_dir: str, col: str, kind: str, parts: list[int], nstats: dict | None = None
 ) -> list[int]:
@@ -1531,6 +1567,18 @@ def _intersect_ranges(a, b):
     return out
 
 
+def _union_ranges(a, b):
+    """Union of two sorted half-open row-range lists (merged, sorted) —
+    the OR side of DNF pruning."""
+    out = []
+    for lo, hi in sorted(a + b):
+        if out and lo <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
 def _normalize_where(where) -> list[tuple]:
     """``where`` may be one predicate or a list of them (conjunction).
     Predicate forms: ``(col, lo, hi)`` — range, either bound None for
@@ -1578,6 +1626,28 @@ def _keep_row_ranges_multi(out_dir: str, pid: int, wheres: list[tuple]):
             if not ranges:
                 return []
     return ranges if pruned else None
+
+
+def _keep_row_ranges_dnf(
+    out_dir: str, pid: int, wheres: list[tuple], wheres_any: list[list[tuple]]
+):
+    """Block ranges surviving ``wheres`` (conjunction) AND the
+    disjunction of ``wheres_any``'s conjunctions: each disjunct's ranges
+    UNION (a row matching any disjunct must be read), the result
+    intersects the conjunctive side. None = nothing pruned."""
+    ranges = _keep_row_ranges_multi(out_dir, pid, wheres) if wheres else None
+    if wheres_any:
+        u = None
+        unpruned = False
+        for conj in wheres_any:
+            r = _keep_row_ranges_multi(out_dir, pid, conj)
+            if r is None:
+                unpruned = True  # this disjunct keeps everything
+                break
+            u = r if u is None else _union_ranges(u, r)
+        if not unpruned:
+            ranges = u if ranges is None else _intersect_ranges(ranges, u)
+    return ranges
 
 
 def _keep_row_ranges_in(out_dir: str, pid: int, col: str, values):
@@ -1795,12 +1865,15 @@ def _make_decode_kernel(
     columns: list[str],
     arrow_schema: pa.Schema,
     wheres: list[tuple] | None = None,
+    wheres_any: list[list[tuple]] | None = None,
 ):
     def kernel(batches):
         for batch in batches:
             for pid in batch.column("part_id").to_pylist():
                 ranges = (
-                    _keep_row_ranges_multi(out_dir, pid, wheres) if wheres else None
+                    _keep_row_ranges_dnf(out_dir, pid, wheres or [], wheres_any)
+                    if (wheres or wheres_any)
+                    else None
                 )
                 if ranges is not None and not ranges:
                     continue  # every block of this part pruned
@@ -1831,6 +1904,7 @@ def decode_table(
     columns: list[str] | None = None,
     snapshot_id: int | None = None,
     where: tuple | list | None = None,
+    where_any: list | None = None,
 ) -> DataFrame:
     """Reconstruct the table (or a column subset — file-level pruning).
 
@@ -1857,7 +1931,14 @@ def decode_table(
     across divergent block grids). Pruning is conservative — kept blocks
     may still hold non-matching rows, so compose with ``df.filter`` for
     exact results; on a cluster-keyed, sort-keyed table a key predicate
-    typically skips all but a handful of blocks."""
+    typically skips all but a handful of blocks.
+
+    ``where_any`` is a DISJUNCTION of conjunctions (DNF), each in the
+    same form ``where`` takes: a part/block survives when ANY disjunct
+    keeps it (per-disjunct pruning, then union), and the result
+    intersects ``where``'s conjunctive pruning when both are given —
+    ``(A AND B) AND (C OR D)`` maps to ``where=[A, B],
+    where_any=[C, D]``."""
     meta = _read_json(_j(out_dir, "_table_meta.json"))
     # the read schema is the one recorded AT the resolved snapshot — for
     # time travel a later add-column evolution must not leak into the
@@ -1887,37 +1968,17 @@ def decode_table(
     if parts is None:
         parts = sorted(completed_parts(out_dir))
     wheres = _normalize_where(where)
-    if wheres:
+    wheres_any = [_normalize_where(w) for w in (where_any or [])]
+    if wheres or wheres_any:
         pm = part_meta(out_dir)  # one read feeds every pruning dimension
-        for w in wheres:
-            if len(w) == 2:
-                # IN-list: zone-map span + exact value-set + bloom
-                # membership (prune_parts_eq/_bloom already take lists)
-                col, vals = w
-                try:
-                    span = (col, min(vals), max(vals))
-                except TypeError:
-                    span = None  # mixed-type values: no orderable span
-                if span is not None:
-                    parts = prune_parts(
-                        out_dir, span, parts, stats=part_stats(out_dir, pm)
-                    )
-                probes = list(vals)
-            elif w[1] is not None and w[1] == w[2]:
-                parts = prune_parts(out_dir, w, parts, stats=part_stats(out_dir, pm))
-                probes = [w[1]]  # point predicate: exact membership can
-                # refute parts whose [min, max] range merely spans the value
-            else:
-                parts = prune_parts(out_dir, w, parts, stats=part_stats(out_dir, pm))
-                probes = None
-            if probes is not None:
-                parts = prune_parts_eq(
-                    out_dir, w[0], probes, parts, part_vsets(out_dir, pm)
-                )
-                parts = prune_parts_bloom(
-                    out_dir, w[0], probes, parts,
-                    {p: d["bloom"] for p, d in pm.items()},
-                )
+        if wheres:
+            parts = _prune_parts_conj(out_dir, wheres, parts, pm)
+        if wheres_any:
+            # DNF: a part survives if ANY disjunct keeps it
+            keep: set = set()
+            for conj in wheres_any:
+                keep |= set(_prune_parts_conj(out_dir, conj, parts, pm))
+            parts = sorted(keep)
     # several parts per task: decode parallelism needs only ~4x the slots,
     # and per-task Python handoff dominates with hundreds of tiny tasks
     n_tasks = max(1, min(len(parts), 4 * spark.sparkContext.defaultParallelism))
@@ -1926,7 +1987,8 @@ def decode_table(
         f"`{c}` {_SPARK_TYPE_OF[meta['schema'][c]]}" for c in columns
     )
     out = parts_df.mapInArrow(
-        _make_decode_kernel(out_dir, columns, arrow_schema, wheres), spark_fields
+        _make_decode_kernel(out_dir, columns, arrow_schema, wheres, wheres_any or None),
+        spark_fields,
     )
     for c, md in (meta.get("field_metadata") or {}).items():
         if c in columns:

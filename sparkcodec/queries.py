@@ -1851,3 +1851,51 @@ FROM qd ORDER BY vec_id
 
 QUERIES["embedding_quantize"] = q_embedding_quantize
 ORACLES["embedding_quantize"] = SQL_EMBEDDING_QUANTIZE
+
+
+def q_dnf_prune(spark, sf_dir):
+    """Disjunctive predicate pushdown (OR of conjunctions) into the
+    encoded format: decode with where_any=[lang='de', doc_id BETWEEN 50
+    AND 80] — each disjunct prunes parts and blocks independently, the
+    survivors UNION (a row matching any disjunct must be read).
+    Conservative as always; the exact OR filter composes and the oracle
+    aggregates the filtered source."""
+    from .engine import decode_table, encode_table
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sparkcodec_dnf_{abs(hash(sf_dir)) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark, d, out,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=8, resume=False,
+    )
+    dec = decode_table(
+        spark, out, where_any=[("lang", "de", "de"), ("doc_id", 50, 80)]
+    )
+    return (
+        dec.filter((F.col("lang") == "de") | F.col("doc_id").between(50, 80))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SQL_DNF_PRUNE = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       max(doc_id) AS max_doc_id
+FROM documents
+WHERE lang = 'de' OR doc_id BETWEEN 50 AND 80
+GROUP BY lang
+"""
+
+QUERIES["dnf_prune"] = q_dnf_prune
+ORACLES["dnf_prune"] = SQL_DNF_PRUNE

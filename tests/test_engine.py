@@ -1705,6 +1705,64 @@ def test_zorder_part_level_pruning_and_guards(spark, tmp_path):
     assert decode_table(spark, out4).count() == 2000
 
 
+def test_where_any_dnf_pruning(spark, tmp_path):
+    """where_any (OR of conjunctions): block ranges union across
+    disjuncts, intersect a conjunctive where, and part pruning keeps the
+    union of per-disjunct survivors — exact results throughout."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        _keep_row_ranges_dnf,
+        completed_parts,
+        decode_table,
+        encode_table,
+    )
+
+    # block level: one sorted part, two disjoint OR bands
+    out = str(tmp_path / "dnf")
+    encode_table(spark, spark.range(4000).select(F.col("id")), out,
+                 cluster_by=None, salt_by=["id"], sort_by=["id"],
+                 num_parts=1, resume=False, block_rows=256)
+    [pid] = completed_parts(out)
+    disjuncts = [[("id", 100, 200)], [("id", 3000, 3100)]]
+    r = _keep_row_ranges_dnf(out, pid, [], disjuncts)
+    assert r is not None and len(r) == 2, r  # two separated bands
+    cov = sum(hi - lo for lo, hi in r)
+    assert cov <= 4 * 256, (r, cov)
+    dec = decode_table(
+        spark, out, where_any=[("id", 100, 200), ("id", 3000, 3100)]
+    ).filter(F.col("id").between(100, 200) | F.col("id").between(3000, 3100))
+    assert dec.count() == 202
+    # AND of a conjunction with the disjunction
+    dec2 = decode_table(
+        spark, out, where=("id", 150, 3050),
+        where_any=[("id", 100, 200), ("id", 3000, 3100)],
+    ).filter(
+        F.col("id").between(150, 3050)
+        & (F.col("id").between(100, 200) | F.col("id").between(3000, 3100))
+    )
+    assert dec2.count() == 102  # 150..200 and 3000..3050
+
+    # part level: clustered by group, OR of two point values keeps the
+    # union of each disjunct's surviving parts
+    out2 = str(tmp_path / "dnfparts")
+    df = spark.range(2000).select(
+        F.col("id"), F.concat(F.lit("g"), (F.col("id") % 8)).alias("grp")
+    )
+    encode_table(spark, df, out2, cluster_by=["grp"], salt_by=["id"],
+                 sort_by=["grp", "id"], num_parts=8, target_part_rows=250,
+                 resume=False)
+    dec3 = decode_table(
+        spark, out2, where_any=[("grp", "g1", "g1"), ("grp", "g5", "g5")]
+    ).filter(F.col("grp").isin("g1", "g5"))
+    assert dec3.count() == 500
+    # a disjunct with an IN-list works too
+    dec4 = decode_table(
+        spark, out2, where_any=[("grp", ["g1", "g2"]), [("id", 0, 10)]]
+    ).filter(F.col("grp").isin("g1", "g2") | F.col("id").between(0, 10))
+    assert dec4.count() == 507  # 500 in g1/g2 + 7 others in id 0..10
+
+
 def test_in_list_where_prunes_parts_and_blocks(spark, tmp_path):
     """where=(col, [values]) — IN-list membership: value-set/bloom
     refutation drops parts holding none of the probes; block zone maps

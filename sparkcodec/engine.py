@@ -56,6 +56,9 @@ ZV_COL = "__sc_zv"
 ZB_COL = "__sc_zb"
 CHECKPOINT_COL = "_checkpoint"
 ZORDER_BITS = 16  # bucket resolution per z-order dimension
+# string z-order dims: exact rank dictionary up to this many distincts
+# (broadcast-join sized — 64k strings is a few MB), byte-prefix proxy above
+ZORDER_STRING_DICT_CAP = 65536
 
 BLOCKS_ARROW_SCHEMA = pa.schema(
     [
@@ -121,10 +124,20 @@ def assign_partitions(
     return joined.withColumn(PART_COL, part).drop("__fanout")
 
 
-def _zorder_expr(df: DataFrame, zcols: list[str]):
-    """Interleaved-bit z-value over numeric columns (Morton order).
+def _str_prefix_proxy(s: str, lcp: int) -> int:
+    """Monotone numeric proxy of a string: the first 7 UTF-8 bytes after
+    the table-wide common prefix, big-endian, zero-padded. Must mirror
+    the Catalyst expression in _zorder_prep exactly (hex/substr/rpad):
+    UTF-8 byte order equals code-point order, so the proxy preserves
+    Spark's string ordering."""
+    b = s[lcp : lcp + 7].encode("utf-8")[:7]
+    return int.from_bytes(b.ljust(7, b"\0"), "big")
 
-    Each column is min-max normalized into a per-dimension bucket of
+
+def _zorder_prep(df: DataFrame, zcols: list[str]):
+    """Interleaved-bit z-value over numeric/string columns (Morton order).
+
+    Each column is normalized into a per-dimension bucket of
     ``min(ZORDER_BITS, 63 // k)`` bits — scaled down with the dimension
     count (the Delta OPTIMIZE ZORDER posture) so the interleaved value
     always fits the 63 non-sign bits of a long: at 16 bits a 4th
@@ -138,10 +151,30 @@ def _zorder_expr(df: DataFrame, zcols: list[str]):
     individual runs get coarser, so single-column pruning and RLE/dict
     run locality are somewhat weaker than a dedicated single-key sort.
 
-    Pure Catalyst (shift/and/or fold, ~bits*k codegen'd ops); NULLs
-    bucket to 0. One agg job computes the bounds AND the row count (the
-    caller reuses it for num_parts sizing — no extra input scan).
-    Returns (column_expr, {col: [min, max]}, bits_per_dim, n_rows)."""
+    Numeric dims min-max normalize. String dims bucket monotonically in
+    Spark's (byte-order) string comparison, two regimes:
+
+    * ``<= ZORDER_STRING_DICT_CAP`` distincts — exact rank dictionary:
+      one bounded distinct scan, ranks scaled onto the bucket range,
+      applied as a broadcast-joined mapping (the idiomatic small-dim
+      join; zero skew because the build side is tiny and sorted).
+    * above the cap — byte-prefix proxy: strip the longest common
+      prefix (computed from min/max — every value between them shares
+      it), then treat the next 7 UTF-8 bytes as a big-endian integer
+      and min-max normalize like a numeric. Pure Catalyst
+      (substr/hex/conv), monotone, data-independent per row.
+
+    Either way the bucket is monotone in the string, so the z-sort gives
+    the string column block/part locality and its ordinary [min, max]
+    zone maps prune — no new pruning machinery.
+
+    Pure Catalyst in the row path (shift/and/or fold, ~bits*k codegen'd
+    ops); NULLs bucket to 0. One agg job computes bounds, cardinality
+    AND the row count (the caller reuses it for num_parts sizing — no
+    extra input scan); each dictionary dim adds one bounded distinct
+    scan. Returns (prep_fn, {col: [min, max]}, bits_per_dim, n_rows);
+    ``prep_fn(src)`` attaches ZV_COL (joining any rank dictionaries and
+    dropping its helper columns)."""
     from pyspark.sql import types as T
 
     numeric = (
@@ -149,43 +182,116 @@ def _zorder_expr(df: DataFrame, zcols: list[str]):
         T.FloatType, T.DoubleType, T.DecimalType,
     )
     schema = {f.name: f.dataType for f in df.schema.fields}
+    str_dims = set()
     for c in zcols:
         if c not in schema:
             raise ValueError(f"zorder_by column {c!r} not in {list(schema)}")
-        if not isinstance(schema[c], numeric):
+        if isinstance(schema[c], T.StringType):
+            str_dims.add(c)
+        elif not isinstance(schema[c], numeric):
             raise ValueError(
-                f"zorder_by supports numeric columns; {c} is {schema[c]} "
-                f"(cast dates/timestamps to long first)"
+                f"zorder_by supports numeric and string columns; {c} is "
+                f"{schema[c]} (cast dates/timestamps to long first)"
             )
     k = len(zcols)
     bits = min(ZORDER_BITS, 63 // k)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in zcols:
-        cc = F.col(c).cast("double")
-        aggs += [F.min(cc).alias(f"__mn_{c}"), F.max(cc).alias(f"__mx_{c}")]
+        if c in str_dims:
+            aggs += [
+                F.min(F.col(c)).alias(f"__mn_{c}"),
+                F.max(F.col(c)).alias(f"__mx_{c}"),
+                F.approx_count_distinct(c).alias(f"__cd_{c}"),
+            ]
+        else:
+            cc = F.col(c).cast("double")
+            aggs += [F.min(cc).alias(f"__mn_{c}"), F.max(cc).alias(f"__mx_{c}")]
     row = df.agg(*aggs).first()
     maxb = (1 << bits) - 1
-    expr = F.lit(0).cast("long")
     bounds = {}
-    for j, c in enumerate(zcols):
+    buckets: dict[str, object] = {}  # col -> Column in [0, maxb]
+    dict_maps: list[tuple[str, list]] = []  # (col, [(value, bucket), ...])
+    for c in zcols:
         mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
         bounds[c] = [mn, mx]
         if mn is None:
-            bucket = F.lit(0).cast("long")
+            buckets[c] = F.lit(0).cast("long")
+        elif c in str_dims:
+            vals = None
+            if int(row[f"__cd_{c}"]) <= ZORDER_STRING_DICT_CAP:
+                # approx estimate says dictionary-sized: fetch the exact
+                # set, bounded — if the estimate lied, fall to the proxy
+                vals = [
+                    r[0]
+                    for r in df.select(c).na.drop().distinct()
+                    .limit(ZORDER_STRING_DICT_CAP + 1).collect()
+                ]
+                if len(vals) > ZORDER_STRING_DICT_CAP:
+                    vals = None
+            if vals is not None:
+                # Python str sort == Spark UTF8 byte order (UTF-8 bytes
+                # sort like code points), so ranks agree across engines
+                vals.sort()
+                n = len(vals) or 1
+                dict_maps.append(
+                    (c, [(v, i * (maxb + 1) // n) for i, v in enumerate(vals)])
+                )
+                buckets[c] = F.coalesce(F.col(f"__zb_{c}"), F.lit(0)).cast("long")
+            else:
+                lcp = 0
+                for x, y in zip(mn, mx):
+                    if x != y:
+                        break
+                    lcp += 1
+                pmn = _str_prefix_proxy(mn, lcp)
+                span = float(_str_prefix_proxy(mx, lcp) - pmn) or 1.0
+                # first 7 UTF-8 bytes after the common prefix as a
+                # big-endian long (14 hex digits keeps it under 2^56):
+                # monotone in the string, NULL-propagating
+                hx = F.rpad(
+                    F.substring(
+                        F.hex(F.encode(F.substring(F.col(c), lcp + 1, 7), "UTF-8")),
+                        1, 14,
+                    ),
+                    14, "0",
+                )
+                frac = (F.conv(hx, 16, 10).cast("long") - F.lit(pmn)).cast(
+                    "double"
+                ) / F.lit(span)
+                buckets[c] = F.coalesce(
+                    F.least(F.lit(maxb), F.greatest(F.lit(0), (frac * maxb).cast("long"))),
+                    F.lit(0),
+                )
         else:
             span = (mx - mn) or 1.0
             frac = (F.col(c).cast("double") - F.lit(float(mn))) / F.lit(float(span))
-            bucket = F.coalesce(
+            buckets[c] = F.coalesce(
                 F.least(
                     F.lit(maxb),
                     F.greatest(F.lit(0), (frac * maxb).cast("long")),
                 ),
                 F.lit(0),
             )
+    expr = F.lit(0).cast("long")
+    for j, c in enumerate(zcols):
         for i in range(bits):
-            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+            bit = F.shiftright(buckets[c], i).bitwiseAND(F.lit(1))
             expr = expr.bitwiseOR(F.shiftleft(bit, i * k + j))
-    return expr, bounds, bits, int(row["__n"])
+
+    def prep(src: DataFrame) -> DataFrame:
+        spark = src.sparkSession
+        helper = []
+        for c, mapping in dict_maps:
+            map_df = spark.createDataFrame(
+                mapping, f"`__zk_{c}` string, `__zb_{c}` long"
+            )
+            src = src.join(
+                F.broadcast(map_df), F.col(c) == F.col(f"__zk_{c}"), "left"
+            ).drop(f"__zk_{c}")
+            helper.append(f"__zb_{c}")
+        return src.withColumn(ZV_COL, expr).drop(*helper)
+
+    return prep, bounds, bits, int(row["__n"])
 
 
 # ---------------------------------------------------------------------------
@@ -1084,7 +1190,9 @@ def encode_table(
     config — the same guard the base table applies.
 
     ``zorder_by=[c1, c2, ...]`` (clustered layout only) sorts rows by
-    the interleaved-bit Morton value of the named NUMERIC columns
+    the interleaved-bit Morton value of the named numeric/string columns
+    (strings bucket monotonically: exact rank dictionary up to
+    ``ZORDER_STRING_DICT_CAP`` distincts, byte-prefix proxy above)
     instead of ``sort_by``, and — when no ``cluster_by`` is given —
     assigns parts from the z-value's high bits, so parts AND blocks get
     tight zone maps on EVERY named dimension at once: a conjunctive
@@ -1118,7 +1226,7 @@ def encode_table(
             )
         # ONE agg job yields the z bounds AND the row count, so the
         # num_parts sizing below never re-scans the input
-        zexpr, zbounds, zbits, zcount = _zorder_expr(df, zorder_by)
+        zexpr, zbounds, zbits, zcount = _zorder_prep(df, zorder_by)
         if num_parts is None:
             num_parts = max(1, int(np.ceil(zcount / target_part_rows)))
         sort_by = [ZV_COL]
@@ -1268,7 +1376,7 @@ def encode_table(
     # to the scan before partition assignment (lineage: input files per part)
     src = df.withColumn(FILE_COL, F.input_file_name())
     if zexpr is not None:
-        src = src.withColumn(ZV_COL, zexpr)
+        src = zexpr(src)  # attaches ZV_COL (plus any rank-dict joins)
         if zrange_parts:
             src = src.withColumn(ZB_COL, F.shiftright(F.col(ZV_COL), zb_shift))
 

@@ -1899,3 +1899,56 @@ GROUP BY lang
 
 QUERIES["dnf_prune"] = q_dnf_prune
 ORACLES["dnf_prune"] = SQL_DNF_PRUNE
+
+def q_zorder_string_prune(spark, sf_dir):
+    """Z-order with a STRING dimension: encode documents clustered on
+    the Morton interleave of (lang, doc_id) — lang buckets by exact
+    rank dictionary (broadcast-joined; byte-prefix proxy above the
+    cap), so the string dimension gets real block/part locality, not
+    just the numeric one. Decode under a conjunctive predicate on both
+    dimensions: lang's ordinary [min,max] zone maps and doc_id's ranges
+    both prune. Exact filter composes; the oracle aggregates the
+    filtered source."""
+    from .engine import decode_table, encode_table
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sparkcodec_zstr_{abs(hash(sf_dir)) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark, d, out,
+        cluster_by=None, zorder_by=["lang", "doc_id"],
+        num_parts=8, resume=False,
+    )
+    dec = decode_table(
+        spark, out, where=[("lang", "de", "fr"), ("doc_id", 100, 400)]
+    )
+    return (
+        dec.filter(
+            F.col("lang").between("de", "fr") & F.col("doc_id").between(100, 400)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SQL_ZORDER_STRING_PRUNE = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+WHERE lang BETWEEN 'de' AND 'fr' AND doc_id BETWEEN 100 AND 400
+GROUP BY lang
+"""
+
+QUERIES["zorder_string_prune"] = q_zorder_string_prune
+ORACLES["zorder_string_prune"] = SQL_ZORDER_STRING_PRUNE

@@ -1686,10 +1686,10 @@ def test_zorder_part_level_pruning_and_guards(spark, tmp_path):
     with _pytest.raises(ValueError, match="clustered layout"):
         encode_table(spark, df, str(tmp_path / "za"), layout="aligned",
                      zorder_by=["a"], resume=False)
-    bad = spark.range(10).select(F.col("id"), F.lit("s").alias("txt"))
-    with _pytest.raises(ValueError, match="numeric"):
+    bad = spark.range(10).select(F.col("id"), F.array(F.lit(1)).alias("arr"))
+    with _pytest.raises(ValueError, match="numeric and string"):
         encode_table(spark, bad, str(tmp_path / "zb"), cluster_by=None,
-                     zorder_by=["txt"], num_parts=1, resume=False)
+                     zorder_by=["arr"], num_parts=1, resume=False)
     with _pytest.raises(ValueError, match="not both"):
         encode_table(spark, df, str(tmp_path / "zc"), cluster_by=None,
                      zorder_by=["a"], sort_by=["b"], num_parts=1, resume=False)
@@ -1703,6 +1703,87 @@ def test_zorder_part_level_pruning_and_guards(spark, tmp_path):
     encode_table(spark, d4, out4, cluster_by=None, zorder_by=["a", "b", "c", "d"],
                  num_parts=2, target_part_rows=1000, resume=False)
     assert decode_table(spark, out4).count() == 2000
+
+
+def test_zorder_string_dimension_dict_path(spark, tmp_path):
+    """A string z-dim under the dictionary cap buckets by exact rank:
+    both the string and the numeric dimension part-prune, string
+    where-bounds compose exactly, and decode round-trips."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        completed_parts,
+        decode_table,
+        encode_table,
+        part_stats,
+        prune_parts,
+    )
+
+    # 40 categories x 500 rows, scrambled input order
+    df = spark.range(20000).select(
+        F.format_string("cat%02d", (F.col("id") % 40).cast("int")).alias("cat"),
+        (F.col("id") / 40).cast("long").alias("b"),
+        F.xxhash64("id").alias("scramble"),
+    ).orderBy("scramble").drop("scramble")
+    out = str(tmp_path / "zstr")
+    encode_table(spark, df, out, cluster_by=None, zorder_by=["cat", "b"],
+                 num_parts=8, target_part_rows=2500, resume=False)
+    parts = sorted(completed_parts(out))
+    assert len(parts) >= 4
+    st = part_stats(out)
+    kept_s = prune_parts(out, ("cat", "cat00", "cat04"), parts, stats=st)
+    kept_b = prune_parts(out, ("b", 0, 50), parts, stats=st)
+    assert len(kept_s) < len(parts), (len(kept_s), len(parts))
+    assert len(kept_b) < len(parts), (len(kept_b), len(parts))
+    dec = decode_table(
+        spark, out, where=[("cat", "cat10", "cat12"), ("b", 100, 200)]
+    ).filter(F.col("cat").between("cat10", "cat12") & F.col("b").between(100, 200))
+    assert dec.count() == 3 * 101
+    assert decode_table(spark, out).count() == 20000
+
+
+def test_zorder_string_prefix_proxy_path(spark, tmp_path):
+    """Above the dictionary cap the string dim falls to the byte-prefix
+    proxy: the shared 'doc_' prefix is stripped (otherwise every proxy
+    collapses to one bucket), ordering still clusters, and NULLs ride
+    to bucket 0 without errors."""
+    from pyspark.sql import functions as F
+
+    import sparkcodec.engine as eng
+    from sparkcodec.engine import (
+        completed_parts,
+        decode_table,
+        encode_table,
+        part_stats,
+        prune_parts,
+    )
+
+    old = eng.ZORDER_STRING_DICT_CAP
+    eng.ZORDER_STRING_DICT_CAP = 50
+    try:
+        df = spark.range(8000).select(
+            F.when(F.col("id") % 997 == 0, F.lit(None)).otherwise(
+                F.format_string("doc_%05d", F.col("id").cast("int"))
+            ).alias("key"),
+            F.col("id").alias("v"),
+            F.xxhash64("id").alias("scramble"),
+        ).orderBy("scramble").drop("scramble")
+        out = str(tmp_path / "zpre")
+        encode_table(spark, df, out, cluster_by=None, zorder_by=["key"],
+                     num_parts=6, target_part_rows=1500, resume=False)
+        parts = sorted(completed_parts(out))
+        assert len(parts) >= 3
+        kept = prune_parts(
+            out, ("key", "doc_01000", "doc_01999"), parts, stats=part_stats(out)
+        )
+        assert len(kept) < len(parts), (len(kept), len(parts))
+        dec = decode_table(
+            spark, out, where=[("key", "doc_01000", "doc_01999")]
+        ).filter(F.col("key").between("doc_01000", "doc_01999"))
+        assert dec.count() == 999  # ids 1000..1999 minus the null at id=1994
+        assert decode_table(spark, out).count() == 8000
+    finally:
+        eng.ZORDER_STRING_DICT_CAP = old
 
 
 def test_where_any_dnf_pruning(spark, tmp_path):

@@ -4,6 +4,7 @@
     spark-submit --py-files sparkcodec.zip jobs/maintain_job.py \
         --table /mnt/shared/enc [--compact] [--target-part-rows 262144] \
         [--expire-keep-last 3] [--delete col:lo:hi] [--rollback N] \
+        [--optimize-zorder c1,c2 | --optimize-sort c1,c2] \
         [--stats] [--history]
 
 --delete removes rows with lo <= col <= hi as a copy-on-write snapshot
@@ -13,7 +14,10 @@ half-open range). Numeric-looking bounds parse as numbers; quote a bound
 may contain colons (ts:'12:00':'13:00'). The separate
 --delete-col/--delete-lo/--delete-hi flags avoid quoting entirely.
 --compact merges small live parts into bigger ones as a new snapshot
-(earlier snapshots stay time-travelable); --expire-keep-last N deletes
+(earlier snapshots stay time-travelable); --optimize-zorder /
+--optimize-sort rewrites the WHOLE live set re-clustered in one atomic
+snapshot (run after a stretch of appends so every row shares one
+z-space); --expire-keep-last N deletes
 part files referenced by no retained snapshot and squashes the log.
 Run compaction on a schedule after streaming ingestion
 (`encode_stream` commits one small snapshot per micro-batch) to keep
@@ -87,6 +91,16 @@ def main() -> int:
         "--history", action="store_true",
         help="print the snapshot log (id, parent, parts, rows, flags)",
     )
+    ap.add_argument(
+        "--optimize-zorder", default=None, metavar="COLS",
+        help="re-cluster the live table on the Morton interleave of "
+             "these comma-separated columns as one snapshot",
+    )
+    ap.add_argument(
+        "--optimize-sort", default=None, metavar="COLS",
+        help="re-cluster the live table lexicographically sorted on "
+             "these comma-separated columns as one snapshot",
+    )
     ap.add_argument("--delete", default=None, help="col:lo:hi range to delete")
     ap.add_argument("--delete-col", default=None, help="delete: column name")
     ap.add_argument(
@@ -128,6 +142,21 @@ def main() -> int:
         out["compact"] = compact_table(
             spark, args.table, target_part_rows=args.target_part_rows
         )
+    if args.optimize_zorder or args.optimize_sort:
+        from pyspark.sql import SparkSession
+
+        from sparkcodec.engine import optimize_table
+
+        if args.optimize_zorder and args.optimize_sort:
+            ap.error("pass --optimize-zorder or --optimize-sort, not both")
+        spark = SparkSession.builder.appName("sparkcodec-maintain").getOrCreate()
+        cols = (args.optimize_zorder or args.optimize_sort).split(",")
+        out["optimize"] = optimize_table(
+            spark, args.table,
+            zorder_by=cols if args.optimize_zorder else None,
+            sort_by=cols if args.optimize_sort else None,
+            target_part_rows=args.target_part_rows,
+        )
     if args.rollback is not None:
         from sparkcodec.engine import rollback_table
 
@@ -151,8 +180,8 @@ def main() -> int:
                 "n_removed": len(s.get("removed_parts", [])),
                 "n_rows": s.get("n_rows"),
                 "flags": sorted(
-                    k for k in ("compaction", "delete", "merge", "rollback_of",
-                                "stream")
+                    k for k in ("compaction", "delete", "merge", "optimize",
+                                "rollback_of", "stream")
                     if k in s
                 ),
             }

@@ -2330,6 +2330,93 @@ def compact_table(
     }
 
 
+@_with_writer_lock("optimize")
+def optimize_table(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    zorder_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    salt_by: list[str] | None = None,
+    num_parts: int | None = None,
+    target_part_rows: int = 262_144,
+) -> dict:
+    """Re-cluster the ENTIRE live table as ONE atomic snapshot — the
+    Delta ``OPTIMIZE ZORDER BY`` / Iceberg rewrite-data-files posture,
+    and the intended append story for z-ordered tables: append fast
+    under whatever layout the writer has (hash-clustered, aligned),
+    then periodically optimize so every live row shares one coherent
+    z-space. (The alternative — freezing the first snapshot's z
+    normalization bounds and forcing appends into it — silently
+    degrades as the data's value range drifts; a rewrite re-derives
+    bounds from ALL live rows.)
+
+    Decode the live snapshot (distributed, parts-parallel), re-encode
+    it through :func:`encode_table` with the requested clustering
+    (``zorder_by`` for multidimensional locality, or ``sort_by`` /
+    ``cluster_by``+``salt_by`` for single-key layouts), publish
+    deferred, then commit one snapshot entry with ``removed_parts`` =
+    every previous live part and ``new_parts`` = the rewrite. Readers
+    resolve either the complete old clustering or the complete new one;
+    a crash leaves only invisible orphans (``expire_snapshots``
+    reclaims). Earlier snapshots stay time-travelable. The entry is
+    flagged ``compaction`` so the changefeed skips it (rewritten rows
+    are not new data).
+
+    The decoded source is persisted for the rewrite's multiple passes
+    (z-bounds agg, rank dictionaries, encode) — one decode, not three.
+    """
+    meta = _read_json(_j(out_dir, "_table_meta.json"))
+    live = snapshot_parts(out_dir)
+    if live is None:
+        live = sorted(completed_parts(out_dir))
+    if not live:
+        return {"parts_removed": 0, "parts_created": 0, "n_rows": 0}
+    # legacy (pre-snapshot-log) tables: root the log BEFORE rewrite parts
+    # land, or completed_parts-fallback readers would double-count rows
+    _ensure_snapshot_root(out_dir, live, meta)
+    src = decode_table(spark, out_dir).persist()
+    try:
+        rep = encode_table(
+            spark, src, out_dir, append=True, commit=False, resume=False,
+            zorder_by=zorder_by, sort_by=sort_by,
+            cluster_by=cluster_by, salt_by=salt_by,
+            num_parts=num_parts, target_part_rows=target_part_rows,
+            block_rows=meta.get("block_rows") or 65536,
+        )
+    finally:
+        src.unpersist()
+    pend = rep.get("pending_commit")
+    if pend is None:  # empty live set raced to empty decode: nothing to do
+        return {"parts_removed": 0, "parts_created": 0, "n_rows": 0}
+    entry = dict(pend["entry"])
+    entry.update({
+        "removed_parts": sorted(live),
+        "compaction": True,  # changefeed: rearranged rows, not new data
+        "optimize": {"zorder_by": zorder_by, "sort_by": sort_by,
+                     "cluster_by": cluster_by},
+        "ts": time.time(),
+    })
+    # table meta tracks the NEW clustering (informational + resume
+    # identity); published at the commit point like schema evolution
+    new_meta = dict(pend["evolved_meta"] or meta)
+    new_meta.update({
+        "zorder_by": zorder_by, "sort_by": sort_by,
+        "cluster_by": cluster_by, "salt_by": salt_by,
+        "target_part_rows": target_part_rows,
+    })
+    committed = _commit_snapshot_entry(
+        out_dir, entry, append=True, evolved_meta=new_meta
+    )
+    return {
+        "parts_removed": len(live),
+        "parts_created": len(entry["new_parts"]),
+        "n_rows": rep["n_rows"],
+        "snapshot_id": committed["id"],
+    }
+
+
 def _copy_on_write_delete(
     spark: SparkSession,
     out_dir: str,

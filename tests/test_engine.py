@@ -1786,6 +1786,69 @@ def test_zorder_string_prefix_proxy_path(spark, tmp_path):
         eng.ZORDER_STRING_DICT_CAP = old
 
 
+def test_optimize_table_zorder_rewrite(spark, tmp_path):
+    """optimize_table re-clusters the whole live set (base + appends)
+    z-ordered in ONE snapshot: rows identical, conjunctive pruning
+    improves, the old snapshot stays time-travelable, and the entry is
+    a compaction (changefeed skips it)."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        _keep_row_ranges_multi,
+        completed_parts,
+        decode_table,
+        encode_table,
+        optimize_table,
+        snapshot_parts,
+        snapshots,
+    )
+
+    def grid(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 100).alias("a"),
+            (F.col("id") / 100).cast("long").alias("b"),
+            F.xxhash64("id").alias("s"),
+        ).orderBy("s").drop("s")
+
+    out = str(tmp_path / "opt")
+    encode_table(spark, grid(0, 6000), out, cluster_by=None, salt_by=["a"],
+                 sort_by=["a"], num_parts=4, resume=False, block_rows=256)
+    encode_table(spark, grid(6000, 10000), out, append=True, cluster_by=None,
+                 salt_by=["a"], sort_by=["a"], num_parts=3, resume=False,
+                 block_rows=256)
+    pre_live = snapshot_parts(out)
+    pre_sid = snapshots(out)[-1]["id"]
+    wheres = [("a", 10, 20), ("b", 10, 20)]
+
+    def coverage():
+        total = 0
+        for pid in snapshot_parts(out):
+            r = _keep_row_ranges_multi(out, pid, wheres)
+            total += sum(hi - lo for lo, hi in r) if r is not None else 10**9
+        return total
+
+    cov_before = coverage()
+    rep = optimize_table(spark, out, zorder_by=["a", "b"],
+                         target_part_rows=2500)
+    assert rep["parts_removed"] == len(pre_live)
+    assert rep["n_rows"] == 10000
+    # one new snapshot; entry shape
+    snaps = snapshots(out)
+    assert snaps[-1]["id"] == pre_sid + 1
+    assert snaps[-1]["compaction"] is True
+    assert sorted(snaps[-1]["removed_parts"]) == sorted(pre_live)
+    # rows identical (full multiset compare)
+    src = grid(0, 6000).unionAll(grid(6000, 10000))
+    assert decode_table(spark, out).exceptAll(src).count() == 0
+    assert src.exceptAll(decode_table(spark, out)).count() == 0
+    # conjunctive 2-D probe covers fewer rows after the z rewrite
+    assert coverage() < cov_before, (coverage(), cov_before)
+    # old clustering remains time-travelable
+    assert decode_table(spark, out, snapshot_id=pre_sid).count() == 10000
+    # old part files untouched on disk
+    assert set(pre_live) <= completed_parts(out)
+
+
 def test_where_any_dnf_pruning(spark, tmp_path):
     """where_any (OR of conjunctions): block ranges union across
     disjuncts, intersect a conjunctive where, and part pruning keeps the

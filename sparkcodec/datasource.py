@@ -354,11 +354,11 @@ class SparkcodecWriter(DataSourceArrowWriter):
         import time
 
         from .engine import (
-            _append_log_line,
             _atomic_write_json,
             _exists,
             _j,
             _release_writer_lock,
+            _snapshot_log_append,
             snapshots,
         )
 
@@ -414,7 +414,7 @@ class SparkcodecWriter(DataSourceArrowWriter):
                 "schema": cur["schema"],
                 "ts": time.time(),
             }
-            _append_log_line(_j(self.out_dir, "_snapshots.jsonl"), entry)
+            _snapshot_log_append(self.out_dir, entry)
         finally:
             _release_writer_lock(self.out_dir, self._lock_owner)
 

@@ -321,6 +321,48 @@ def _append_log_line(path: str, obj: dict) -> None:
     _get_fs(path).append_line(path, json.dumps(obj, separators=(",", ":")) + "\n")
 
 
+SNAPDIR = "_snapshots.d"  # per-entry snapshot objects (object stores)
+
+
+def _snapdir_objects(fs, d: str) -> list[tuple[int, str]]:
+    """(seq, name) of snapshot-log objects under ``d``, ordered by seq."""
+    out = []
+    for name in fs.listdir(d):
+        stem = name.split(".", 1)[0]
+        if name.endswith(".json") and stem.isdigit():
+            out.append((int(stem), name))
+    return sorted(out)
+
+
+def _snapshot_log_append(out_dir: str, entry: dict) -> None:
+    """Commit one snapshot entry — THE atomic publish point.
+
+    Local filesystems: a single O_APPEND line on ``_snapshots.jsonl``
+    (POSIX-atomic, zero overhead — every prior round's behavior).
+
+    Object stores (non-native FS): stores have no atomic append, and
+    read-modify-PUT of a whole log is O(n^2) bytes and loses entries to
+    any concurrent writer the lock misses. Instead each entry is its own
+    object ``_snapshots.d/<seq>.json`` published with a CONDITIONAL PUT
+    (If-None-Match — ``fs.create_exclusive``): a sequence collision
+    (crashed retry's leftover, racing writer) just advances seq and
+    re-PUTs, the Iceberg optimistic-commit shape. Readers merge the
+    ordered objects; a ``<seq>.squash.json`` object REPLACES everything
+    before it (how ``expire_snapshots`` rewrites history without an
+    atomic multi-delete)."""
+    fs = _get_fs(out_dir)
+    if fs.native_paths:
+        _append_log_line(_j(out_dir, "_snapshots.jsonl"), entry)
+        return
+    d = _j(out_dir, SNAPDIR)
+    fs.makedirs(d)
+    objs = _snapdir_objects(fs, d)
+    seq = (objs[-1][0] + 1) if objs else 1
+    data = (json.dumps(entry, separators=(",", ":")) + "\n").encode()
+    while not fs.create_exclusive(_j(d, f"{seq:010d}.json"), data):
+        seq += 1
+
+
 def _pq_read(path: str, **kw) -> pa.Table:
     fs = _get_fs(path)
     if fs.native_paths:
@@ -1102,7 +1144,7 @@ def _commit_snapshot_entry(
     e = dict(entry)
     e["id"] = (snaps[-1]["id"] + 1) if snaps else 1
     e["parent"] = snaps[-1]["id"] if (snaps and append) else 0
-    _append_log_line(_j(out_dir, "_snapshots.jsonl"), e)
+    _snapshot_log_append(out_dir, e)
     return e
 
 
@@ -1125,7 +1167,7 @@ def _ensure_snapshot_root(out_dir: str, live: list[int], meta: dict) -> None:
         "schema": meta["schema"],
         "ts": time.time(),
     }
-    _append_log_line(_j(out_dir, "_snapshots.jsonl"), root)
+    _snapshot_log_append(out_dir, root)
 
 
 def completed_parts(out_dir: str) -> set[int]:
@@ -1281,6 +1323,8 @@ def encode_table(
             p = _j(out_dir, extra)
             if fs.exists(p):
                 fs.remove(p)
+        for _seq, name in _snapdir_objects(fs, _j(out_dir, SNAPDIR)):
+            fs.remove(_j(out_dir, SNAPDIR, name))
         # part ids are about to be REUSED for different data — the
         # progress cache's immutability premise no longer holds here
         _PROGRESS_CACHE.pop(out_dir, None)
@@ -1549,19 +1593,38 @@ def encode_table(
 
 
 def snapshots(out_dir: str) -> list[dict]:
-    """Committed snapshot entries, oldest first."""
+    """Committed snapshot entries, oldest first.
+
+    Local tables read ``_snapshots.jsonl``. Object-store tables merge
+    the per-entry objects of ``_snapshots.d/`` in sequence order (see
+    :func:`_snapshot_log_append`); a ``.squash.json`` object replaces
+    everything before it, and any legacy ``_snapshots.jsonl`` (written
+    by the old read-modify-PUT emulation) is the prefix."""
     path = _j(out_dir, "_snapshots.jsonl")
     fs = _get_fs(out_dir)
-    if not fs.exists(path):
-        return []
     if fs.native_paths:
+        if not fs.exists(path):
+            return []
         with open(path) as fh:
             return [json.loads(line) for line in fh if line.strip()]
-    return [
-        json.loads(line)
-        for line in fs.read_bytes(path).decode().splitlines()
-        if line.strip()
-    ]
+    out: list[dict] = []
+    if fs.exists(path):
+        out = [
+            json.loads(line)
+            for line in fs.read_bytes(path).decode().splitlines()
+            if line.strip()
+        ]
+    for _seq, name in _snapdir_objects(fs, _j(out_dir, SNAPDIR)):
+        lines = [
+            json.loads(ln)
+            for ln in fs.read_bytes(_j(out_dir, SNAPDIR, name)).decode().splitlines()
+            if ln.strip()
+        ]
+        if name.endswith(".squash.json"):
+            out = lines  # squash object owns all history before it
+        else:
+            out.extend(lines)
+    return out
 
 
 def snapshot_parts(
@@ -2322,7 +2385,7 @@ def compact_table(
         "compaction": True,
         "ts": time.time(),
     }
-    _append_log_line(_j(out_dir, "_snapshots.jsonl"), entry)
+    _snapshot_log_append(out_dir, entry)
     return {
         "groups": len(groups),
         "parts_removed": len(removed),
@@ -3011,8 +3074,26 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     first.pop("rollback_of", None)  # ditto: restored parts fold into the root
     first["parent"] = 0
     squashed = [first] + kept[1:]
-    fs.put_atomic(
-        _j(out_dir, "_snapshots.jsonl"),
-        "".join(json.dumps(s, separators=(",", ":")) + "\n" for s in squashed).encode(),
-    )
+    body = "".join(
+        json.dumps(s, separators=(",", ":")) + "\n" for s in squashed
+    ).encode()
+    if fs.native_paths:
+        fs.put_atomic(_j(out_dir, "_snapshots.jsonl"), body)
+    else:
+        # object stores: a <seq>.squash.json object atomically supersedes
+        # all earlier log objects (readers replace history when they hit
+        # it), THEN the dead objects delete best-effort — a crash between
+        # the two leaves stale objects readers already ignore
+        d = _j(out_dir, SNAPDIR)
+        fs.makedirs(d)
+        objs = _snapdir_objects(fs, d)
+        seq = (objs[-1][0] + 1) if objs else 1
+        while not fs.create_exclusive(_j(d, f"{seq:010d}.squash.json"), body):
+            seq += 1
+        for old_seq, name in objs:
+            if old_seq < seq:
+                fs.remove(_j(d, name))
+        legacy = _j(out_dir, "_snapshots.jsonl")
+        if fs.exists(legacy):
+            fs.remove(legacy)
     return {"files_deleted": deleted, "snapshots_kept": len(squashed)}

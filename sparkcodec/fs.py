@@ -10,12 +10,13 @@ The engine's durability protocol has exactly three primitives:
   why the seam exists (S3 has no rename; emulating tmp+rename there
   would be copy+delete and non-atomic).
 * ``open_read(path)`` — binary file-like for pyarrow readers.
-* ``append_line(path, line)`` — the snapshot/metrics logs. Local:
-  O_APPEND single write. Object stores don't append: the registered FS
-  must emulate (the bundled fake uses read-modify-PUT, acceptable under
-  the single-writer lock; a production S3 impl should instead write
-  per-entry objects ``<log>.d/<n>.json`` and merge on read — the
-  protocol only requires that a reader sees every committed line).
+* ``append_line(path, line)`` — the metrics log (``_log.jsonl``).
+  Local: O_APPEND single write. Object stores don't append: the
+  registered FS must emulate (the bundled fake uses read-modify-PUT,
+  acceptable under the single-writer lock). The SNAPSHOT log never uses
+  append on object stores: the engine writes per-entry objects
+  ``_snapshots.d/<seq>.json`` via ``create_exclusive`` (conditional
+  PUT) and merges them on read — see engine._snapshot_log_append.
 
 Everything else (exists / list / remove / makedirs) is bookkeeping.
 
@@ -236,6 +237,32 @@ _LOCAL = LocalFS()
 def register_filesystem(scheme: str, fs: FileSystem) -> None:
     """Make ``scheme://...`` paths usable as encode/decode targets."""
     _REGISTRY[scheme] = fs
+
+
+def _auto_register_fsspec() -> None:
+    """Executor-side bootstrap: the driver's :func:`sparkcodec.
+    fsspec_adapter.register_fsspec` records each scheme in
+    ``$SPARKCODEC_FSSPEC_SCHEMES``; Python workers (fresh processes that
+    re-import this module) re-register them here, so ``_get_fs`` inside
+    encode/decode kernels resolves the same schemes as the driver. Local
+    mode inherits the env var by fork; on a cluster set it via
+    ``spark.executorEnv.SPARKCODEC_FSSPEC_SCHEMES``. Credentials ride
+    the backend's own default chain (instance profile, env), not this
+    channel."""
+    for scheme in filter(
+        None, os.environ.get("SPARKCODEC_FSSPEC_SCHEMES", "").split(",")
+    ):
+        if scheme in _REGISTRY:
+            continue
+        try:
+            from .fsspec_adapter import register_fsspec
+
+            register_fsspec(scheme)
+        except ImportError:
+            pass  # fsspec absent here: such paths raise at first use
+
+
+_auto_register_fsspec()
 
 
 def get_fs(path: str) -> FileSystem:

@@ -1,0 +1,137 @@
+"""Optional fsspec bridge for the filesystem seam.
+
+Maps :class:`sparkcodec.fs.FileSystem` onto any fsspec
+``AbstractFileSystem`` (s3fs, gcsfs, adlfs, ...), so a real object-store
+deployment is one call:
+
+    from sparkcodec.fsspec_adapter import register_fsspec
+    register_fsspec("s3")          # then encode_table(..., "s3://bucket/tbl")
+
+fsspec is NOT a dependency of this package — the import is deferred to
+:func:`register_fsspec` and everything else degrades with a clear error.
+
+Durability mapping (see fs.py for the engine's three primitives):
+
+* ``put_atomic``   -> ``pipe_file`` — one whole-object PUT, which object
+  stores make atomic (readers see the old object or the new one, never
+  a torn write). No rename emulation.
+* ``create_exclusive`` -> ``pipe_file(mode="create")`` where the backend
+  supports conditional writes (s3fs>=2024.6 maps it to If-None-Match;
+  gcsfs to x-goods-if-generation-match). Backends without it fall back
+  to exists()+pipe_file — NOT atomic under concurrent writers, which
+  weakens the writer lock and the snapshot-log seq claim to advisory;
+  the fallback is reported via :func:`conditional_put_supported` so
+  deployments can decide whether that is acceptable.
+* ``claim_stale``  -> unconditional delete guarded by FileNotFoundError;
+  true conditional delete (If-Match on the observed ETag) is not in the
+  portable fsspec surface, so two stale-lease claimers can in principle
+  both see success — the subsequent ``create_exclusive`` race then picks
+  exactly one winner on conditional-put backends.
+* ``append_line``  -> read-modify-PUT. Only the metrics log uses append
+  on non-native filesystems (the snapshot log writes per-entry objects
+  — engine._snapshot_log_append), so this is bounded and lock-guarded.
+"""
+
+from __future__ import annotations
+
+from .fs import FileSystem, register_filesystem
+
+
+class FsspecFS(FileSystem):
+    """Adapter from fsspec's AbstractFileSystem to the engine seam."""
+
+    native_paths = False
+
+    def __init__(self, afs):
+        self._fs = afs
+        self._conditional = None  # probed lazily on first create_exclusive
+
+    # -- reads -----------------------------------------------------------
+    def open_read(self, path: str):
+        return self._fs.open(path, "rb")
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(path)
+
+    def listdir(self, path: str) -> list[str]:
+        try:
+            entries = self._fs.ls(path, detail=False)
+        except FileNotFoundError:
+            return []
+        return [e.rstrip("/").rsplit("/", 1)[-1] for e in entries]
+
+    def getsize(self, path: str) -> int:
+        return int(self._fs.size(path))
+
+    # -- writes ----------------------------------------------------------
+    def put_atomic(self, path: str, data: bytes) -> int:
+        self._fs.pipe_file(path, data)
+        return len(data)
+
+    def append_line(self, path: str, line: str) -> None:
+        old = self._fs.cat_file(path) if self._fs.exists(path) else b""
+        self._fs.pipe_file(path, old + line.encode())
+
+    def remove(self, path: str) -> None:
+        self._fs.rm_file(path)
+
+    def makedirs(self, path: str) -> None:
+        # object stores have no directories; some fsspec backends (local,
+        # memory) do — create best-effort for those
+        try:
+            self._fs.makedirs(path, exist_ok=True)
+        except (NotImplementedError, OSError):
+            pass
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        if self._conditional is not False:
+            try:
+                self._fs.pipe_file(path, data, mode="create")
+                self._conditional = True
+                return True
+            except FileExistsError:
+                self._conditional = True
+                return False
+            except (TypeError, ValueError, NotImplementedError):
+                self._conditional = False  # backend lacks conditional PUT
+        # non-atomic fallback (see module docstring)
+        if self._fs.exists(path):
+            return False
+        self._fs.pipe_file(path, data)
+        return True
+
+    def claim_stale(self, path: str) -> bool:
+        try:
+            self._fs.rm_file(path)
+        except FileNotFoundError:
+            return False
+        return True
+
+    def conditional_put_supported(self) -> bool | None:
+        """True/False once probed by a create_exclusive call; None before."""
+        return self._conditional
+
+
+def register_fsspec(scheme: str, **storage_options) -> FsspecFS:
+    """Register ``scheme://`` paths (e.g. ``"s3"``, ``"gs"``) to route
+    through fsspec. Raises ImportError with guidance when fsspec (or the
+    backend package) is absent."""
+    try:
+        import fsspec
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "register_fsspec requires the 'fsspec' package (plus the "
+            "backend, e.g. s3fs for s3://): pip install fsspec s3fs"
+        ) from e
+    adapter = FsspecFS(fsspec.filesystem(scheme, **storage_options))
+    register_filesystem(scheme, adapter)
+    # announce for executor processes (see fs._auto_register_fsspec);
+    # local mode inherits by fork, clusters set spark.executorEnv
+    import os
+
+    cur = [
+        s for s in os.environ.get("SPARKCODEC_FSSPEC_SCHEMES", "").split(",") if s
+    ]
+    if scheme not in cur:
+        os.environ["SPARKCODEC_FSSPEC_SCHEMES"] = ",".join(cur + [scheme])
+    return adapter

@@ -1523,6 +1523,12 @@ def test_fs_seam_mock_object_store_lifecycle(spark, tmp_path):
                  append=True)
     assert decode_table(spark, out).count() == 2100
     assert len(snapshots(out)) == 2
+    # object-store log protocol: per-entry conditional-PUT objects, no
+    # jsonl (stores can't append atomically)
+    import os as _os
+    snapdir = str(tmp_path / "objstore" / "_snapshots.d")
+    assert len(_os.listdir(snapdir)) == 2
+    assert not _os.path.exists(str(tmp_path / "objstore" / "_snapshots.jsonl"))
     # delete + compact + expire
     drep = delete_rows(spark, out, ("id", 0, 99))
     assert drep["rows_deleted"] == 100
@@ -1531,11 +1537,59 @@ def test_fs_seam_mock_object_store_lifecycle(spark, tmp_path):
     assert decode_table(spark, out).count() == 2000
     expire_snapshots(out, keep_last=1)
     assert decode_table(spark, out).count() == 2000
+    # expiry squashed into ONE .squash.json object and removed the dead
+    # per-entry objects
+    names = _os.listdir(snapdir)
+    assert len([n for n in names if n.endswith(".squash.json")]) == 1
+    assert len(snapshots(out)) == 1
     # expiry actually deleted the unreferenced files through the seam:
     # the on-disk checkpoints now equal exactly the live set
     from sparkcodec.engine import completed_parts
 
     assert completed_parts(out) == set(snapshot_parts(out))
+
+
+def test_object_store_snapshot_log_protocol(tmp_path):
+    """The per-entry log primitives directly: conditional-PUT collision
+    advances seq (a crashed retry's leftover object never blocks or gets
+    overwritten), a squash object supersedes earlier objects even BEFORE
+    the dead ones are deleted (the expire crash window), and a legacy
+    jsonl reads as the prefix."""
+    import os as _os
+
+    from sparkcodec.engine import SNAPDIR, _snapshot_log_append, snapshots
+    from sparkcodec.fs import get_fs
+
+    out = "mock://" + str(tmp_path / "t")
+    _snapshot_log_append(out, {"id": 1, "parent": 0, "new_parts": [0]})
+    _snapshot_log_append(out, {"id": 2, "parent": 1, "new_parts": [1]})
+    assert [s["id"] for s in snapshots(out)] == [1, 2]
+    # collision: pre-plant the next seq (simulates a crashed writer's
+    # leftover); the append must keep both — skip, not overwrite
+    fs = get_fs(out)
+    planted = f"{out}/{SNAPDIR}/0000000003.json"
+    assert fs.create_exclusive(planted, b'{"id":3,"parent":2,"new_parts":[2]}\n')
+    _snapshot_log_append(out, {"id": 4, "parent": 3, "new_parts": [3]})
+    assert [s["id"] for s in snapshots(out)] == [1, 2, 3, 4]
+    # squash supersedes earlier objects even with the dead ones still
+    # present (mid-expire crash): readers see only the squashed history
+    assert fs.create_exclusive(
+        f"{out}/{SNAPDIR}/0000000005.squash.json",
+        b'{"id":4,"parent":0,"new_parts":[0,1,2,3]}\n',
+    )
+    assert [s["id"] for s in snapshots(out)] == [4]
+    assert snapshots(out)[0]["new_parts"] == [0, 1, 2, 3]
+    # entries after a squash extend it
+    _snapshot_log_append(out, {"id": 5, "parent": 4, "new_parts": [4]})
+    assert [s["id"] for s in snapshots(out)] == [4, 5]
+    # legacy read-modify-PUT jsonl (older engine) is the prefix
+    legacy_dir = "mock://" + str(tmp_path / "l")
+    get_fs(legacy_dir).put_atomic(
+        f"{legacy_dir}/_snapshots.jsonl", b'{"id":1,"parent":0,"new_parts":[0]}\n'
+    )
+    _snapshot_log_append(legacy_dir, {"id": 2, "parent": 1, "new_parts": [1]})
+    assert [s["id"] for s in snapshots(legacy_dir)] == [1, 2]
+    assert _os.path.exists(str(tmp_path / "t" / SNAPDIR))
 
 
 def test_unregistered_scheme_refused(spark):
@@ -2320,3 +2374,30 @@ def test_prune_parts_eq_type_mismatch_keeps(spark, tmp_path):
     assert prune_parts_eq(out, "g", ["3"], parts) == parts  # mismatched: keep
     assert prune_parts_eq(out, "g", [3], parts) == parts    # present: keep
     assert prune_parts_eq(out, "g", [9], parts) == []       # absent: prune
+
+
+def test_fsspec_adapter_memory_backend():
+    """FsspecFS primitives through fsspec's memory:// backend (skipped
+    where fsspec is absent). Driver-side only — memory:// is per-process
+    so Spark kernels can't see it; the cross-process seam behavior is
+    covered by mock:// above. Exercises put/read/exclusive-create/
+    claim/list plus the per-entry snapshot log and its squash."""
+    import pytest as _pytest
+
+    _pytest.importorskip("fsspec")
+    from sparkcodec.engine import SNAPDIR, _snapshot_log_append, snapshots
+    from sparkcodec.fsspec_adapter import register_fsspec
+
+    adapter = register_fsspec("memory")
+    out = "memory://sparkcodec_t"
+    assert adapter.put_atomic(f"{out}/a.bin", b"xy") == 2
+    with adapter.open_read(f"{out}/a.bin") as fh:
+        assert fh.read() == b"xy"
+    assert adapter.create_exclusive(f"{out}/_writer.lock", b"lease")
+    assert not adapter.create_exclusive(f"{out}/_writer.lock", b"other")
+    assert adapter.claim_stale(f"{out}/_writer.lock")
+    assert not adapter.claim_stale(f"{out}/_writer.lock")
+    _snapshot_log_append(out, {"id": 1, "parent": 0, "new_parts": [0]})
+    _snapshot_log_append(out, {"id": 2, "parent": 1, "new_parts": [1]})
+    assert [s["id"] for s in snapshots(out)] == [1, 2]
+    assert len(adapter.listdir(f"{out}/{SNAPDIR}")) == 2

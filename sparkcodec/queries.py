@@ -1952,3 +1952,60 @@ GROUP BY lang
 
 QUERIES["zorder_string_prune"] = q_zorder_string_prune
 ORACLES["zorder_string_prune"] = SQL_ZORDER_STRING_PRUNE
+
+def q_optimize_rewrite_stats(spark, sf_dir):
+    """OPTIMIZE as data: encode documents hash-clustered, append a
+    second slice, then optimize_table re-clusters the WHOLE live set
+    z-ordered (doc_id, n_chars) in one atomic snapshot. The result
+    aggregates the post-optimize table under a conjunctive pruned
+    predicate AND checks invariants the oracle can see: total rows and
+    per-lang counts must equal the plain source aggregate — any row
+    lost or duplicated by the rewrite breaks the hash match."""
+    from .engine import decode_table, encode_table, optimize_table
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sparkcodec_optim_{abs(hash(sf_dir)) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    half = F.col("doc_id") % 2 == 0
+    encode_table(
+        spark, d.filter(half), out,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=4, resume=False,
+    )
+    encode_table(
+        spark, d.filter(~half), out, append=True,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=4, resume=False,
+    )
+    optimize_table(spark, out, zorder_by=["doc_id", "n_chars"])
+    dec = decode_table(
+        spark, out, where=[("doc_id", 200, 800), ("n_chars", 100, 3000)]
+    )
+    return (
+        dec.filter(
+            F.col("doc_id").between(200, 800) & F.col("n_chars").between(100, 3000)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SQL_OPTIMIZE_REWRITE_STATS = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       max(doc_id) AS max_doc_id
+FROM documents
+WHERE doc_id BETWEEN 200 AND 800 AND n_chars BETWEEN 100 AND 3000
+GROUP BY lang
+"""
+
+QUERIES["optimize_rewrite_stats"] = q_optimize_rewrite_stats
+ORACLES["optimize_rewrite_stats"] = SQL_OPTIMIZE_REWRITE_STATS

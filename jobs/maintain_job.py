@@ -113,6 +113,10 @@ def main() -> int:
         help="delete: high bound (same coercion as --delete-lo)",
     )
     args = ap.parse_args()
+    # validate BEFORE any branch runs: a usage error must not fire after
+    # --delete/--compact already committed snapshots
+    if args.optimize_zorder and args.optimize_sort:
+        ap.error("pass --optimize-zorder or --optimize-sort, not both")
 
     out = {}
     if args.delete or args.delete_col:
@@ -147,8 +151,6 @@ def main() -> int:
 
         from sparkcodec.engine import optimize_table
 
-        if args.optimize_zorder and args.optimize_sort:
-            ap.error("pass --optimize-zorder or --optimize-sort, not both")
         spark = SparkSession.builder.appName("sparkcodec-maintain").getOrCreate()
         cols = (args.optimize_zorder or args.optimize_sort).split(",")
         out["optimize"] = optimize_table(

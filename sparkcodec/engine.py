@@ -322,6 +322,8 @@ def _append_log_line(path: str, obj: dict) -> None:
 
 
 SNAPDIR = "_snapshots.d"  # per-entry snapshot objects (object stores)
+# write-once log objects, cached after first GET (see snapshots())
+_SNAP_OBJ_CACHE: dict[str, list] = {}
 
 
 def _snapdir_objects(fs, d: str) -> list[tuple[int, str]]:
@@ -1324,7 +1326,11 @@ def encode_table(
             if fs.exists(p):
                 fs.remove(p)
         for _seq, name in _snapdir_objects(fs, _j(out_dir, SNAPDIR)):
-            fs.remove(_j(out_dir, SNAPDIR, name))
+            obj = _j(out_dir, SNAPDIR, name)
+            fs.remove(obj)
+            # the fresh table will REUSE these seq paths — a stale cache
+            # entry would resurrect the old table's history
+            _SNAP_OBJ_CACHE.pop(obj, None)
         # part ids are about to be REUSED for different data — the
         # progress cache's immutability premise no longer holds here
         _PROGRESS_CACHE.pop(out_dir, None)
@@ -1607,24 +1613,48 @@ def snapshots(out_dir: str) -> list[dict]:
             return []
         with open(path) as fh:
             return [json.loads(line) for line in fh if line.strip()]
-    out: list[dict] = []
+    legacy: list[dict] = []
     if fs.exists(path):
-        out = [
+        legacy = [
             json.loads(line)
             for line in fs.read_bytes(path).decode().splitlines()
             if line.strip()
         ]
-    for _seq, name in _snapdir_objects(fs, _j(out_dir, SNAPDIR)):
-        lines = [
-            json.loads(ln)
-            for ln in fs.read_bytes(_j(out_dir, SNAPDIR, name)).decode().splitlines()
-            if ln.strip()
-        ]
-        if name.endswith(".squash.json"):
-            out = lines  # squash object owns all history before it
-        else:
-            out.extend(lines)
-    return out
+    # LIST-then-GET race with a concurrent expire (readers take no lock):
+    # an object listed here may be deleted before we read it — but the
+    # only deleter is expire, which FIRST publishes a .squash.json that
+    # supersedes everything it deletes. So on a missing object, re-list:
+    # the fresh listing contains that squash and the merge is complete.
+    for _attempt in range(5):
+        out = list(legacy)
+        try:
+            for _seq, name in _snapdir_objects(fs, _j(out_dir, SNAPDIR)):
+                obj_path = _j(out_dir, SNAPDIR, name)
+                cached = _SNAP_OBJ_CACHE.get(obj_path)
+                if cached is None:
+                    raw = fs.read_bytes(obj_path)
+                    cached = [
+                        json.loads(ln)
+                        for ln in raw.decode().splitlines()
+                        if ln.strip()
+                    ]
+                    if len(_SNAP_OBJ_CACHE) > 8192:  # bound driver memory
+                        _SNAP_OBJ_CACHE.clear()
+                    # log objects are write-once (conditional PUT, never
+                    # rewritten), so caching them is sound and collapses
+                    # the per-call GET storm to new entries only
+                    _SNAP_OBJ_CACHE[obj_path] = cached
+                if name.endswith(".squash.json"):
+                    out = list(cached)  # squash owns all history before it
+                else:
+                    out.extend(cached)
+            return out
+        except FileNotFoundError:
+            continue
+    raise RuntimeError(
+        f"snapshot log at {out_dir} kept changing under reads (concurrent "
+        f"expire storm?) — retry the operation"
+    )
 
 
 def snapshot_parts(
@@ -2393,6 +2423,23 @@ def compact_table(
     }
 
 
+def _storage_roundtrips(tname: str) -> bool:
+    """Whether a storage type survives decode->Spark->re-encode with the
+    same name: u8/u16/u32/u64 and lstr/lbin don't (Spark has no unsigned
+    or large types, so the loop launders them into i16/i32/i64/str/bin).
+    Uses the engine's own decode mapping (_SPARK_TYPE_OF), not pyspark's
+    generic from_arrow_type, so ts_us -> timestamp_ntz -> ts_us counts
+    as the round-trip it really is."""
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import _parse_datatype_string
+
+    try:
+        spark_t = _parse_datatype_string(_SPARK_TYPE_OF[tname])
+        return type_name(to_arrow_type(spark_t)) == tname
+    except Exception:
+        return False
+
+
 @_with_writer_lock("optimize")
 def optimize_table(
     spark: SparkSession,
@@ -2431,6 +2478,19 @@ def optimize_table(
     (z-bounds agg, rank dictionaries, encode) — one decode, not three.
     """
     meta = _read_json(_j(out_dir, "_table_meta.json"))
+    # fail FAST (before the decode + z-bounds jobs) on storage types the
+    # decode->Spark->encode loop cannot preserve: u8/u16/u32 widen to
+    # signed, u64 is an int64 bit view, lstr/lbin relax to str/bin — the
+    # re-encode would then trip the schema-evolution type guard anyway
+    bad = {
+        c: s for c, s in meta["schema"].items() if not _storage_roundtrips(s)
+    }
+    if bad:
+        raise ValueError(
+            f"optimize_table cannot rewrite columns whose storage types "
+            f"don't round-trip through Spark ({bad}); compact_table "
+            f"(which re-encodes under the SAME storage schema) still works"
+        )
     live = snapshot_parts(out_dir)
     if live is None:
         live = sorted(completed_parts(out_dir))

@@ -242,13 +242,19 @@ def register_filesystem(scheme: str, fs: FileSystem) -> None:
 def _auto_register_fsspec() -> None:
     """Executor-side bootstrap: the driver's :func:`sparkcodec.
     fsspec_adapter.register_fsspec` records each scheme in
-    ``$SPARKCODEC_FSSPEC_SCHEMES``; Python workers (fresh processes that
-    re-import this module) re-register them here, so ``_get_fs`` inside
-    encode/decode kernels resolves the same schemes as the driver. Local
-    mode inherits the env var by fork; on a cluster set it via
-    ``spark.executorEnv.SPARKCODEC_FSSPEC_SCHEMES``. Credentials ride
-    the backend's own default chain (instance profile, env), not this
-    channel."""
+    ``$SPARKCODEC_FSSPEC_SCHEMES`` (plus per-scheme storage options in
+    ``$SPARKCODEC_FSSPEC_OPTIONS``, JSON); Python workers (fresh
+    processes that re-import this module) re-register them here, so
+    ``_get_fs`` inside encode/decode kernels resolves the same schemes
+    — and the same endpoint/options — as the driver. The vars reach
+    workers via ``spark.executorEnv`` (sparkcodec.session sets this for
+    any value present at session creation; foreign builders set it
+    themselves), so register BEFORE building the session. Credentials
+    ride the backend's own default chain (instance profile, env), not
+    this channel."""
+    import json as _json
+
+    opts = _json.loads(os.environ.get("SPARKCODEC_FSSPEC_OPTIONS", "{}"))
     for scheme in filter(
         None, os.environ.get("SPARKCODEC_FSSPEC_SCHEMES", "").split(",")
     ):
@@ -257,7 +263,7 @@ def _auto_register_fsspec() -> None:
         try:
             from .fsspec_adapter import register_fsspec
 
-            register_fsspec(scheme)
+            register_fsspec(scheme, **opts.get(scheme, {}))
         except ImportError:
             pass  # fsspec absent here: such paths raise at first use
 

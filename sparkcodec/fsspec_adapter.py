@@ -46,14 +46,29 @@ class FsspecFS(FileSystem):
         self._fs = afs
         self._conditional = None  # probed lazily on first create_exclusive
 
+    def _invalidate(self, path: str) -> None:
+        """Bust fsspec's dircache before a freshness-sensitive read:
+        s3fs/gcsfs answer ls() — and often exists() via the parent
+        listing — from a process-local cache, so without this a reader
+        process never sees objects committed by another process (new
+        snapshot-log entries, another writer's lock)."""
+        inv = getattr(self._fs, "invalidate_cache", None)
+        if inv is not None:
+            try:
+                inv(path)
+            except TypeError:  # some backends take no path argument
+                inv()
+
     # -- reads -----------------------------------------------------------
     def open_read(self, path: str):
         return self._fs.open(path, "rb")
 
     def exists(self, path: str) -> bool:
+        self._invalidate(path.rsplit("/", 1)[0])
         return self._fs.exists(path)
 
     def listdir(self, path: str) -> list[str]:
+        self._invalidate(path)
         try:
             entries = self._fs.ls(path, detail=False)
         except FileNotFoundError:
@@ -84,16 +99,17 @@ class FsspecFS(FileSystem):
             pass
 
     def create_exclusive(self, path: str, data: bytes) -> bool:
+        self._invalidate(path.rsplit("/", 1)[0])
         if self._conditional is not False:
             try:
                 self._fs.pipe_file(path, data, mode="create")
-                self._conditional = True
+                self._conditional = self._native_create_mode()
                 return True
             except FileExistsError:
-                self._conditional = True
+                self._conditional = self._native_create_mode()
                 return False
             except (TypeError, ValueError, NotImplementedError):
-                self._conditional = False  # backend lacks conditional PUT
+                self._conditional = False  # backend lacks create-mode at all
         # non-atomic fallback (see module docstring)
         if self._fs.exists(path):
             return False
@@ -107,8 +123,30 @@ class FsspecFS(FileSystem):
             return False
         return True
 
+    def _native_create_mode(self) -> bool:
+        """Whether the BACKEND (not fsspec's base class) implements
+        ``mode="create"``: AbstractFileSystem merely emulates it with a
+        non-atomic exists()+write, which every backend accepts — so
+        acceptance alone must not be reported as atomicity. Heuristic:
+        the backend overrides ``_pipe_file`` (s3fs/gcsfs route the
+        If-None-Match / if-generation-match header there)."""
+        try:
+            from fsspec import AbstractFileSystem
+            from fsspec.asyn import AsyncFileSystem
+
+            meth = type(self._fs)._pipe_file
+            return meth is not AbstractFileSystem._pipe_file and (
+                meth is not AsyncFileSystem._pipe_file
+            )
+        except Exception:
+            return False
+
     def conditional_put_supported(self) -> bool | None:
-        """True/False once probed by a create_exclusive call; None before."""
+        """True once a create_exclusive call confirmed the backend itself
+        handles ``mode="create"`` (atomic conditional PUT); False when
+        only fsspec's non-atomic exists()+write emulation ran (the
+        single-writer lock and snapshot-seq claims are then advisory —
+        see module docstring); None before the first call probes it."""
         return self._conditional
 
 
@@ -125,8 +163,17 @@ def register_fsspec(scheme: str, **storage_options) -> FsspecFS:
         ) from e
     adapter = FsspecFS(fsspec.filesystem(scheme, **storage_options))
     register_filesystem(scheme, adapter)
-    # announce for executor processes (see fs._auto_register_fsspec);
-    # local mode inherits by fork, clusters set spark.executorEnv
+    # Announce for executor processes (see fs._auto_register_fsspec).
+    # TIMING: call register_fsspec BEFORE building the SparkSession —
+    # sparkcodec.session.get_spark forwards these env vars to
+    # spark.executorEnv at session creation; a session built earlier
+    # never sees them (its JVM snapshotted the environment). On foreign
+    # session builders set spark.executorEnv.SPARKCODEC_FSSPEC_* yourself.
+    # storage_options ride as JSON so executors construct the SAME
+    # backend (endpoint_url, anon, region). Do NOT put secrets here:
+    # executorEnv values appear in logs/UIs — use the backend's default
+    # credential chain (instance profile, env) for secrets.
+    import json as _json
     import os
 
     cur = [
@@ -134,4 +181,8 @@ def register_fsspec(scheme: str, **storage_options) -> FsspecFS:
     ]
     if scheme not in cur:
         os.environ["SPARKCODEC_FSSPEC_SCHEMES"] = ",".join(cur + [scheme])
+    if storage_options:
+        opts = _json.loads(os.environ.get("SPARKCODEC_FSSPEC_OPTIONS", "{}"))
+        opts[scheme] = storage_options
+        os.environ["SPARKCODEC_FSSPEC_OPTIONS"] = _json.dumps(opts)
     return adapter

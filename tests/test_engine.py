@@ -1903,6 +1903,30 @@ def test_optimize_table_zorder_rewrite(spark, tmp_path):
     assert set(pre_live) <= completed_parts(out)
 
 
+def test_optimize_refuses_non_roundtrip_storage_types(spark, tmp_path):
+    """Storage types Spark can't express (unsigned, large) would be
+    silently laundered by a decode->re-encode rewrite; optimize_table
+    must refuse them BEFORE doing any work (compact_table, which keeps
+    the storage schema, remains the supported path)."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_table, optimize_table
+
+    out = str(tmp_path / "u32t")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=1, resume=False)
+    meta_path = str(tmp_path / "u32t" / "_table_meta.json")
+    meta = _json.load(open(meta_path))
+    meta["schema"]["id"] = "u32"  # simulate an unsigned-stored column
+    _json.dump(meta, open(meta_path, "w"))
+    with _pytest.raises(ValueError, match="round-trip"):
+        optimize_table(spark, out, zorder_by=["g"])
+
+
 def test_where_any_dnf_pruning(spark, tmp_path):
     """where_any (OR of conjunctions): block ranges union across
     disjuncts, intersect a conjunctive where, and part pruning keeps the

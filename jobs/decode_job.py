@@ -5,7 +5,7 @@ Cluster usage (same packaging as jobs/encode_job.py):
 
     spark-submit --py-files sparkcodec.zip jobs/decode_job.py \
         --input /mnt/shared/enc --output /mnt/shared/decoded \
-        [--columns lang,repo] [--snapshot-id 3] \
+        [--columns lang,repo] [--snapshot-id 3 | --as-of TS] \
         [--where repo:repoA:repoZ] [--where stars:100:]
 
 --columns prunes at the file level (only those columns' block files are
@@ -54,6 +54,11 @@ def main() -> int:
     ap.add_argument("--columns", default=None, help="comma-separated subset")
     ap.add_argument("--snapshot-id", type=int, default=None)
     ap.add_argument(
+        "--as-of", default=None, metavar="TS",
+        help="time travel by timestamp (unix seconds or ISO-8601, naive "
+             "= UTC): reads the latest snapshot committed at or before it",
+    )
+    ap.add_argument(
         "--where", action="append", default=None,
         help="col:lo:hi (empty bound = open); repeat for a conjunction",
     )
@@ -73,6 +78,16 @@ def main() -> int:
     )
 
     spark = SparkSession.builder.appName("sparkcodec-decode").getOrCreate()
+    if args.as_of is not None:
+        if args.snapshot_id is not None:
+            ap.error("pass --snapshot-id or --as-of, not both")
+        from sparkcodec.engine import snapshot_id_as_of
+
+        try:
+            ts = float(args.as_of)
+        except ValueError:
+            ts = args.as_of
+        args.snapshot_id = snapshot_id_as_of(args.input, ts)
     wheres = []
     if args.where or args.where_in:
         import json as _json

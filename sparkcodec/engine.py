@@ -2099,6 +2099,33 @@ def _make_decode_kernel(
     return kernel
 
 
+def snapshot_id_as_of(out_dir: str, ts) -> int:
+    """Time travel by TIMESTAMP: the id of the latest snapshot committed
+    at or before ``ts`` (unix seconds, ISO-8601 string — naive strings
+    read as UTC — or a datetime). Entries written before commit
+    timestamping count as infinitely old, so they are always eligible."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        d = _dt.datetime.fromisoformat(ts)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        t = d.timestamp()
+    elif isinstance(ts, _dt.datetime):
+        d = ts if ts.tzinfo else ts.replace(tzinfo=_dt.timezone.utc)
+        t = d.timestamp()
+    else:
+        t = float(ts)
+    snaps = snapshots(out_dir)
+    eligible = [s for s in snaps if float(s.get("ts", 0)) <= t]
+    if not eligible:
+        raise ValueError(
+            f"no snapshot of {out_dir} existed at {ts!r} (earliest is "
+            f"{snaps[0].get('ts') if snaps else None})"
+        )
+    return eligible[-1]["id"]
+
+
 def decode_table(
     spark: SparkSession,
     out_dir: str,
@@ -2106,6 +2133,7 @@ def decode_table(
     snapshot_id: int | None = None,
     where: tuple | list | None = None,
     where_any: list | None = None,
+    as_of=None,
 ) -> DataFrame:
     """Reconstruct the table (or a column subset — file-level pruning).
 
@@ -2139,7 +2167,15 @@ def decode_table(
     keeps it (per-disjunct pruning, then union), and the result
     intersects ``where``'s conjunctive pruning when both are given —
     ``(A AND B) AND (C OR D)`` maps to ``where=[A, B],
-    where_any=[C, D]``."""
+    where_any=[C, D]``.
+
+    ``as_of`` time-travels by timestamp instead of id: the latest
+    snapshot committed at or before it (see :func:`snapshot_id_as_of`).
+    """
+    if as_of is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or as_of, not both")
+        snapshot_id = snapshot_id_as_of(out_dir, as_of)
     meta = _read_json(_j(out_dir, "_table_meta.json"))
     # the read schema is the one recorded AT the resolved snapshot — for
     # time travel a later add-column evolution must not leak into the

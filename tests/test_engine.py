@@ -1903,6 +1903,50 @@ def test_optimize_table_zorder_rewrite(spark, tmp_path):
     assert set(pre_live) <= completed_parts(out)
 
 
+def test_time_travel_as_of_timestamp(spark, tmp_path):
+    """decode_table(as_of=...) resolves the latest snapshot committed at
+    or before the given time — unix float, ISO string (naive = UTC), and
+    datetime all work; before-first-commit raises; combining with
+    snapshot_id raises."""
+    import datetime as _dt
+    import time as _time
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        decode_table,
+        encode_table,
+        snapshot_id_as_of,
+        snapshots,
+    )
+
+    out = str(tmp_path / "tt")
+    df = spark.range(300).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=1, resume=False)
+    t1 = snapshots(out)[-1]["ts"]
+    _time.sleep(0.05)
+    encode_table(spark, df.withColumn("id", F.col("id") + 300), out,
+                 append=True, cluster_by=["g"], salt_by=["id"], num_parts=1)
+    t2 = snapshots(out)[-1]["ts"]
+    assert snapshot_id_as_of(out, t1) == 1
+    assert snapshot_id_as_of(out, (t1 + t2) / 2) == 1
+    assert snapshot_id_as_of(out, t2 + 1) == 2
+    assert decode_table(spark, out, as_of=t1).count() == 300
+    assert decode_table(spark, out, as_of=t2 + 1).count() == 600
+    # ISO string and datetime forms
+    iso = _dt.datetime.fromtimestamp(t1, _dt.timezone.utc).isoformat()
+    assert decode_table(spark, out, as_of=iso).count() == 300
+    assert decode_table(
+        spark, out, as_of=_dt.datetime.fromtimestamp(t2 + 1, _dt.timezone.utc)
+    ).count() == 600
+    with _pytest.raises(ValueError, match="no snapshot"):
+        snapshot_id_as_of(out, t1 - 10)
+    with _pytest.raises(ValueError, match="not both"):
+        decode_table(spark, out, snapshot_id=1, as_of=t1)
+
+
 def test_optimize_refuses_non_roundtrip_storage_types(spark, tmp_path):
     """Storage types Spark can't express (unsigned, large) would be
     silently laundered by a decode->re-encode rewrite; optimize_table

@@ -2009,3 +2009,49 @@ GROUP BY lang
 
 QUERIES["optimize_rewrite_stats"] = q_optimize_rewrite_stats
 ORACLES["optimize_rewrite_stats"] = SQL_OPTIMIZE_REWRITE_STATS
+
+def q_train_split_stats(spark, sf_dir):
+    """Deterministic train/valid/test assignment — the split every
+    training pipeline needs to be STABLE across runs, machines, and
+    engines: bucket = first 24 bits of md5(doc_id) mod 100, 80/10/10.
+    Content-independent (ids, not text) so editing a document never
+    migrates it across splits, and hash-based (not modulo-id) so
+    correlated id ranges don't bias a split. Pure Catalyst; the oracle
+    recomputes the same md5 buckets in DuckDB, so any hash or boundary
+    drift breaks the value match."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    bucket = h % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+SQL_TRAIN_SPLIT_STATS = """
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END
+           AS split,
+       count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id
+FROM (
+    SELECT (('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 6))::BIGINT) % 100
+               AS b,
+           n_chars, doc_id
+    FROM documents
+) t
+GROUP BY 1
+"""
+
+QUERIES["train_split_stats"] = q_train_split_stats
+ORACLES["train_split_stats"] = SQL_TRAIN_SPLIT_STATS

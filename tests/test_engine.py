@@ -1935,8 +1935,9 @@ def test_time_travel_as_of_timestamp(spark, tmp_path):
     assert snapshot_id_as_of(out, t2 + 1) == 2
     assert decode_table(spark, out, as_of=t1).count() == 300
     assert decode_table(spark, out, as_of=t2 + 1).count() == 600
-    # ISO string and datetime forms
-    iso = _dt.datetime.fromtimestamp(t1, _dt.timezone.utc).isoformat()
+    # ISO string and datetime forms (+10ms: datetime keeps only
+    # microseconds, so an ISO stamp of exactly t1 can round BELOW it)
+    iso = _dt.datetime.fromtimestamp(t1 + 0.01, _dt.timezone.utc).isoformat()
     assert decode_table(spark, out, as_of=iso).count() == 300
     assert decode_table(
         spark, out, as_of=_dt.datetime.fromtimestamp(t2 + 1, _dt.timezone.utc)

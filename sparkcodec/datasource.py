@@ -55,6 +55,25 @@ def _load_meta(path: str) -> dict:
     return _read_json(_j(path, "_table_meta.json"))
 
 
+def _resolve_sid_option(options, out_dir: str) -> int | None:
+    """snapshot_id / as_of options -> a concrete snapshot id (None =
+    tip). ``as_of`` accepts unix seconds or an ISO-8601 timestamp and
+    resolves through engine.snapshot_id_as_of, same as decode_table."""
+    sid = int(options["snapshot_id"]) if options.get("snapshot_id") else None
+    as_of = options.get("as_of")
+    if as_of:
+        if sid is not None:
+            raise ValueError("pass snapshot_id or as_of, not both")
+        from .engine import snapshot_id_as_of
+
+        try:
+            ts: object = float(as_of)
+        except ValueError:
+            ts = as_of
+        sid = snapshot_id_as_of(out_dir, ts)
+    return sid
+
+
 def _default_tasks() -> int:
     """Scan parallelism when no ``tasks`` option is given: 4 tasks per
     core of the ACTIVE session (planning runs driver-side, so the session
@@ -79,9 +98,7 @@ class SparkcodecReader(DataSourceReader):
         self.out_dir = options.get("path")
         if not self.out_dir:
             raise ValueError("sparkcodec reader requires .load(<blocks dir>)")
-        self.snapshot_id = (
-            int(options["snapshot_id"]) if options.get("snapshot_id") else None
-        )
+        self.snapshot_id = _resolve_sid_option(options, self.out_dir)
         self.n_tasks = int(options.get("tasks", 0)) or None
         self.columns = [f.name for f in schema.fields]
         self.bounds: dict[str, list] = {}  # col -> [lo, hi] (None = open)
@@ -443,7 +460,12 @@ class SparkcodecDataSource(DataSource):
     the scan — only the named columns' block files are opened (file-level
     pruning, same as ``decode_table(columns=...)``). The option applies
     to BOTH the batch reader and the streaming changefeed (the restricted
-    schema flows into the stream reader's decode)."""
+    schema flows into the stream reader's decode).
+
+    Time travel: ``.option("snapshot_id", 3)`` by id, or
+    ``.option("as_of", "2026-08-17T12:00:00")`` (ISO-8601 or unix
+    seconds) for the latest snapshot committed at or before that time.
+    """
 
     @classmethod
     def name(cls):
@@ -465,11 +487,7 @@ class SparkcodecDataSource(DataSource):
             # snapshot_id option, else the tip): matches decode_table — a
             # rollback across an add-column evolution narrows the DS read
             # schema back too
-            sid = (
-                int(self.options["snapshot_id"])
-                if self.options.get("snapshot_id")
-                else None
-            )
+            sid = _resolve_sid_option(self.options, path)
             meta, _sid, _snaps = _resolve_snapshot_meta(path, meta, sid)
             cols = meta["columns"]
             self._schema_cache = (meta, cols)

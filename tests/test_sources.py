@@ -808,3 +808,35 @@ def test_bloom_key_signed_zero():
     assert prune_parts_bloom(".", "x", [0.0], [0], blooms) == [0]  # kept
     assert prune_parts_bloom(".", "x", [-0.0], [0], blooms) == [0]
     assert prune_parts_bloom(".", "x", [777.5], [0], blooms) == []  # pruned
+
+
+def test_datasource_as_of_option(spark, tmp_path):
+    """The batch reader time-travels by timestamp via .option("as_of"):
+    reads the latest snapshot committed at or before the stamp, and
+    refuses being combined with snapshot_id."""
+    import time as _time
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import encode_table, snapshots
+
+    spark.dataSource.register(SparkcodecDataSource)
+    out = str(tmp_path / "asof")
+    df = spark.range(200).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=1, resume=False)
+    t1 = snapshots(out)[-1]["ts"]
+    _time.sleep(0.05)
+    encode_table(spark, df.withColumn("id", F.col("id") + 200), out,
+                 append=True, cluster_by=["g"], salt_by=["id"], num_parts=1)
+    t2 = snapshots(out)[-1]["ts"]
+    r1 = spark.read.format("sparkcodec").option("as_of", str((t1 + t2) / 2)) \
+        .load(out)
+    assert r1.count() == 200
+    r2 = spark.read.format("sparkcodec").option("as_of", str(t2 + 1)).load(out)
+    assert r2.count() == 400
+    with _pytest.raises(Exception, match="not both"):
+        spark.read.format("sparkcodec").option("as_of", str(t2)) \
+            .option("snapshot_id", "1").load(out).count()

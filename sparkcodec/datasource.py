@@ -247,6 +247,19 @@ class SparkcodecStreamReader(DataSourceStreamReader):
         if not self.out_dir:
             raise ValueError("sparkcodec stream reader requires .load(<blocks dir>)")
         self.columns = [f.name for f in schema.fields]
+        # predicate pushdown for changefeed consumers: the streaming API
+        # has no pushFilters hook, so predicates ride an option as JSON —
+        # .option("where", '[["doc_id",100,200],["lang",["de","fr"]]]')
+        # (a CONJUNCTION in decode_table's where forms). Pruning is
+        # conservative (zone maps), so compose with .filter for exactness.
+        self.wheres = None
+        w = options.get("where")
+        if w:
+            spec = json.loads(w)
+            self.wheres = [
+                (p[0], p[1], p[2]) if len(p) == 3 else (p[0], list(p[1]))
+                for p in spec
+            ]
 
     def initialOffset(self):
         return {"snapshot": 0}
@@ -278,6 +291,14 @@ class SparkcodecStreamReader(DataSourceStreamReader):
                 else s["new_parts"]
             )
         ]
+        if parts and self.wheres:
+            # part-level pruning through every dimension (zone maps +
+            # value sets + blooms) before any task is scheduled
+            from .engine import _prune_parts_conj, part_meta
+
+            parts = _prune_parts_conj(
+                self.out_dir, self.wheres, parts, part_meta(self.out_dir)
+            )
         if not parts:
             return [InputPartition([])]
         n_tasks = min(len(parts), _default_tasks())
@@ -287,14 +308,25 @@ class SparkcodecStreamReader(DataSourceStreamReader):
     def read(self, partition):
         import pyarrow as pa
 
-        from .engine import _DECODE_ARROW_OF, _decode_part_batches
+        from .engine import (
+            _DECODE_ARROW_OF,
+            _decode_part_batches_ranged,
+            _keep_row_ranges_multi,
+        )
 
         meta = _load_meta(self.out_dir)
         arrow_schema = pa.schema(
             [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in self.columns]
         )
         for pid in partition.value:
-            yield from _decode_part_batches(self.out_dir, self.columns, arrow_schema, pid)
+            ranges = (
+                _keep_row_ranges_multi(self.out_dir, pid, self.wheres)
+                if self.wheres
+                else None
+            )
+            yield from _decode_part_batches_ranged(
+                self.out_dir, self.columns, arrow_schema, pid, ranges
+            )
 
     def commit(self, end):
         pass  # snapshot log is append-only; nothing to clean up
@@ -465,6 +497,13 @@ class SparkcodecDataSource(DataSource):
     Time travel: ``.option("snapshot_id", 3)`` by id, or
     ``.option("as_of", "2026-08-17T12:00:00")`` (ISO-8601 or unix
     seconds) for the latest snapshot committed at or before that time.
+
+    Changefeed predicates: the streaming API has no pushFilters hook,
+    so ``spark.readStream`` accepts ``.option("where",
+    '[["doc_id",100,200],["lang",["de"]]]')`` — a JSON conjunction in
+    ``decode_table``'s where forms. Parts and blocks outside every
+    predicate are never decoded (zone maps + value sets + blooms);
+    pruning is conservative, so compose with ``.filter`` for exactness.
     """
 
     @classmethod

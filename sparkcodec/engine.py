@@ -2061,6 +2061,32 @@ def _decode_part_batches(out_dir: str, columns, arrow_schema: pa.Schema, pid: in
     yield from tbl.to_batches(max_chunksize=65536)
 
 
+def _decode_part_batches_ranged(
+    out_dir: str, columns, arrow_schema: pa.Schema, pid: int, ranges
+):
+    """Decode one part restricted to the given row ranges (None = all
+    rows, [] = nothing). Block grids are per column (the byte cap can
+    split a wide column finer than a narrow one), so each column
+    reassembles independently as a chunked array — zero-copy concat —
+    and Arrow re-slices aligned output batches. Shared by the engine
+    decode kernel and the DataSource stream reader's predicate option."""
+    if ranges is not None and not ranges:
+        return  # every block of this part pruned
+    if ranges is None:
+        yield from _decode_part_batches(out_dir, columns, arrow_schema, pid)
+        return
+    per_col = {
+        col: _decode_column_ranges(
+            out_dir, col, pid, arrow_schema.field(col).type, ranges
+        )
+        for col in columns
+    }
+    part_table = pa.Table.from_arrays(
+        [per_col[c] for c in columns], schema=arrow_schema
+    )
+    yield from part_table.to_batches(max_chunksize=65536)
+
+
 def _make_decode_kernel(
     out_dir: str,
     columns: list[str],
@@ -2076,25 +2102,9 @@ def _make_decode_kernel(
                     if (wheres or wheres_any)
                     else None
                 )
-                if ranges is not None and not ranges:
-                    continue  # every block of this part pruned
-                # block grids are per column (the byte cap can split a wide
-                # column finer than a narrow one), so reassemble each column
-                # independently as a chunked array — zero-copy concat — and
-                # let Arrow re-slice aligned output batches
-                if ranges is None:
-                    yield from _decode_part_batches(out_dir, columns, arrow_schema, pid)
-                    continue
-                per_col = {
-                    col: _decode_column_ranges(
-                        out_dir, col, pid, arrow_schema.field(col).type, ranges
-                    )
-                    for col in columns
-                }
-                part_table = pa.Table.from_arrays(
-                    [per_col[c] for c in columns], schema=arrow_schema
+                yield from _decode_part_batches_ranged(
+                    out_dir, columns, arrow_schema, pid, ranges
                 )
-                yield from part_table.to_batches(max_chunksize=65536)
 
     return kernel
 

@@ -840,3 +840,40 @@ def test_datasource_as_of_option(spark, tmp_path):
     with _pytest.raises(Exception, match="not both"):
         spark.read.format("sparkcodec").option("as_of", str(t2)) \
             .option("snapshot_id", "1").load(out).count()
+
+
+def test_stream_reader_where_option_prunes(spark, tmp_path):
+    """The changefeed's .option("where", JSON) prunes parts and blocks:
+    delivered rows are a superset of the matches and fewer than the
+    table, and the exact filter composes downstream."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import encode_table
+
+    spark.dataSource.register(SparkcodecDataSource)
+    out = str(tmp_path / "swhere")
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 8).alias("g"),
+        F.concat(F.lit("x"), F.col("id")).alias("txt"),
+    )
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 sort_by=["g", "id"], num_parts=8, target_part_rows=500,
+                 resume=False, block_rows=128)
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("sparkcodec")
+        .option("where", _json.dumps([["g", 2, 2], ["id", 0, 999]]))
+        .load(out)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(sink)
+    n_exact = got.filter((F.col("g") == 2) & F.col("id").between(0, 999)).count()
+    n_delivered = got.count()
+    assert n_exact == 125  # ids 2,10,...,994
+    assert n_exact <= n_delivered < 4000, n_delivered

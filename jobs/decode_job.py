@@ -83,11 +83,7 @@ def main() -> int:
             ap.error("pass --snapshot-id or --as-of, not both")
         from sparkcodec.engine import snapshot_id_as_of
 
-        try:
-            ts = float(args.as_of)
-        except ValueError:
-            ts = args.as_of
-        args.snapshot_id = snapshot_id_as_of(args.input, ts)
+        args.snapshot_id = snapshot_id_as_of(args.input, args.as_of)
     wheres = []
     if args.where or args.where_in:
         import json as _json

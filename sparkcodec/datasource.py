@@ -66,11 +66,7 @@ def _resolve_sid_option(options, out_dir: str) -> int | None:
             raise ValueError("pass snapshot_id or as_of, not both")
         from .engine import snapshot_id_as_of
 
-        try:
-            ts: object = float(as_of)
-        except ValueError:
-            ts = as_of
-        sid = snapshot_id_as_of(out_dir, ts)
+        sid = snapshot_id_as_of(out_dir, as_of)  # ISO-first string coercion
     return sid
 
 
@@ -255,11 +251,15 @@ class SparkcodecStreamReader(DataSourceStreamReader):
         self.wheres = None
         w = options.get("where")
         if w:
+            from .engine import _normalize_where
+
             spec = json.loads(w)
-            self.wheres = [
-                (p[0], p[1], p[2]) if len(p) == 3 else (p[0], list(p[1]))
-                for p in spec
-            ]
+            if spec and isinstance(spec[0], str):
+                spec = [spec]  # single bare predicate -> conjunction of one
+            # the engine's validator, so a scalar where a value LIST is
+            # required raises here instead of silently pruning wrong
+            # (e.g. ["lang","de"] must not become the chars 'd','e')
+            self.wheres = _normalize_where([tuple(p) for p in spec]) or None
 
     def initialOffset(self):
         return {"snapshot": 0}

@@ -1325,12 +1325,22 @@ def encode_table(
             p = _j(out_dir, extra)
             if fs.exists(p):
                 fs.remove(p)
-        for _seq, name in _snapdir_objects(fs, _j(out_dir, SNAPDIR)):
-            obj = _j(out_dir, SNAPDIR, name)
-            fs.remove(obj)
-            # the fresh table will REUSE these seq paths — a stale cache
-            # entry would resurrect the old table's history
-            _SNAP_OBJ_CACHE.pop(obj, None)
+        # Reset the per-entry log by SUPERSEDING, not deleting: an empty
+        # .squash.json at a fresh seq erases history for every reader
+        # while keeping log-object paths write-once FOREVER — the new
+        # table's entries continue at higher seqs, so no process (this
+        # one or a concurrent reader on another machine) can ever serve
+        # a stale cached object under a reused path.
+        stale = _snapdir_objects(fs, _j(out_dir, SNAPDIR))
+        if stale:
+            d = _j(out_dir, SNAPDIR)
+            seq = stale[-1][0] + 1
+            while not fs.create_exclusive(_j(d, f"{seq:010d}.squash.json"), b""):
+                seq += 1
+            for _seq, name in stale:
+                obj = _j(d, name)
+                fs.remove(obj)
+                _SNAP_OBJ_CACHE.pop(obj, None)
         # part ids are about to be REUSED for different data — the
         # progress cache's immutability premise no longer holds here
         _PROGRESS_CACHE.pop(out_dir, None)
@@ -1613,21 +1623,21 @@ def snapshots(out_dir: str) -> list[dict]:
             return []
         with open(path) as fh:
             return [json.loads(line) for line in fh if line.strip()]
-    legacy: list[dict] = []
-    if fs.exists(path):
-        legacy = [
-            json.loads(line)
-            for line in fs.read_bytes(path).decode().splitlines()
-            if line.strip()
-        ]
     # LIST-then-GET race with a concurrent expire (readers take no lock):
-    # an object listed here may be deleted before we read it — but the
-    # only deleter is expire, which FIRST publishes a .squash.json that
-    # supersedes everything it deletes. So on a missing object, re-list:
-    # the fresh listing contains that squash and the merge is complete.
+    # an object listed here may be deleted before we read it — but every
+    # deleter (expire, fresh-run reset) FIRST publishes a .squash.json
+    # that supersedes what it deletes. So on a missing object (the
+    # legacy jsonl included), re-list: the fresh listing contains that
+    # squash and the merge is complete.
     for _attempt in range(5):
-        out = list(legacy)
         try:
+            out: list[dict] = []
+            if fs.exists(path):
+                out = [
+                    json.loads(line)
+                    for line in fs.read_bytes(path).decode().splitlines()
+                    if line.strip()
+                ]
             for _seq, name in _snapdir_objects(fs, _j(out_dir, SNAPDIR)):
                 obj_path = _j(out_dir, SNAPDIR, name)
                 cached = _SNAP_OBJ_CACHE.get(obj_path)
@@ -2117,10 +2127,18 @@ def snapshot_id_as_of(out_dir: str, ts) -> int:
     import datetime as _dt
 
     if isinstance(ts, str):
-        d = _dt.datetime.fromisoformat(ts)
-        if d.tzinfo is None:
-            d = d.replace(tzinfo=_dt.timezone.utc)
-        t = d.timestamp()
+        # ISO first: digit-only forms like "20260817" are valid basic
+        # ISO dates and must NOT be read as unix seconds near 1970;
+        # plain unix-second strings ("1786952327.5") fail isoformat and
+        # fall through to float
+        try:
+            d = _dt.datetime.fromisoformat(ts)
+        except ValueError:
+            t = float(ts)
+        else:
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=_dt.timezone.utc)
+            t = d.timestamp()
     elif isinstance(ts, _dt.datetime):
         d = ts if ts.tzinfo else ts.replace(tzinfo=_dt.timezone.utc)
         t = d.timestamp()

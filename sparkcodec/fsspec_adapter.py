@@ -36,6 +36,14 @@ from __future__ import annotations
 
 from .fs import FileSystem, register_filesystem
 
+# credential-bearing fsspec kwargs never exported to executorEnv (the
+# common s3fs/gcsfs/adlfs/webhdfs spellings)
+_SECRET_OPTION_KEYS = frozenset({
+    "key", "secret", "token", "password", "username", "account_key",
+    "sas_token", "client_secret", "access_key_id", "secret_access_key",
+    "session_token", "credential", "api_key",
+})
+
 
 class FsspecFS(FileSystem):
     """Adapter from fsspec's AbstractFileSystem to the engine seam."""
@@ -64,7 +72,11 @@ class FsspecFS(FileSystem):
         return self._fs.open(path, "rb")
 
     def exists(self, path: str) -> bool:
-        self._invalidate(path.rsplit("/", 1)[0])
+        # deliberately NOT cache-busted: exists() probes immutable
+        # objects (block files, committed log entries) on hot decode
+        # paths; the freshness-critical reads go through listdir (the
+        # snapshot-log dir) and create_exclusive (the lock), which do
+        # invalidate
         return self._fs.exists(path)
 
     def listdir(self, path: str) -> list[str]:
@@ -124,20 +136,33 @@ class FsspecFS(FileSystem):
         return True
 
     def _native_create_mode(self) -> bool:
-        """Whether the BACKEND (not fsspec's base class) implements
-        ``mode="create"``: AbstractFileSystem merely emulates it with a
-        non-atomic exists()+write, which every backend accepts — so
-        acceptance alone must not be reported as atomicity. Heuristic:
-        the backend overrides ``_pipe_file`` (s3fs/gcsfs route the
-        If-None-Match / if-generation-match header there)."""
+        """Whether the BACKEND (not fsspec's base classes) implements
+        the pipe-file path: AbstractFileSystem merely emulates
+        ``mode="create"`` with a non-atomic exists()+write, which every
+        backend accepts — so acceptance alone must not be reported as
+        atomicity. Heuristic: the backend class overrides ``pipe_file``
+        or ``_pipe_file`` (s3fs/gcsfs route the If-None-Match /
+        if-generation-match header through ``_pipe_file``; the sync base
+        class has no ``_pipe_file`` at all, so resolve with getattr —
+        a bare attribute access there would make this always-False)."""
         try:
             from fsspec import AbstractFileSystem
-            from fsspec.asyn import AsyncFileSystem
 
-            meth = type(self._fs)._pipe_file
-            return meth is not AbstractFileSystem._pipe_file and (
-                meth is not AsyncFileSystem._pipe_file
-            )
+            bases = [AbstractFileSystem]
+            try:
+                from fsspec.asyn import AsyncFileSystem
+
+                bases.append(AsyncFileSystem)
+            except ImportError:
+                pass
+            cls = type(self._fs)
+            for name in ("pipe_file", "_pipe_file"):
+                mine = getattr(cls, name, None)
+                if mine is None:
+                    continue
+                if all(getattr(b, name, None) is not mine for b in bases):
+                    return True  # backend-defined, not inherited emulation
+            return False
         except Exception:
             return False
 
@@ -169,10 +194,13 @@ def register_fsspec(scheme: str, **storage_options) -> FsspecFS:
     # spark.executorEnv at session creation; a session built earlier
     # never sees them (its JVM snapshotted the environment). On foreign
     # session builders set spark.executorEnv.SPARKCODEC_FSSPEC_* yourself.
-    # storage_options ride as JSON so executors construct the SAME
-    # backend (endpoint_url, anon, region). Do NOT put secrets here:
-    # executorEnv values appear in logs/UIs — use the backend's default
-    # credential chain (instance profile, env) for secrets.
+    # Non-secret storage_options ride as JSON so executors construct the
+    # SAME backend (endpoint_url, anon, region). Credential kwargs are
+    # STRIPPED from the announcement — executorEnv values appear in the
+    # Spark UI and environment dumps — so executors authenticate via the
+    # backend's default chain (instance profile, env). Options that
+    # don't JSON-serialize (an SSLContext in client_kwargs, ...) are
+    # likewise kept driver-side only.
     import json as _json
     import os
 
@@ -181,8 +209,15 @@ def register_fsspec(scheme: str, **storage_options) -> FsspecFS:
     ]
     if scheme not in cur:
         os.environ["SPARKCODEC_FSSPEC_SCHEMES"] = ",".join(cur + [scheme])
-    if storage_options:
+    shareable = {
+        k: v for k, v in storage_options.items() if k not in _SECRET_OPTION_KEYS
+    }
+    if shareable:
         opts = _json.loads(os.environ.get("SPARKCODEC_FSSPEC_OPTIONS", "{}"))
-        opts[scheme] = storage_options
-        os.environ["SPARKCODEC_FSSPEC_OPTIONS"] = _json.dumps(opts)
+        try:
+            opts[scheme] = _json.loads(_json.dumps(shareable))
+        except (TypeError, ValueError):
+            pass  # non-serializable options stay driver-local
+        else:
+            os.environ["SPARKCODEC_FSSPEC_OPTIONS"] = _json.dumps(opts)
     return adapter

@@ -1592,6 +1592,34 @@ def test_object_store_snapshot_log_protocol(tmp_path):
     assert _os.path.exists(str(tmp_path / "t" / SNAPDIR))
 
 
+def test_object_store_fresh_run_never_reuses_log_paths(spark, tmp_path):
+    """resume=False over an existing object-store table resets the log
+    by SUPERSEDING (empty squash at a fresh seq), never by deleting and
+    reusing seq paths — so a reader process whose cache holds the old
+    table's objects can never resurrect its history."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import SNAPDIR, decode_table, encode_table, snapshots
+
+    out = "mock://" + str(tmp_path / "fr")
+    df = spark.range(400).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=1, resume=False)
+    encode_table(spark, df.withColumn("id", F.col("id") + 400), out,
+                 append=True, cluster_by=["g"], salt_by=["id"], num_parts=1)
+    old = sorted(_os.listdir(str(tmp_path / "fr" / SNAPDIR)))
+    assert old == ["0000000001.json", "0000000002.json"]
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=1, resume=False)
+    names = sorted(_os.listdir(str(tmp_path / "fr" / SNAPDIR)))
+    # old seqs gone, reset squash + the new root at HIGHER seqs
+    assert names == ["0000000003.squash.json", "0000000004.json"], names
+    assert len(snapshots(out)) == 1
+    assert decode_table(spark, out).count() == 400
+
+
 def test_unregistered_scheme_refused(spark):
     """An out_dir with an unregistered URL scheme fails fast with a
     registration hint (replacing the old blanket URL refusal)."""

@@ -5,6 +5,7 @@
         --table /mnt/shared/enc [--compact] [--target-part-rows 262144] \
         [--expire-keep-last 3] [--delete col:lo:hi] [--rollback N] \
         [--optimize-zorder c1,c2 | --optimize-sort c1,c2] \
+        [--tag NAME[:SID]] [--delete-tag NAME] [--tags] \
         [--stats] [--history]
 
 --delete removes rows with lo <= col <= hi as a copy-on-write snapshot
@@ -92,6 +93,13 @@ def main() -> int:
         help="print the snapshot log (id, parent, parts, rows, flags)",
     )
     ap.add_argument(
+        "--tag", default=None, metavar="NAME[:SID]",
+        help="pin a named tag to a snapshot (default the tip); tagged "
+             "snapshots survive --expire-keep-last until untagged",
+    )
+    ap.add_argument("--delete-tag", default=None, metavar="NAME")
+    ap.add_argument("--tags", action="store_true", help="print all tags")
+    ap.add_argument(
         "--optimize-zorder", default=None, metavar="COLS",
         help="re-cluster the live table on the Morton interleave of "
              "these comma-separated columns as one snapshot",
@@ -159,6 +167,21 @@ def main() -> int:
             sort_by=cols if args.optimize_sort else None,
             target_part_rows=args.target_part_rows,
         )
+    if args.tag:
+        from sparkcodec.engine import tag_snapshot
+
+        name, _, sid = args.tag.partition(":")
+        out["tag"] = tag_snapshot(
+            args.table, name, int(sid) if sid else None, force=True
+        )
+    if args.delete_tag:
+        from sparkcodec.engine import delete_tag
+
+        out["delete_tag"] = delete_tag(args.table, args.delete_tag)
+    if args.tags:
+        from sparkcodec.engine import list_tags
+
+        out["tags"] = list_tags(args.table)
     if args.rollback is not None:
         from sparkcodec.engine import rollback_table
 

@@ -61,12 +61,20 @@ def _resolve_sid_option(options, out_dir: str) -> int | None:
     resolves through engine.snapshot_id_as_of, same as decode_table."""
     sid = int(options["snapshot_id"]) if options.get("snapshot_id") else None
     as_of = options.get("as_of")
+    ref = options.get("ref")
+    if sum(1 for x in (sid, as_of, ref) if x is not None) > 1:
+        raise ValueError("pass at most one of snapshot_id / as_of / ref, not both")
     if as_of:
-        if sid is not None:
-            raise ValueError("pass snapshot_id or as_of, not both")
         from .engine import snapshot_id_as_of
 
         sid = snapshot_id_as_of(out_dir, as_of)  # ISO-first string coercion
+    if ref:
+        from .engine import list_tags
+
+        tags = list_tags(out_dir)
+        if ref not in tags:
+            raise ValueError(f"unknown tag {ref!r}; have {sorted(tags)}")
+        sid = tags[ref]
     return sid
 
 
@@ -286,6 +294,8 @@ class SparkcodecStreamReader(DataSourceStreamReader):
             and not s.get("compaction")
             and not s.get("delete")
             and not s.get("rollback_of")
+            # materialized tagged roots overlap the retained root's rows
+            and not s.get("tag_only")
             for p in (
                 s["append_parts"] if s.get("append_parts") is not None
                 else s["new_parts"]

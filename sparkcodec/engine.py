@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -1325,6 +1326,8 @@ def encode_table(
             p = _j(out_dir, extra)
             if fs.exists(p):
                 fs.remove(p)
+        for ref in fs.listdir(_j(out_dir, REFDIR)):
+            fs.remove(_j(out_dir, REFDIR, ref))  # tags of the erased history
         # Reset the per-entry log by SUPERSEDING, not deleting: an empty
         # .squash.json at a fresh seq erases history for every reader
         # while keeping log-object paths write-once FOREVER — the new
@@ -2162,6 +2165,7 @@ def decode_table(
     where: tuple | list | None = None,
     where_any: list | None = None,
     as_of=None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Reconstruct the table (or a column subset — file-level pruning).
 
@@ -2199,11 +2203,19 @@ def decode_table(
 
     ``as_of`` time-travels by timestamp instead of id: the latest
     snapshot committed at or before it (see :func:`snapshot_id_as_of`).
+    ``ref`` time-travels by NAMED TAG (see :func:`tag_snapshot`) —
+    tagged snapshots survive ``expire_snapshots``, so a ref read is
+    reproducible regardless of retention.
     """
+    if sum(x is not None for x in (snapshot_id, as_of, ref)) > 1:
+        raise ValueError("pass at most one of snapshot_id / as_of / ref, not both")
     if as_of is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass snapshot_id or as_of, not both")
         snapshot_id = snapshot_id_as_of(out_dir, as_of)
+    if ref is not None:
+        tags = list_tags(out_dir)
+        if ref not in tags:
+            raise ValueError(f"unknown tag {ref!r}; have {sorted(tags)}")
+        snapshot_id = tags[ref]
     meta = _read_json(_j(out_dir, "_table_meta.json"))
     # the read schema is the one recorded AT the resolved snapshot — for
     # time travel a later add-column evolution must not leak into the
@@ -3161,20 +3173,96 @@ def table_column_stats(out_dir: str, snapshot_id: int | None = None) -> dict:
     return out
 
 
+REFDIR = "_refs"
+_REF_NAME_OK = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+
+def tag_snapshot(
+    out_dir: str, name: str, snapshot_id: int | None = None, *, force: bool = False
+) -> dict:
+    """Pin a NAMED TAG to a snapshot (default: the tip) — Iceberg-style
+    refs, the dataset-versioning primitive a training pipeline needs:
+    ``decode_table(ref="v1-training")`` reproduces the exact rows of a
+    run months later, and ``expire_snapshots`` PROTECTS tagged snapshots
+    (their entries and part files survive any retention window until
+    the tag is deleted). One object per tag (atomic PUT); creating an
+    existing tag requires ``force=True``."""
+    if not _REF_NAME_OK.match(name):
+        raise ValueError(
+            f"tag name {name!r} must be [A-Za-z0-9._-], start alphanumeric"
+        )
+    snaps = snapshots(out_dir)
+    if not snaps:
+        raise ValueError(f"table at {out_dir} has no snapshots to tag")
+    sid = snapshot_id if snapshot_id is not None else snaps[-1]["id"]
+    if sid not in {s["id"] for s in snaps}:
+        raise ValueError(f"unknown snapshot {sid}; have {[s['id'] for s in snaps]}")
+    fs = _get_fs(out_dir)
+    path = _j(out_dir, REFDIR, f"{name}.json")
+    body = json.dumps({"snapshot_id": sid, "ts": time.time()}).encode()
+    fs.makedirs(_j(out_dir, REFDIR))
+    if force:
+        fs.put_atomic(path, body)
+    elif not fs.create_exclusive(path, body):
+        raise ValueError(
+            f"tag {name!r} already exists (snapshot "
+            f"{list_tags(out_dir).get(name)}); pass force=True to move it"
+        )
+    return {"name": name, "snapshot_id": sid}
+
+
+def delete_tag(out_dir: str, name: str) -> bool:
+    """Remove a tag; its snapshot becomes expirable again. False when
+    the tag does not exist."""
+    fs = _get_fs(out_dir)
+    path = _j(out_dir, REFDIR, f"{name}.json")
+    if not fs.exists(path):
+        return False
+    fs.remove(path)
+    return True
+
+
+def list_tags(out_dir: str) -> dict[str, int]:
+    """{tag name: snapshot id} of every ref."""
+    fs = _get_fs(out_dir)
+    out = {}
+    for f in fs.listdir(_j(out_dir, REFDIR)):
+        if f.endswith(".json"):
+            obj = _read_json(_j(out_dir, REFDIR, f))
+            out[f[: -len(".json")]] = int(obj["snapshot_id"])
+    return out
+
+
 @_with_writer_lock("expire")
 def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     """Reclaim storage: keep the newest ``keep_last`` snapshots, delete
     part files referenced by no retained snapshot, and squash the log so
     the oldest retained snapshot owns its full live set. Destroys time
     travel beyond the retained window — the explicit trade, exactly like
-    Iceberg's expire_snapshots."""
+    Iceberg's expire_snapshots — EXCEPT tagged snapshots (see
+    :func:`tag_snapshot`): their part files survive and their entries
+    persist in the squashed log as materialized ``tag_only`` roots
+    (full live set, parent 0) that time travel and rollback can still
+    resolve but the changefeed skips (their rows fold into the retained
+    root's replay; delivering them too would duplicate)."""
     snaps = snapshots(out_dir)
     if not snaps or keep_last < 1:
         return {"files_deleted": 0, "snapshots_kept": len(snaps)}
     kept = snaps[-keep_last:]
+    kept_ids = {s["id"] for s in kept}
+    by_id = {s["id"]: s for s in snaps}
+    tagged = sorted(
+        {
+            sid
+            for sid in list_tags(out_dir).values()
+            if sid in by_id and sid not in kept_ids
+        }
+    )
     referenced: set[int] = set()
     for s in kept:
         referenced |= set(snapshot_parts(out_dir, s["id"]))
+    for sid in tagged:
+        referenced |= set(snapshot_parts(out_dir, sid))
     deleted = 0
     fs = _get_fs(out_dir)
     blocks = _j(out_dir, "blocks")
@@ -3196,8 +3284,22 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     first.pop("delete", None)  # squashed root must replay to fresh consumers
     first.pop("append_parts", None)  # ditto: merge rewrites fold into the root
     first.pop("rollback_of", None)  # ditto: restored parts fold into the root
+    first.pop("tag_only", None)  # a retained root MUST replay to consumers
     first["parent"] = 0
-    squashed = [first] + kept[1:]
+    # tagged snapshots outside the window: materialized as standalone
+    # roots, flagged so the changefeed never replays them (a fresh
+    # consumer gets the retained root's rows; tagged roots overlap it)
+    tag_roots = []
+    for sid in tagged:
+        t = dict(by_id[sid])
+        t["new_parts"] = sorted(snapshot_parts(out_dir, sid, snaps=snaps))
+        for k in ("removed_parts", "compaction", "delete", "append_parts",
+                  "rollback_of"):
+            t.pop(k, None)
+        t["parent"] = 0
+        t["tag_only"] = True
+        tag_roots.append(t)
+    squashed = sorted(tag_roots + [first], key=lambda s: s["id"]) + kept[1:]
     body = "".join(
         json.dumps(s, separators=(",", ":")) + "\n" for s in squashed
     ).encode()

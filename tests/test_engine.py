@@ -1976,6 +1976,68 @@ def test_time_travel_as_of_timestamp(spark, tmp_path):
         decode_table(spark, out, snapshot_id=1, as_of=t1)
 
 
+def test_snapshot_tags_survive_expire(spark, tmp_path):
+    """tag_snapshot pins a snapshot: expire keeps its part files and
+    materializes it in the squashed log as a tag_only root, so
+    decode_table(ref=...) reproduces the exact rows after retention has
+    destroyed ordinary time travel; deleting the tag makes the next
+    expire reclaim it. Changefeed consumers never replay tag_only roots."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        decode_table,
+        delete_tag,
+        encode_table,
+        expire_snapshots,
+        list_tags,
+        snapshots,
+        tag_snapshot,
+    )
+
+    out = str(tmp_path / "tags")
+    df = spark.range(300).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=1, resume=False)
+    tag_snapshot(out, "v1-training")  # tip = snapshot 1
+    with _pytest.raises(ValueError, match="already exists"):
+        tag_snapshot(out, "v1-training")
+    tag_snapshot(out, "v1-training", force=True)
+    for i in (1, 2):
+        encode_table(spark, df.withColumn("id", F.col("id") + 300 * i), out,
+                     append=True, cluster_by=["g"], salt_by=["id"], num_parts=1)
+    assert list_tags(out) == {"v1-training": 1}
+    expire_snapshots(out, keep_last=1)
+    # untagged snapshot 2 is gone; tagged snapshot 1 still resolves
+    snaps = snapshots(out)
+    assert [s["id"] for s in snaps] == [1, 3]
+    assert snaps[0]["tag_only"] is True
+    assert decode_table(spark, out, ref="v1-training").count() == 300
+    assert decode_table(spark, out).count() == 900
+    with _pytest.raises(ValueError, match="unknown snapshot 2"):
+        decode_table(spark, out, snapshot_id=2)
+    # fresh changefeed consumer: retained root only, no tag_only replay
+    from sparkcodec.datasource import SparkcodecDataSource
+
+    spark.dataSource.register(SparkcodecDataSource)
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (spark.readStream.format("sparkcodec").load(out)
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ck).trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.read.parquet(sink).count() == 900
+    # DS ref option reads the tag
+    assert (spark.read.format("sparkcodec").option("ref", "v1-training")
+            .load(out).count() == 300)
+    # untag -> next expire reclaims
+    assert delete_tag(out, "v1-training")
+    assert not delete_tag(out, "v1-training")
+    expire_snapshots(out, keep_last=1)
+    assert [s["id"] for s in snapshots(out)] == [3]
+    with _pytest.raises(ValueError, match="unknown tag"):
+        decode_table(spark, out, ref="v1-training")
+
+
 def test_optimize_refuses_non_roundtrip_storage_types(spark, tmp_path):
     """Storage types Spark can't express (unsigned, large) would be
     silently laundered by a decode->re-encode rewrite; optimize_table

@@ -257,17 +257,32 @@ class SparkcodecStreamReader(DataSourceStreamReader):
         # (a CONJUNCTION in decode_table's where forms). Pruning is
         # conservative (zone maps), so compose with .filter for exactness.
         self.wheres = None
+        self.wheres_any = None
         w = options.get("where")
         if w:
-            from .engine import _normalize_where
+            self.wheres = self._parse_where(w)
+        wa = options.get("where_any")
+        if wa:
+            # DNF disjunction, same semantics as decode_table(where_any=):
+            # JSON list of DISJUNCTS, each a predicate or conjunction —
+            # '[[["lang",["de"]]], [["doc_id",0,99]]]' = lang IN ('de')
+            # OR doc_id BETWEEN 0 AND 99
+            self.wheres_any = [self._parse_where(d) for d in json.loads(wa)]
 
-            spec = json.loads(w)
-            if spec and isinstance(spec[0], str):
-                spec = [spec]  # single bare predicate -> conjunction of one
-            # the engine's validator, so a scalar where a value LIST is
-            # required raises here instead of silently pruning wrong
-            # (e.g. ["lang","de"] must not become the chars 'd','e')
-            self.wheres = _normalize_where([tuple(p) for p in spec]) or None
+    @staticmethod
+    def _parse_where(spec):
+        """JSON -> normalized conjunction through the engine's validator,
+        so a scalar where a value LIST is required raises here instead of
+        silently pruning wrong (["lang","de"] must not become the chars
+        'd','e'). Accepts a pre-parsed list (where_any disjuncts) or a
+        JSON string."""
+        from .engine import _normalize_where
+
+        if isinstance(spec, str):
+            spec = json.loads(spec)
+        if spec and isinstance(spec[0], str):
+            spec = [spec]  # single bare predicate -> conjunction of one
+        return _normalize_where([tuple(p) for p in spec]) or None
 
     def initialOffset(self):
         return {"snapshot": 0}
@@ -301,14 +316,22 @@ class SparkcodecStreamReader(DataSourceStreamReader):
                 else s["new_parts"]
             )
         ]
-        if parts and self.wheres:
+        if parts and (self.wheres or self.wheres_any):
             # part-level pruning through every dimension (zone maps +
-            # value sets + blooms) before any task is scheduled
+            # value sets + blooms) before any task is scheduled; DNF
+            # disjuncts prune independently and their survivors union
             from .engine import _prune_parts_conj, part_meta
 
-            parts = _prune_parts_conj(
-                self.out_dir, self.wheres, parts, part_meta(self.out_dir)
-            )
+            pm = part_meta(self.out_dir)
+            if self.wheres:
+                parts = _prune_parts_conj(self.out_dir, self.wheres, parts, pm)
+            if self.wheres_any:
+                keep: set = set()
+                for conj in self.wheres_any:
+                    keep |= set(
+                        _prune_parts_conj(self.out_dir, conj or [], parts, pm)
+                    )
+                parts = sorted(keep)
         if not parts:
             return [InputPartition([])]
         n_tasks = min(len(parts), _default_tasks())
@@ -321,7 +344,7 @@ class SparkcodecStreamReader(DataSourceStreamReader):
         from .engine import (
             _DECODE_ARROW_OF,
             _decode_part_batches_ranged,
-            _keep_row_ranges_multi,
+            _keep_row_ranges_dnf,
         )
 
         meta = _load_meta(self.out_dir)
@@ -330,8 +353,10 @@ class SparkcodecStreamReader(DataSourceStreamReader):
         )
         for pid in partition.value:
             ranges = (
-                _keep_row_ranges_multi(self.out_dir, pid, self.wheres)
-                if self.wheres
+                _keep_row_ranges_dnf(
+                    self.out_dir, pid, self.wheres or [], self.wheres_any
+                )
+                if (self.wheres or self.wheres_any)
                 else None
             )
             yield from _decode_part_batches_ranged(
@@ -511,9 +536,13 @@ class SparkcodecDataSource(DataSource):
     Changefeed predicates: the streaming API has no pushFilters hook,
     so ``spark.readStream`` accepts ``.option("where",
     '[["doc_id",100,200],["lang",["de"]]]')`` — a JSON conjunction in
-    ``decode_table``'s where forms. Parts and blocks outside every
-    predicate are never decoded (zone maps + value sets + blooms);
-    pruning is conservative, so compose with ``.filter`` for exactness.
+    ``decode_table``'s where forms — and ``.option("where_any",
+    '[[["lang",["de"]]],[["doc_id",0,99]]]')``, a DNF disjunction of
+    such conjunctions (matching ``decode_table(where_any=...)``: each
+    disjunct prunes independently, survivors union, and the result
+    intersects ``where``). Parts and blocks outside every predicate are
+    never decoded (zone maps + value sets + blooms); pruning is
+    conservative, so compose with ``.filter`` for exactness.
     """
 
     @classmethod

@@ -2055,3 +2055,57 @@ GROUP BY 1
 
 QUERIES["train_split_stats"] = q_train_split_stats
 ORACLES["train_split_stats"] = SQL_TRAIN_SPLIT_STATS
+
+def q_tagged_snapshot_read(spark, sf_dir):
+    """Dataset versioning end-to-end: encode the even-doc_id half, pin
+    tag 'v1', append the odd half, EXPIRE all untagged history, then
+    read back through the tag. The ref read must reproduce exactly the
+    even half — if expire reclaimed a tagged part, the materialized
+    tag_only root mis-resolved, or ref routing read the tip, the counts
+    and sums diverge from the oracle's doc_id % 2 = 0 aggregate."""
+    from .engine import (
+        decode_table,
+        encode_table,
+        expire_snapshots,
+        tag_snapshot,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sparkcodec_tagread_{abs(hash(sf_dir)) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    even = F.col("doc_id") % 2 == 0
+    encode_table(
+        spark, d.filter(even), out,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=4, resume=False,
+    )
+    tag_snapshot(out, "v1")
+    encode_table(
+        spark, d.filter(~even), out, append=True,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=4, resume=False,
+    )
+    expire_snapshots(out, keep_last=1)
+    dec = decode_table(spark, out, ref="v1")
+    return dec.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+SQL_TAGGED_SNAPSHOT_READ = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       max(doc_id) AS max_doc_id
+FROM documents
+WHERE doc_id % 2 = 0
+GROUP BY lang
+"""
+
+QUERIES["tagged_snapshot_read"] = q_tagged_snapshot_read
+ORACLES["tagged_snapshot_read"] = SQL_TAGGED_SNAPSHOT_READ

@@ -877,3 +877,40 @@ def test_stream_reader_where_option_prunes(spark, tmp_path):
     n_delivered = got.count()
     assert n_exact == 125  # ids 2,10,...,994
     assert n_exact <= n_delivered < 4000, n_delivered
+
+
+def test_stream_reader_where_any_dnf(spark, tmp_path):
+    """The changefeed's where_any option (OR of conjunctions) unions
+    per-disjunct survivors and intersects the conjunctive where —
+    delivered rows cover all matches of the OR, fewer than the table."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import encode_table
+
+    spark.dataSource.register(SparkcodecDataSource)
+    out = str(tmp_path / "sdnf")
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 8).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 sort_by=["g", "id"], num_parts=8, target_part_rows=500,
+                 resume=False, block_rows=128)
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("sparkcodec")
+        .option("where_any", _json.dumps([[["g", 1, 1]], [["g", 6, 6]]]))
+        .option("where", _json.dumps([["id", 0, 1999]]))
+        .load(out)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(sink)
+    n_exact = got.filter(
+        F.col("g").isin(1, 6) & F.col("id").between(0, 1999)
+    ).count()
+    assert n_exact == 500  # 250 per g in the id range
+    assert n_exact <= got.count() < 4000, got.count()

@@ -109,6 +109,11 @@ def main() -> int:
         help="re-cluster the live table lexicographically sorted on "
              "these comma-separated columns as one snapshot",
     )
+    ap.add_argument(
+        "--optimize-where", action="append", default=None, metavar="COL:LO:HI",
+        help="bound the optimize rewrite to parts overlapping this range "
+             "(repeat for a conjunction); untouched parts keep their ids",
+    )
     ap.add_argument("--delete", default=None, help="col:lo:hi range to delete")
     ap.add_argument("--delete-col", default=None, help="delete: column name")
     ap.add_argument(
@@ -161,11 +166,17 @@ def main() -> int:
 
         spark = SparkSession.builder.appName("sparkcodec-maintain").getOrCreate()
         cols = (args.optimize_zorder or args.optimize_sort).split(",")
+        opt_where = (
+            [parse_delete_spec(s) for s in args.optimize_where]
+            if args.optimize_where
+            else None
+        )
         out["optimize"] = optimize_table(
             spark, args.table,
             zorder_by=cols if args.optimize_zorder else None,
             sort_by=cols if args.optimize_sort else None,
             target_part_rows=args.target_part_rows,
+            where=opt_where,
         )
     if args.tag:
         from sparkcodec.engine import tag_snapshot

@@ -2166,6 +2166,7 @@ def decode_table(
     where_any: list | None = None,
     as_of=None,
     ref: str | None = None,
+    _parts: list[int] | None = None,
 ) -> DataFrame:
     """Reconstruct the table (or a column subset — file-level pruning).
 
@@ -2241,9 +2242,12 @@ def decode_table(
     # snapshot isolation: resolve the part set from the snapshot log when
     # one exists (never reads parts of an uncommitted/interrupted append);
     # pre-snapshot tables fall back to every checkpointed part
-    parts = snapshot_parts(out_dir, snapshot_id, snaps=snaps)
-    if parts is None:
-        parts = sorted(completed_parts(out_dir))
+    if _parts is not None:
+        parts = sorted(_parts)  # internal: optimize_table's partial rewrite
+    else:
+        parts = snapshot_parts(out_dir, snapshot_id, snaps=snaps)
+        if parts is None:
+            parts = sorted(completed_parts(out_dir))
     wheres = _normalize_where(where)
     wheres_any = [_normalize_where(w) for w in (where_any or [])]
     if wheres or wheres_any:
@@ -2527,6 +2531,7 @@ def optimize_table(
     salt_by: list[str] | None = None,
     num_parts: int | None = None,
     target_part_rows: int = 262_144,
+    where: tuple | list | None = None,
 ) -> dict:
     """Re-cluster the ENTIRE live table as ONE atomic snapshot — the
     Delta ``OPTIMIZE ZORDER BY`` / Iceberg rewrite-data-files posture,
@@ -2550,6 +2555,15 @@ def optimize_table(
     flagged ``compaction`` so the changefeed skips it (rewritten rows
     are not new data).
 
+    ``where`` (the Delta ``OPTIMIZE ... WHERE`` posture) bounds the
+    rewrite to the live parts whose zone maps overlap the predicate
+    (``decode_table``'s where forms; a conjunction when a list): only
+    those parts decode, re-cluster, and appear in ``removed_parts`` —
+    untouched parts keep their ids with zero I/O. At 100 TB this is the
+    difference between re-clustering yesterday's partitions and
+    rewriting the world. The subset's z normalization space derives
+    from the subset (its parts cluster coherently among themselves).
+
     The decoded source is persisted for the rewrite's multiple passes
     (z-bounds agg, rank dictionaries, encode) — one decode, not three.
     """
@@ -2572,10 +2586,16 @@ def optimize_table(
         live = sorted(completed_parts(out_dir))
     if not live:
         return {"parts_removed": 0, "parts_created": 0, "n_rows": 0}
+    affected = live
+    if where is not None:
+        wheres = _normalize_where(where)
+        affected = _prune_parts_conj(out_dir, wheres, live, part_meta(out_dir))
+        if not affected:
+            return {"parts_removed": 0, "parts_created": 0, "n_rows": 0}
     # legacy (pre-snapshot-log) tables: root the log BEFORE rewrite parts
     # land, or completed_parts-fallback readers would double-count rows
     _ensure_snapshot_root(out_dir, live, meta)
-    src = decode_table(spark, out_dir).persist()
+    src = decode_table(spark, out_dir, _parts=affected).persist()
     try:
         rep = encode_table(
             spark, src, out_dir, append=True, commit=False, resume=False,
@@ -2591,25 +2611,29 @@ def optimize_table(
         return {"parts_removed": 0, "parts_created": 0, "n_rows": 0}
     entry = dict(pend["entry"])
     entry.update({
-        "removed_parts": sorted(live),
+        "removed_parts": sorted(affected),
         "compaction": True,  # changefeed: rearranged rows, not new data
         "optimize": {"zorder_by": zorder_by, "sort_by": sort_by,
-                     "cluster_by": cluster_by},
+                     "cluster_by": cluster_by,
+                     "partial": where is not None},
         "ts": time.time(),
     })
     # table meta tracks the NEW clustering (informational + resume
-    # identity); published at the commit point like schema evolution
-    new_meta = dict(pend["evolved_meta"] or meta)
-    new_meta.update({
-        "zorder_by": zorder_by, "sort_by": sort_by,
-        "cluster_by": cluster_by, "salt_by": salt_by,
-        "target_part_rows": target_part_rows,
-    })
+    # identity) — but only for a FULL rewrite: a partial optimize leaves
+    # a mixed layout, so the table-level clustering claim must not change
+    new_meta = pend["evolved_meta"]
+    if where is None:
+        new_meta = dict(pend["evolved_meta"] or meta)
+        new_meta.update({
+            "zorder_by": zorder_by, "sort_by": sort_by,
+            "cluster_by": cluster_by, "salt_by": salt_by,
+            "target_part_rows": target_part_rows,
+        })
     committed = _commit_snapshot_entry(
         out_dir, entry, append=True, evolved_meta=new_meta
     )
     return {
-        "parts_removed": len(live),
+        "parts_removed": len(affected),
         "parts_created": len(entry["new_parts"]),
         "n_rows": rep["n_rows"],
         "snapshot_id": committed["id"],

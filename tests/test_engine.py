@@ -1976,6 +1976,49 @@ def test_time_travel_as_of_timestamp(spark, tmp_path):
         decode_table(spark, out, snapshot_id=1, as_of=t1)
 
 
+def test_optimize_table_partial_where(spark, tmp_path):
+    """optimize_table(where=...) rewrites ONLY the parts overlapping the
+    predicate: untouched parts keep their ids, rows stay identical, and
+    the table-level clustering meta does not change (mixed layout)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        decode_table,
+        encode_table,
+        optimize_table,
+        snapshot_parts,
+        snapshots,
+    )
+
+    out = str(tmp_path / "popt")
+    df = spark.range(8000).select(
+        (F.col("id") % 100).alias("a"),
+        (F.col("id") / 100).cast("long").alias("b"),
+    )
+    # cluster by coarse a-buckets so parts have disjoint a-ranges
+    encode_table(spark, df.withColumn("bk", (F.col("a") / 25).cast("int")),
+                 out, cluster_by=["bk"], salt_by=["b"], sort_by=["bk", "a"],
+                 num_parts=4, target_part_rows=2000, resume=False)
+    pre_live = set(snapshot_parts(out))
+    rep = optimize_table(spark, out, zorder_by=["a", "b"],
+                         where=("a", 0, 10), target_part_rows=2000)
+    assert 0 < rep["parts_removed"] < len(pre_live)
+    snaps = snapshots(out)
+    assert snaps[-1]["optimize"]["partial"] is True
+    # untouched parts keep ids
+    untouched = pre_live - set(snaps[-1]["removed_parts"])
+    assert untouched and untouched <= set(snapshot_parts(out))
+    # rows identical incl. the helper column
+    assert decode_table(spark, out).count() == 8000
+    assert decode_table(spark, out).select(F.sum("a"), F.sum("b")).collect() \
+        == df.select(F.sum("a"), F.sum("b")).collect()
+    # table meta clustering claim unchanged by the partial rewrite
+    meta = _json.load(open(str(tmp_path / "popt" / "_table_meta.json")))
+    assert meta["cluster_by"] == ["bk"] and meta["zorder_by"] is None
+
+
 def test_snapshot_tags_survive_expire(spark, tmp_path):
     """tag_snapshot pins a snapshot: expire keeps its part files and
     materializes it in the squashed log as a tag_only root, so

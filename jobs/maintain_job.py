@@ -95,7 +95,12 @@ def main() -> int:
     ap.add_argument(
         "--tag", default=None, metavar="NAME[:SID]",
         help="pin a named tag to a snapshot (default the tip); tagged "
-             "snapshots survive --expire-keep-last until untagged",
+             "snapshots survive --expire-keep-last until untagged; "
+             "refuses an existing name unless --tag-force",
+    )
+    ap.add_argument(
+        "--tag-force", action="store_true",
+        help="move an existing tag (the old pin becomes expirable)",
     )
     ap.add_argument("--delete-tag", default=None, metavar="NAME")
     ap.add_argument("--tags", action="store_true", help="print all tags")
@@ -130,6 +135,8 @@ def main() -> int:
     # --delete/--compact already committed snapshots
     if args.optimize_zorder and args.optimize_sort:
         ap.error("pass --optimize-zorder or --optimize-sort, not both")
+    if args.optimize_where and not (args.optimize_zorder or args.optimize_sort):
+        ap.error("--optimize-where requires --optimize-zorder or --optimize-sort")
 
     out = {}
     if args.delete or args.delete_col:
@@ -183,7 +190,7 @@ def main() -> int:
 
         name, _, sid = args.tag.partition(":")
         out["tag"] = tag_snapshot(
-            args.table, name, int(sid) if sid else None, force=True
+            args.table, name, int(sid) if sid else None, force=args.tag_force
         )
     if args.delete_tag:
         from sparkcodec.engine import delete_tag

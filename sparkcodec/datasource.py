@@ -69,12 +69,9 @@ def _resolve_sid_option(options, out_dir: str) -> int | None:
 
         sid = snapshot_id_as_of(out_dir, as_of)  # ISO-first string coercion
     if ref:
-        from .engine import list_tags
+        from .engine import resolve_ref
 
-        tags = list_tags(out_dir)
-        if ref not in tags:
-            raise ValueError(f"unknown tag {ref!r}; have {sorted(tags)}")
-        sid = tags[ref]
+        sid = resolve_ref(out_dir, ref)
     return sid
 
 
@@ -266,8 +263,12 @@ class SparkcodecStreamReader(DataSourceStreamReader):
             # DNF disjunction, same semantics as decode_table(where_any=):
             # JSON list of DISJUNCTS, each a predicate or conjunction —
             # '[[["lang",["de"]]], [["doc_id",0,99]]]' = lang IN ('de')
-            # OR doc_id BETWEEN 0 AND 99
-            self.wheres_any = [self._parse_where(d) for d in json.loads(wa)]
+            # OR doc_id BETWEEN 0 AND 99. An empty disjunct normalizes
+            # to [] (always-true: prunes nothing), never None — read()'s
+            # range walk iterates each disjunct.
+            self.wheres_any = [
+                self._parse_where(d) or [] for d in json.loads(wa)
+            ]
 
     @staticmethod
     def _parse_where(spec):

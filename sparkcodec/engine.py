@@ -2213,10 +2213,7 @@ def decode_table(
     if as_of is not None:
         snapshot_id = snapshot_id_as_of(out_dir, as_of)
     if ref is not None:
-        tags = list_tags(out_dir)
-        if ref not in tags:
-            raise ValueError(f"unknown tag {ref!r}; have {sorted(tags)}")
-        snapshot_id = tags[ref]
+        snapshot_id = resolve_ref(out_dir, ref)
     meta = _read_json(_j(out_dir, "_table_meta.json"))
     # the read schema is the one recorded AT the resolved snapshot — for
     # time travel a later add-column evolution must not leak into the
@@ -3201,6 +3198,7 @@ REFDIR = "_refs"
 _REF_NAME_OK = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
 
 
+@_with_writer_lock("tag")
 def tag_snapshot(
     out_dir: str, name: str, snapshot_id: int | None = None, *, force: bool = False
 ) -> dict:
@@ -3235,6 +3233,7 @@ def tag_snapshot(
     return {"name": name, "snapshot_id": sid}
 
 
+@_with_writer_lock("untag")
 def delete_tag(out_dir: str, name: str) -> bool:
     """Remove a tag; its snapshot becomes expirable again. False when
     the tag does not exist."""
@@ -3257,6 +3256,16 @@ def list_tags(out_dir: str) -> dict[str, int]:
     return out
 
 
+def resolve_ref(out_dir: str, ref: str) -> int:
+    """Tag name -> snapshot id (shared by decode_table and the
+    DataSource's ``ref`` option; one place for the error wording and
+    any future ref semantics)."""
+    tags = list_tags(out_dir)
+    if ref not in tags:
+        raise ValueError(f"unknown tag {ref!r}; have {sorted(tags)}")
+    return tags[ref]
+
+
 @_with_writer_lock("expire")
 def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     """Reclaim storage: keep the newest ``keep_last`` snapshots, delete
@@ -3272,9 +3281,20 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     snaps = snapshots(out_dir)
     if not snaps or keep_last < 1:
         return {"files_deleted": 0, "snapshots_kept": len(snaps)}
-    kept = snaps[-keep_last:]
-    kept_ids = {s["id"] for s in kept}
     by_id = {s["id"]: s for s in snaps}
+    # the retention window counts along the TIP'S ANCESTRY only:
+    # materialized tag_only roots from earlier expires are standalone
+    # bystanders — keeping one inside the window must neither consume a
+    # retention slot nor (critically) let it be re-rooted as a
+    # replayable changefeed root, which would deliver its rows twice
+    chain_ids = set()
+    cur = snaps[-1]
+    while cur:
+        chain_ids.add(cur["id"])
+        cur = by_id.get(cur["parent"])
+    chain = [s for s in snaps if s["id"] in chain_ids]
+    kept = chain[-keep_last:]
+    kept_ids = {s["id"] for s in kept}
     tagged = sorted(
         {
             sid
@@ -3284,9 +3304,9 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     )
     referenced: set[int] = set()
     for s in kept:
-        referenced |= set(snapshot_parts(out_dir, s["id"]))
+        referenced |= set(snapshot_parts(out_dir, s["id"], snaps=snaps))
     for sid in tagged:
-        referenced |= set(snapshot_parts(out_dir, sid))
+        referenced |= set(snapshot_parts(out_dir, sid, snaps=snaps))
     deleted = 0
     fs = _get_fs(out_dir)
     blocks = _j(out_dir, "blocks")
@@ -3302,7 +3322,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     # it is no longer a compaction delta (a changefeed consumer starting
     # fresh must receive these rows), so the flag must not survive
     first = dict(kept[0])
-    first["new_parts"] = sorted(snapshot_parts(out_dir, first["id"]))
+    first["new_parts"] = sorted(snapshot_parts(out_dir, first["id"], snaps=snaps))
     first.pop("removed_parts", None)
     first.pop("compaction", None)
     first.pop("delete", None)  # squashed root must replay to fresh consumers

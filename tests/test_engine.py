@@ -1976,6 +1976,49 @@ def test_time_travel_as_of_timestamp(spark, tmp_path):
         decode_table(spark, out, snapshot_id=1, as_of=t1)
 
 
+def test_re_expire_keeps_tag_only_flag(spark, tmp_path):
+    """A second expire whose keep window spans a previously materialized
+    tag_only root must NOT re-root it as replayable: the retention
+    window counts along the tip's ancestry only, bystander tag roots
+    stay tag_only, and a fresh changefeed delivers the tip's rows once."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import (
+        decode_table,
+        encode_table,
+        expire_snapshots,
+        snapshots,
+        tag_snapshot,
+    )
+
+    out = str(tmp_path / "reexp")
+    df = spark.range(300).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=1, resume=False)
+    tag_snapshot(out, "v1")
+    for i in (1, 2):
+        encode_table(spark, df.withColumn("id", F.col("id") + 300 * i), out,
+                     append=True, cluster_by=["g"], salt_by=["id"], num_parts=1)
+    expire_snapshots(out, keep_last=1)  # log: [tagroot1, root3]
+    encode_table(spark, df.withColumn("id", F.col("id") + 900), out,
+                 append=True, cluster_by=["g"], salt_by=["id"], num_parts=1)
+    expire_snapshots(out, keep_last=4)  # window spans the tag_only root
+    snaps = snapshots(out)
+    flags = {s["id"]: s.get("tag_only") for s in snaps}
+    assert flags[1] is True, flags  # bystander stayed tag_only
+    assert decode_table(spark, out, ref="v1").count() == 300
+    assert decode_table(spark, out).count() == 1200
+    # fresh changefeed: tip rows exactly once
+    spark.dataSource.register(SparkcodecDataSource)
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (spark.readStream.format("sparkcodec").load(out)
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ck).trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.read.parquet(sink).count() == 1200
+
+
 def test_optimize_table_partial_where(spark, tmp_path):
     """optimize_table(where=...) rewrites ONLY the parts overlapping the
     predicate: untouched parts keep their ids, rows stay identical, and

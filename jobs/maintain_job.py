@@ -137,6 +137,16 @@ def main() -> int:
         ap.error("pass --optimize-zorder or --optimize-sort, not both")
     if args.optimize_where and not (args.optimize_zorder or args.optimize_sort):
         ap.error("--optimize-where requires --optimize-zorder or --optimize-sort")
+    tag_name = tag_sid = None
+    if args.tag:
+        tag_name, _, sid_s = args.tag.partition(":")
+        if not tag_name:
+            ap.error("--tag needs a name: NAME[:SID]")
+        if sid_s:
+            try:
+                tag_sid = int(sid_s)
+            except ValueError:
+                ap.error(f"--tag snapshot id must be an integer, got {sid_s!r}")
 
     out = {}
     if args.delete or args.delete_col:
@@ -188,9 +198,8 @@ def main() -> int:
     if args.tag:
         from sparkcodec.engine import tag_snapshot
 
-        name, _, sid = args.tag.partition(":")
         out["tag"] = tag_snapshot(
-            args.table, name, int(sid) if sid else None, force=args.tag_force
+            args.table, tag_name, tag_sid, force=args.tag_force
         )
     if args.delete_tag:
         from sparkcodec.engine import delete_tag

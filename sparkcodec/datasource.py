@@ -62,6 +62,11 @@ def _resolve_sid_option(options, out_dir: str) -> int | None:
     sid = int(options["snapshot_id"]) if options.get("snapshot_id") else None
     as_of = options.get("as_of")
     ref = options.get("ref")
+    for label, v in (("as_of", as_of), ("ref", ref)):
+        if v == "":
+            # an empty option silently reading the TIP would defeat the
+            # reproducibility these options exist for — fail loudly
+            raise ValueError(f"empty {label} option; pass a value or omit it")
     if sum(1 for x in (sid, as_of, ref) if x is not None) > 1:
         raise ValueError("pass at most one of snapshot_id / as_of / ref, not both")
     if as_of:

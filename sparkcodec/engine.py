@@ -349,21 +349,37 @@ def _snapshot_log_append(out_dir: str, entry: dict) -> None:
     object ``_snapshots.d/<seq>.json`` published with a CONDITIONAL PUT
     (If-None-Match — ``fs.create_exclusive``): a sequence collision
     (crashed retry's leftover, racing writer) just advances seq and
-    re-PUTs, the Iceberg optimistic-commit shape. Readers merge the
-    ordered objects; a ``<seq>.squash.json`` object REPLACES everything
-    before it (how ``expire_snapshots`` rewrites history without an
-    atomic multi-delete)."""
+    re-PUTs, the Iceberg optimistic-commit shape. Every log object —
+    entry or squash — claims the SAME name for a given seq, so exactly
+    one writer wins each seq: squash-ness rides INSIDE the object (a
+    ``{"_squash": 1}`` sentinel first line) rather than in a different
+    filename, which would let an entry and a squash land at one seq and
+    silently erase the entry. Readers merge the ordered objects; a
+    squash object REPLACES everything before it (how
+    ``expire_snapshots`` and the fresh-run reset rewrite history
+    without an atomic multi-delete); the legacy ``<seq>.squash.json``
+    suffix from earlier layouts is still honored on read."""
     fs = _get_fs(out_dir)
     if fs.native_paths:
         _append_log_line(_j(out_dir, "_snapshots.jsonl"), entry)
         return
-    d = _j(out_dir, SNAPDIR)
+    data = (json.dumps(entry, separators=(",", ":")) + "\n").encode()
+    _snapdir_put(fs, _j(out_dir, SNAPDIR), data)
+
+
+SQUASH_SENTINEL = '{"_squash":1}'
+
+
+def _snapdir_put(fs, d: str, data: bytes) -> int:
+    """Claim the next free seq in the log dir with a conditional PUT;
+    returns the seq won. Single namespace per seq — see
+    _snapshot_log_append."""
     fs.makedirs(d)
     objs = _snapdir_objects(fs, d)
     seq = (objs[-1][0] + 1) if objs else 1
-    data = (json.dumps(entry, separators=(",", ":")) + "\n").encode()
     while not fs.create_exclusive(_j(d, f"{seq:010d}.json"), data):
         seq += 1
+    return seq
 
 
 def _pq_read(path: str, **kw) -> pa.Table:
@@ -1319,6 +1335,24 @@ def encode_table(
             for cdir in fs.listdir(blocks_dir):
                 for f in fs.listdir(_j(blocks_dir, cdir)):
                     fs.remove(_j(blocks_dir, cdir, f))
+        # Reset the per-entry log by SUPERSEDING, not deleting — and do
+        # it BEFORE removing the legacy jsonl (a reader merging jsonl +
+        # objects between a jsonl delete and the squash would resolve a
+        # parent-truncated chain): an empty squash at a fresh seq erases
+        # ALL history (jsonl prefix included) for every reader at one
+        # atomic PUT, while keeping log-object paths write-once FOREVER
+        # — the new table's entries continue at higher seqs, so no
+        # process (this one or a concurrent reader on another machine)
+        # can ever serve a stale cached object under a reused path.
+        if not fs.native_paths:
+            stale = _snapdir_objects(fs, _j(out_dir, SNAPDIR))
+            if stale or fs.exists(_j(out_dir, "_snapshots.jsonl")):
+                d = _j(out_dir, SNAPDIR)
+                _snapdir_put(fs, d, (SQUASH_SENTINEL + "\n").encode())
+                for _seq, name in stale:
+                    obj = _j(d, name)
+                    fs.remove(obj)
+                    _SNAP_OBJ_CACHE.pop(obj, None)
         for extra in (
             "_aligned_fingerprint", "_log.jsonl", "_snapshots.jsonl",
             "_pending_append.json",
@@ -1328,22 +1362,6 @@ def encode_table(
                 fs.remove(p)
         for ref in fs.listdir(_j(out_dir, REFDIR)):
             fs.remove(_j(out_dir, REFDIR, ref))  # tags of the erased history
-        # Reset the per-entry log by SUPERSEDING, not deleting: an empty
-        # .squash.json at a fresh seq erases history for every reader
-        # while keeping log-object paths write-once FOREVER — the new
-        # table's entries continue at higher seqs, so no process (this
-        # one or a concurrent reader on another machine) can ever serve
-        # a stale cached object under a reused path.
-        stale = _snapdir_objects(fs, _j(out_dir, SNAPDIR))
-        if stale:
-            d = _j(out_dir, SNAPDIR)
-            seq = stale[-1][0] + 1
-            while not fs.create_exclusive(_j(d, f"{seq:010d}.squash.json"), b""):
-                seq += 1
-            for _seq, name in stale:
-                obj = _j(d, name)
-                fs.remove(obj)
-                _SNAP_OBJ_CACHE.pop(obj, None)
         # part ids are about to be REUSED for different data — the
         # progress cache's immutability premise no longer holds here
         _PROGRESS_CACHE.pop(out_dir, None)
@@ -1616,9 +1634,10 @@ def snapshots(out_dir: str) -> list[dict]:
 
     Local tables read ``_snapshots.jsonl``. Object-store tables merge
     the per-entry objects of ``_snapshots.d/`` in sequence order (see
-    :func:`_snapshot_log_append`); a ``.squash.json`` object replaces
-    everything before it, and any legacy ``_snapshots.jsonl`` (written
-    by the old read-modify-PUT emulation) is the prefix."""
+    :func:`_snapshot_log_append`); a squash object (sentinel first
+    line, or the legacy ``.squash.json`` name) replaces everything
+    before it, and any legacy ``_snapshots.jsonl`` (written by the old
+    read-modify-PUT emulation) is the prefix."""
     path = _j(out_dir, "_snapshots.jsonl")
     fs = _get_fs(out_dir)
     if fs.native_paths:
@@ -1628,7 +1647,7 @@ def snapshots(out_dir: str) -> list[dict]:
             return [json.loads(line) for line in fh if line.strip()]
     # LIST-then-GET race with a concurrent expire (readers take no lock):
     # an object listed here may be deleted before we read it — but every
-    # deleter (expire, fresh-run reset) FIRST publishes a .squash.json
+    # deleter (expire, fresh-run reset) FIRST publishes a squash object
     # that supersedes what it deletes. So on a missing object (the
     # legacy jsonl included), re-list: the fresh listing contains that
     # squash and the merge is complete.
@@ -1657,8 +1676,11 @@ def snapshots(out_dir: str) -> list[dict]:
                     # rewritten), so caching them is sound and collapses
                     # the per-call GET storm to new entries only
                     _SNAP_OBJ_CACHE[obj_path] = cached
-                if name.endswith(".squash.json"):
-                    out = list(cached)  # squash owns all history before it
+                if cached and "_squash" in cached[0]:
+                    # sentinel first line: squash owns all history before
+                    out = list(cached[1:])
+                elif name.endswith(".squash.json"):
+                    out = list(cached)  # legacy squash-by-filename layout
                 else:
                     out.extend(cached)
             return out
@@ -2586,6 +2608,16 @@ def optimize_table(
     affected = live
     if where is not None:
         wheres = _normalize_where(where)
+        # zone-map pruning keeps parts conservatively when a column is
+        # unknown — right for reads, but here it would silently escalate
+        # a bounded rewrite into the whole-table rewrite the WHERE
+        # exists to avoid (a typo'd column name = 100 TB of I/O)
+        bad_cols = sorted({w[0] for w in wheres} - set(meta["schema"]))
+        if bad_cols:
+            raise ValueError(
+                f"optimize where references unknown columns {bad_cols}; "
+                f"table has {meta['columns']}"
+            )
         affected = _prune_parts_conj(out_dir, wheres, live, part_meta(out_dir))
         if not affected:
             return {"parts_removed": 0, "parts_created": 0, "n_rows": 0}
@@ -3251,7 +3283,10 @@ def list_tags(out_dir: str) -> dict[str, int]:
     out = {}
     for f in fs.listdir(_j(out_dir, REFDIR)):
         if f.endswith(".json"):
-            obj = _read_json(_j(out_dir, REFDIR, f))
+            try:
+                obj = _read_json(_j(out_dir, REFDIR, f))
+            except FileNotFoundError:
+                continue  # deleted between the listing and the read
             out[f[: -len(".json")]] = int(obj["snapshot_id"])
     return out
 
@@ -3350,16 +3385,14 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     if fs.native_paths:
         fs.put_atomic(_j(out_dir, "_snapshots.jsonl"), body)
     else:
-        # object stores: a <seq>.squash.json object atomically supersedes
-        # all earlier log objects (readers replace history when they hit
-        # it), THEN the dead objects delete best-effort — a crash between
-        # the two leaves stale objects readers already ignore
+        # object stores: a squash object (sentinel first line) atomically
+        # supersedes all earlier log objects the moment it lands (readers
+        # replace history when they hit it), THEN the dead objects delete
+        # best-effort — a crash between the two leaves stale objects
+        # readers already ignore
         d = _j(out_dir, SNAPDIR)
-        fs.makedirs(d)
         objs = _snapdir_objects(fs, d)
-        seq = (objs[-1][0] + 1) if objs else 1
-        while not fs.create_exclusive(_j(d, f"{seq:010d}.squash.json"), body):
-            seq += 1
+        seq = _snapdir_put(fs, d, (SQUASH_SENTINEL + "\n").encode() + body)
         for old_seq, name in objs:
             if old_seq < seq:
                 fs.remove(_j(d, name))

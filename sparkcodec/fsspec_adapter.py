@@ -96,7 +96,13 @@ class FsspecFS(FileSystem):
         return len(data)
 
     def append_line(self, path: str, line: str) -> None:
-        old = self._fs.cat_file(path) if self._fs.exists(path) else b""
+        # read-then-PUT keyed on the READ, not on exists(): a stale
+        # dircache answering exists()=False would truncate the log to
+        # just this line; cat_file + FileNotFoundError is cache-safe
+        try:
+            old = self._fs.cat_file(path)
+        except FileNotFoundError:
+            old = b""
         self._fs.pipe_file(path, old + line.encode())
 
     def remove(self, path: str) -> None:

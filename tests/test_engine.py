@@ -1537,10 +1537,13 @@ def test_fs_seam_mock_object_store_lifecycle(spark, tmp_path):
     assert decode_table(spark, out).count() == 2000
     expire_snapshots(out, keep_last=1)
     assert decode_table(spark, out).count() == 2000
-    # expiry squashed into ONE .squash.json object and removed the dead
-    # per-entry objects
+    # expiry squashed into ONE object (sentinel first line — squash-ness
+    # is in-content so entries and squashes share one seq namespace) and
+    # removed the dead per-entry objects
     names = _os.listdir(snapdir)
-    assert len([n for n in names if n.endswith(".squash.json")]) == 1
+    assert len(names) == 1, names
+    first_line = open(_os.path.join(snapdir, names[0])).readline()
+    assert "_squash" in first_line
     assert len(snapshots(out)) == 1
     # expiry actually deleted the unreferenced files through the seam:
     # the on-disk checkpoints now equal exactly the live set
@@ -1614,8 +1617,11 @@ def test_object_store_fresh_run_never_reuses_log_paths(spark, tmp_path):
     encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
                  num_parts=1, resume=False)
     names = sorted(_os.listdir(str(tmp_path / "fr" / SNAPDIR)))
-    # old seqs gone, reset squash + the new root at HIGHER seqs
-    assert names == ["0000000003.squash.json", "0000000004.json"], names
+    # old seqs gone, reset squash + the new root at HIGHER seqs (squash
+    # carries the sentinel line, sharing the entries' seq namespace)
+    assert names == ["0000000003.json", "0000000004.json"], names
+    first_line = open(str(tmp_path / "fr" / SNAPDIR / names[0])).readline()
+    assert "_squash" in first_line
     assert len(snapshots(out)) == 1
     assert decode_table(spark, out).count() == 400
 

@@ -18,7 +18,8 @@ may contain colons (ts:'12:00':'13:00'). The separate
 (earlier snapshots stay time-travelable); --optimize-zorder /
 --optimize-sort rewrites the WHOLE live set re-clustered in one atomic
 snapshot (run after a stretch of appends so every row shares one
-z-space); --expire-keep-last N deletes
+z-space); --vacuum reclaims crashed-run orphan parts without touching
+retention; --expire-keep-last N deletes
 part files referenced by no retained snapshot and squashes the log.
 Run compaction on a schedule after streaming ingestion
 (`encode_stream` commits one small snapshot per micro-batch) to keep
@@ -103,6 +104,15 @@ def main() -> int:
         help="move an existing tag (the old pin becomes expirable)",
     )
     ap.add_argument("--delete-tag", default=None, metavar="NAME")
+    ap.add_argument(
+        "--vacuum", action="store_true",
+        help="delete part files no snapshot ever referenced (crashed-run "
+             "orphans) without touching retention or time travel",
+    )
+    ap.add_argument(
+        "--vacuum-include-pending", action="store_true",
+        help="vacuum: also reclaim a crashed append's resumable parts",
+    )
     ap.add_argument("--tags", action="store_true", help="print all tags")
     ap.add_argument(
         "--optimize-zorder", default=None, metavar="COLS",
@@ -213,6 +223,12 @@ def main() -> int:
         from sparkcodec.engine import rollback_table
 
         out["rollback"] = rollback_table(args.table, args.rollback)
+    if args.vacuum:
+        from sparkcodec.engine import vacuum_orphans
+
+        out["vacuum"] = vacuum_orphans(
+            args.table, include_pending=args.vacuum_include_pending
+        )
     if args.expire_keep_last is not None:
         from sparkcodec.engine import expire_snapshots
 

@@ -3301,6 +3301,58 @@ def resolve_ref(out_dir: str, ref: str) -> int:
     return tags[ref]
 
 
+@_with_writer_lock("vacuum")
+def vacuum_orphans(out_dir: str, *, include_pending: bool = False) -> dict:
+    """Delete part files no snapshot has EVER referenced — the orphans a
+    crashed append/merge/optimize leaves behind (their parts were
+    written but the atomic commit never published them) — WITHOUT
+    touching retention: every snapshot in the log, and therefore all
+    time travel and tags, stays intact (contrast ``expire_snapshots``,
+    which trades history for space). Runs under the writer lock, so no
+    writer is mid-flight; a ``_pending_append.json`` therefore marks a
+    CRASHED-but-resumable append, and its parts (ids at or above the
+    recorded base) are protected by default — pass
+    ``include_pending=True`` to reclaim them and abandon the resume
+    (the pending marker is removed with them)."""
+    snaps = snapshots(out_dir)
+    if not snaps:
+        # pre-snapshot-log table: every checkpointed part IS the live
+        # set (the completed_parts fallback) — nothing is orphaned
+        return {"files_deleted": 0, "parts_vacuumed": 0}
+    referenced: set[int] = set()
+    for s in snaps:
+        referenced |= set(s.get("new_parts", []))
+    protect_base = None
+    fs = _get_fs(out_dir)
+    pending_path = _j(out_dir, "_pending_append.json")
+    if fs.exists(pending_path):
+        if include_pending:
+            fs.remove(pending_path)  # abandoning the crashed append
+        else:
+            protect_base = _read_json(pending_path)["base"]
+    orphans = {
+        p
+        for p in completed_parts(out_dir)
+        if p not in referenced
+        and (protect_base is None or p < protect_base)
+    }
+    deleted = 0
+    blocks = _j(out_dir, "blocks")
+    for cdir in fs.listdir(blocks):
+        d = _j(blocks, cdir)
+        for f in fs.listdir(d):
+            if f.startswith("part_") and f.endswith(".parquet"):
+                pid = int(f[len("part_") : -len(".parquet")])
+                # covers checkpointed orphans AND half-written parts a
+                # crash left without their checkpoint-last marker
+                if pid not in referenced and (
+                    protect_base is None or pid < protect_base
+                ):
+                    fs.remove(_j(d, f))
+                    deleted += 1
+    return {"files_deleted": deleted, "parts_vacuumed": len(orphans)}
+
+
 @_with_writer_lock("expire")
 def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     """Reclaim storage: keep the newest ``keep_last`` snapshots, delete

@@ -1982,6 +1982,56 @@ def test_time_travel_as_of_timestamp(spark, tmp_path):
         decode_table(spark, out, snapshot_id=1, as_of=t1)
 
 
+def test_vacuum_orphans(spark, tmp_path):
+    """vacuum_orphans reclaims parts no snapshot ever referenced (a
+    deferred-commit run that never published) while leaving every
+    snapshot, time travel, and a crashed append's resumable parts
+    intact; include_pending abandons the resume and reclaims those too."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        completed_parts,
+        decode_table,
+        encode_table,
+        snapshot_parts,
+        snapshots,
+        vacuum_orphans,
+    )
+
+    out = str(tmp_path / "vac")
+    df = spark.range(600).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=2, resume=False)
+    encode_table(spark, df.withColumn("id", F.col("id") + 600), out,
+                 append=True, cluster_by=["g"], salt_by=["id"], num_parts=1)
+    live = set(snapshot_parts(out))
+    # orphans: a deferred-commit append whose entry never publishes
+    encode_table(spark, df.withColumn("id", F.col("id") + 1200), out,
+                 append=True, commit=False, resume=False,
+                 cluster_by=["g"], salt_by=["id"], num_parts=2)
+    assert completed_parts(out) > live  # orphan parts on disk
+    # simulate a crashed RESUMABLE append alongside: plant a pending
+    # marker claiming the orphan parts' base — they must be protected
+    orphan_base = min(completed_parts(out) - live)
+    meta = _json.load(open(_os.path.join(out, "_table_meta.json")))
+    pend = {"base": orphan_base, "config": {}}
+    _json.dump(pend, open(_os.path.join(out, "_pending_append.json"), "w"))
+    rep = vacuum_orphans(out)
+    assert rep["files_deleted"] == 0  # everything protected by the base
+    assert completed_parts(out) > live
+    # abandon the pending resume: orphans reclaimed, snapshots untouched
+    rep = vacuum_orphans(out, include_pending=True)
+    assert rep["parts_vacuumed"] >= 2 and rep["files_deleted"] > 0
+    assert not _os.path.exists(_os.path.join(out, "_pending_append.json"))
+    assert completed_parts(out) == live
+    assert len(snapshots(out)) == 2  # retention untouched
+    assert decode_table(spark, out).count() == 1200
+    assert decode_table(spark, out, snapshot_id=1).count() == 600
+
+
 def test_re_expire_keeps_tag_only_flag(spark, tmp_path):
     """A second expire whose keep window spans a previously materialized
     tag_only root must NOT re-root it as replayable: the retention

@@ -486,8 +486,15 @@ def _acquire_writer_lock(out_dir: str, op: str, lease_sec: float = _LOCK_LEASE_S
             return me["owner"]
         try:
             cur = json.loads(fs.read_bytes(key))
+        except FileNotFoundError:
+            continue  # holder released between our PUT attempt and read
         except Exception:
-            cur = {}
+            # unreadable/partial lease body: treat as FRESH, never stale
+            # — assuming staleness here would let a racer steal a live
+            # writer's lock whose body it couldn't (yet) read. The FS
+            # publishes lock bodies atomically (fs.create_exclusive), so
+            # this is a legacy artifact or transient store hiccup.
+            cur = {"ts": time.time(), "owner": "unreadable"}
         age = time.time() - cur.get("ts", 0)
         if age > cur.get("lease_sec", lease_sec):
             # stale lease (writer crashed without releasing): claim it
@@ -861,6 +868,14 @@ def _bloom_key(v) -> str:
         if v == 0:
             v = 0.0
         return f"f:{v!r}"
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # no decimal STORAGE type exists today, but a Decimal probe must
+        # still key consistently with the numeric kinds (3 == Decimal(3)
+        # == 3.0), not by repr through the string fallback
+        iv = int(v)
+        return f"i:{iv}" if v == iv else f"f:{float(v)!r}"
     return f"s:{v}"
 
 
@@ -2155,7 +2170,12 @@ def snapshot_id_as_of(out_dir: str, ts) -> int:
         # ISO first: digit-only forms like "20260817" are valid basic
         # ISO dates and must NOT be read as unix seconds near 1970;
         # plain unix-second strings ("1786952327.5") fail isoformat and
-        # fall through to float
+        # fall through to float. The explicit 8-digit match keeps the
+        # basic-format date working on Python < 3.11, where fromisoformat
+        # rejects "YYYYMMDD" and the value would otherwise silently
+        # time-travel to 1970-era unix seconds.
+        if re.fullmatch(r"\d{8}", ts):
+            ts = f"{ts[:4]}-{ts[4:6]}-{ts[6:]}"
         try:
             d = _dt.datetime.fromisoformat(ts)
         except ValueError:
@@ -2657,6 +2677,10 @@ def optimize_table(
             "zorder_by": zorder_by, "sort_by": sort_by,
             "cluster_by": cluster_by, "salt_by": salt_by,
             "target_part_rows": target_part_rows,
+            # the rewrite's ACTUAL layout: without this the pre-rewrite
+            # part count would survive and misdescribe the live table
+            # (encode_progress totals, resume identity)
+            "num_parts": len(entry["new_parts"]),
         })
     committed = _commit_snapshot_entry(
         out_dir, entry, append=True, evolved_meta=new_meta
@@ -2979,7 +3003,13 @@ def upsert_rows(
 
     The entry's ``append_parts`` records which new parts carry
     genuinely new rows, so the changefeed delivers the appended rows
-    and skips the rewrites."""
+    and skips the rewrites.
+
+    Duplicate keys WITHIN ``df`` are ALL retained (the delete side
+    removes only STORED rows; the whole batch then appends) — callers
+    wanting one-row-per-key semantics dedupe first
+    (``df.dropDuplicates([key_col])``), as :func:`sparkcodec.streaming.
+    upsert_stream` does per micro-batch."""
     merge_id = uuid.uuid4().hex[:16]
     # the batch is read up to four times (key span, distinct-key head,
     # key join, append encode) — materialize it once instead of
@@ -3336,6 +3366,11 @@ def vacuum_orphans(out_dir: str, *, include_pending: bool = False) -> dict:
         if p not in referenced
         and (protect_base is None or p < protect_base)
     }
+    # vacuumed part ids WILL be reused by the next append (base =
+    # max(completed)+1), breaking the progress cache's ids-never-reused
+    # premise — drop this table's cache, same as the fresh-run reset
+    if orphans:
+        _PROGRESS_CACHE.pop(out_dir, None)
     deleted = 0
     blocks = _j(out_dir, "blocks")
     for cdir in fs.listdir(blocks):

@@ -128,15 +128,21 @@ class LocalFS(FileSystem):
         return os.path.getsize(path)
 
     def create_exclusive(self, path: str, data: bytes) -> bool:
+        # Publish the BODY atomically: write a private tmp file, then
+        # link(2) it into place (EEXIST = lost the race). An O_EXCL
+        # create followed by a write would expose a momentarily-EMPTY
+        # lock file — a racing lease acquirer reading it would see no
+        # timestamp and could steal a live writer's lease.
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.x-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
             return False
-        try:
-            os.write(fd, data)
         finally:
-            os.close(fd)
+            os.remove(tmp)
         return True
 
     def claim_stale(self, path: str) -> bool:
@@ -205,17 +211,21 @@ class MockObjectFS(FileSystem):
         return os.path.getsize(self._local(path))
 
     def create_exclusive(self, path: str, data: bytes) -> bool:
-        # stands in for a conditional PUT (HTTP If-None-Match: *)
+        # stands in for a conditional PUT (HTTP If-None-Match: *) — a
+        # real conditional PUT publishes the whole body or nothing, so
+        # the mock must too (tmp + link, not O_EXCL-then-write, or a
+        # racing reader could observe an empty object)
         p = self._local(path)
         os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.put-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
         try:
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, p)
         except FileExistsError:
             return False
-        try:
-            os.write(fd, data)
         finally:
-            os.close(fd)
+            os.remove(tmp)
         return True
 
     def claim_stale(self, path: str) -> bool:

@@ -2071,8 +2071,15 @@ def q_tagged_snapshot_read(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
+    # content hash of the path, NOT hash(): with PYTHONHASHSEED unset the
+    # builtin varies per process, so two harness runs on the same sf_dir
+    # could race each other in differently-named dirs while a third
+    # process collides — md5 pins one dir per sf_dir deterministically
+    import hashlib
+
     out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_tagread_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(),
+        f"sparkcodec_tagread_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
     )
     import shutil
 

@@ -230,9 +230,12 @@ def upsert_stream(
     whose snapshot already committed is a no-op. A replay of a batch
     whose merge never committed re-runs against the unchanged pre-merge
     table (the interrupted attempt left only invisible orphan parts), so
-    the retry produces the same post-merge state. Late/duplicate rows
-    WITHIN the stream are the normal upsert semantics: last write wins
-    per key per batch boundary.
+    the retry produces the same post-merge state. Duplicate keys WITHIN
+    one micro-batch are collapsed to one row per key here (micro-batch
+    DataFrames carry no inherent order, so the survivor is arbitrary —
+    pre-aggregate upstream, e.g. a max-by on an event-time column, if
+    "latest wins" must follow a specific ordering); across batch
+    boundaries the later batch's merge replaces the earlier rows.
 
     Returns the StreamingQuery; callers own awaitTermination/stop.
     """
@@ -253,7 +256,11 @@ def upsert_stream(
             return
         upsert_rows(
             batch_df.sparkSession,
-            batch_df,
+            # one row per key per batch: upsert_rows keeps EVERY copy of
+            # an in-batch duplicate key (its delete side only removes
+            # STORED rows), which would break this sink's documented
+            # per-key semantics
+            batch_df.dropDuplicates([key_col]),
             out_dir,
             key_col,
             snapshot_extra={"stream": tag},

@@ -2702,3 +2702,125 @@ def test_fsspec_adapter_memory_backend():
     _snapshot_log_append(out, {"id": 2, "parent": 1, "new_parts": [1]})
     assert [s["id"] for s in snapshots(out)] == [1, 2]
     assert len(adapter.listdir(f"{out}/{SNAPDIR}")) == 2
+
+
+def test_unreadable_lock_treated_fresh_not_stolen(spark, tmp_path):
+    """An empty or unparsable _writer.lock must be treated as a FRESH
+    lease (refused), never as infinitely stale — or a racer reading a
+    live writer's not-yet-visible lock body would steal the single-writer
+    lease and two writers would both hold it."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import ConcurrentWriterError, encode_table
+
+    out = str(tmp_path / "emptylock")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=1, resume=False)
+    lock = _os.path.join(out, "_writer.lock")
+    for body in (b"", b"{truncated"):
+        with open(lock, "wb") as fh:
+            fh.write(body)
+        with _pytest.raises(ConcurrentWriterError):
+            encode_table(spark, df, out, append=True, cluster_by=["g"],
+                         salt_by=["id"], num_parts=1)
+        assert _os.path.exists(lock)  # never deleted/stolen
+        _os.remove(lock)
+
+
+def test_create_exclusive_publishes_body_atomically(tmp_path):
+    """LocalFS/MockObjectFS create_exclusive: winner's FULL body is
+    visible the instant the path exists (tmp+link publish); loser leaves
+    the winner's body untouched and no tmp debris."""
+    import os as _os
+
+    from sparkcodec.fs import LocalFS, MockObjectFS
+
+    d = tmp_path / "x"
+    d.mkdir()
+    lf = LocalFS()
+    p = str(d / "lock.json")
+    assert lf.create_exclusive(p, b"WINNER")
+    assert open(p, "rb").read() == b"WINNER"
+    assert not lf.create_exclusive(p, b"LOSER")
+    assert open(p, "rb").read() == b"WINNER"
+    assert _os.listdir(d) == ["lock.json"]  # no tmp leftovers
+    mf = MockObjectFS()
+    mp = f"mock://{d}/obj.json"
+    assert mf.create_exclusive(mp, b"WINNER")
+    assert mf.read_bytes(mp) == b"WINNER"
+    assert not mf.create_exclusive(mp, b"LOSER")
+    assert mf.read_bytes(mp) == b"WINNER"
+    assert sorted(mf.listdir(f"mock://{d}")) == ["lock.json", "obj.json"]
+
+
+def test_vacuum_invalidates_progress_cache(spark, tmp_path):
+    """Part ids reclaimed by vacuum_orphans are REUSED by the next
+    append; the progress cache (premise: ids never reused) must be
+    dropped or encode_progress reports the vacuumed parts' stale
+    row counts for the new data."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_progress, encode_table, vacuum_orphans
+
+    out = str(tmp_path / "vaccache")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=1, resume=False)
+    # orphan: deferred append that never commits, with MORE rows than
+    # the replacement will have (so a stale cache is detectable)
+    encode_table(spark, spark.range(500).select(
+        F.col("id"), (F.col("id") % 3).alias("g")), out,
+        append=True, commit=False, resume=False,
+        cluster_by=["g"], salt_by=["id"], num_parts=1)
+    encode_progress(out)  # populate the cache with the orphan part
+    assert vacuum_orphans(out, include_pending=True)["parts_vacuumed"] >= 1
+    encode_table(spark, spark.range(40).select(
+        F.col("id"), (F.col("id") % 3).alias("g")), out,
+        append=True, cluster_by=["g"], salt_by=["id"], num_parts=1)
+    assert encode_progress(out)["rows_done"] == 140  # not 100 + 500
+
+
+def test_as_of_basic_format_date(spark, tmp_path):
+    """8-digit 'YYYYMMDD' as_of strings parse as DATES on every
+    supported interpreter (explicit match, not fromisoformat's >=3.11
+    basic-format support) — read as unix seconds, '20500101' would be
+    1970-08 and wrongly raise before-first-commit."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_table, snapshot_id_as_of
+
+    out = str(tmp_path / "basicdate")
+    df = spark.range(50).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=1, resume=False)
+    assert snapshot_id_as_of(out, "20500101") == 1  # future date -> tip
+    with _pytest.raises(ValueError, match="no snapshot"):
+        snapshot_id_as_of(out, "19800101")  # past date -> before first
+
+
+def test_optimize_stamps_actual_num_parts(spark, tmp_path):
+    """A FULL optimize rewrite must record the rewrite's real part count
+    in the table meta alongside the new clustering keys — the stale
+    pre-rewrite num_parts would misdescribe the live layout."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_table, optimize_table
+
+    out = str(tmp_path / "optnp")
+    df = spark.range(600).select(
+        F.col("id"), (F.col("id") % 7).alias("a"), (F.col("id") % 11).alias("b")
+    )
+    encode_table(spark, df, out, cluster_by=["a"], salt_by=["id"],
+                 num_parts=6, resume=False)
+    rep = optimize_table(spark, out, zorder_by=["a", "b"], num_parts=2)
+    meta = _json.load(open(_os.path.join(out, "_table_meta.json")))
+    assert meta["num_parts"] == rep["parts_created"]
+    assert meta["zorder_by"] == ["a", "b"]

@@ -170,7 +170,9 @@ class SparkcodecReader(DataSourceReader):
         if parts is None:
             parts = sorted(completed_parts(self.out_dir))
         if self.bounds or self.eqs or self.nulls:
-            pm = part_meta(self.out_dir)  # ONE metadata read for all dimensions
+            # ONE manifest-backed metadata read for all pruning dimensions
+            # (O(#snapshots) files, not O(#parts) checkpoint opens)
+            pm = part_meta(self.out_dir, parts=parts)
             for col, (lo, hi) in self.bounds.items():
                 parts = prune_parts(
                     self.out_dir, (col, lo, hi), parts, stats=part_stats(self.out_dir, pm)
@@ -328,7 +330,7 @@ class SparkcodecStreamReader(DataSourceStreamReader):
             # disjuncts prune independently and their survivors union
             from .engine import _prune_parts_conj, part_meta
 
-            pm = part_meta(self.out_dir)
+            pm = part_meta(self.out_dir, parts=parts)
             if self.wheres:
                 parts = _prune_parts_conj(self.out_dir, self.wheres, parts, pm)
             if self.wheres_any:
@@ -491,10 +493,16 @@ class SparkcodecWriter(DataSourceArrowWriter):
 
                 parts = legacy_root_parts(self.out_dir, parts, self.base)
             cur = _load_meta(self.out_dir)
+            from .engine import write_manifest
+
             entry = {
                 "id": (snaps[-1]["id"] + 1) if snaps else 1,
                 "parent": snaps[-1]["id"] if snaps else 0,
                 "new_parts": parts,
+                # pruning manifest (O(#snapshots) metadata reads for
+                # every future pruned read); O(this commit's parts)
+                # checkpoint reads here, amortized like the engine path
+                "manifest": write_manifest(self.out_dir, parts),
                 "n_rows": sum(m.n_rows for m in messages if m),
                 "enc_bytes": sum(m.enc_bytes for m in messages if m),
                 "layout": "aligned",

@@ -951,41 +951,160 @@ def prune_parts_bloom(
     return keep
 
 
-def part_meta(out_dir: str) -> dict[int, dict]:
-    """All pruning metadata in ONE O(#parts) checkpoint read:
-    {part_id: {"n_rows", "stats", "nulls", "vset"}}. The per-dimension
-    accessors below are views over this — callers applying several
-    pruning dimensions (DataSource partitions, decode_table) should load
-    this once instead of scanning the checkpoint dataset per dimension."""
-    d = _j(out_dir, "blocks", f"col={CHECKPOINT_COL}")
-    fs = _get_fs(out_dir)
-    names = [
-        f for f in fs.listdir(d)
-        if f.startswith("part_") and f.endswith(".parquet")
-    ]
-    if not names:
-        return {}
-    cols = ["part_id", "n_rows", "meta"]
-    if fs.native_paths:
-        import pyarrow.dataset as ds
+MANIFESTDIR = "_manifests"
+_PRUNE_META_KEYS = ("stats", "nulls", "vset", "bloom")
+# manifest files are WRITE-ONCE (uuid-named, referenced by exactly one
+# snapshot entry, never rewritten), so parsed contents cache per process
+_MANIFEST_CACHE: dict[str, dict[int, dict]] = {}
 
-        tbl = ds.dataset(d, format="parquet").to_table(columns=cols)
+
+def _prune_meta_of(meta_json: str, n_rows: int) -> dict:
+    m = json.loads(meta_json)
+    return {
+        "n_rows": int(n_rows),
+        **{k: m.get(k) or {} for k in _PRUNE_META_KEYS},
+    }
+
+
+def _checkpoint_prune_meta(out_dir: str, pid: int) -> dict:
+    """One part's pruning metadata straight from its checkpoint file —
+    the per-part fallback for parts no manifest covers (legacy tables,
+    pre-manifest snapshots, uncommitted orphans)."""
+    t = _pq_read(
+        _part_file(out_dir, CHECKPOINT_COL, pid), columns=["n_rows", "meta"]
+    )
+    return _prune_meta_of(t.column("meta")[0].as_py(), t.column("n_rows")[0].as_py())
+
+
+def write_manifest(out_dir: str, parts, pm: dict | None = None) -> str | None:
+    """Fold the per-part pruning metadata (zone maps, null counts, value
+    sets, blooms) of ``parts`` into ONE manifest parquet under
+    ``_manifests/`` and return its filename — the Iceberg manifest idiom
+    that makes pruned reads O(#snapshots) metadata files instead of
+    O(#parts): a 100k-part table would otherwise pay a 100k-file listing
+    + footer parse on the driver for EVERY pruned read (reference analog:
+    the sidecar directory read once up front, touch_reader.cpp:79-145).
+
+    Called at snapshot-commit time (``_commit_snapshot_entry``), before
+    the log append that publishes it — a crash leaves an orphan manifest
+    no entry references (reclaimed by ``vacuum_orphans``). ``pm`` gives
+    already-in-hand metadata ({pid: {n_rows, stats, nulls, vset,
+    bloom}}) so the encode hot path never re-reads its own checkpoint
+    files; missing pids fall back to one checkpoint read each."""
+    parts = sorted(parts)
+    if not parts:
+        return None
+    rows = []
+    for pid in parts:
+        d = (pm or {}).get(int(pid))
+        if d is None:
+            d = _checkpoint_prune_meta(out_dir, int(pid))
+        rows.append({
+            "part_id": int(pid),
+            "n_rows": int(d["n_rows"]),
+            "meta": json.dumps(
+                {k: d.get(k) or {} for k in _PRUNE_META_KEYS},
+                separators=(",", ":"),
+            ),
+        })
+    table = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("part_id", pa.int64()), ("n_rows", pa.int64()), ("meta", pa.string())]
+    ))
+    name = f"m-{uuid.uuid4().hex[:16]}.parquet"
+    path = _j(out_dir, MANIFESTDIR, name)
+    fs = _get_fs(out_dir)
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    if fs.native_paths:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(buf.getvalue())
+        os.replace(tmp, path)
     else:
-        tbl = pa.concat_tables([_pq_read(_j(d, f), columns=cols) for f in names])
+        fs.put_atomic(path, buf.getvalue())
+    return name
+
+
+def _read_manifest(out_dir: str, name: str) -> dict[int, dict]:
+    path = _j(out_dir, MANIFESTDIR, name)
+    cached = _MANIFEST_CACHE.get(path)
+    if cached is not None:
+        return cached
+    t = _pq_read(path)
     out = {}
     for pid, n, meta in zip(
-        tbl.column("part_id").to_pylist(),
-        tbl.column("n_rows").to_pylist(),
-        tbl.column("meta").to_pylist(),
+        t.column("part_id").to_pylist(),
+        t.column("n_rows").to_pylist(),
+        t.column("meta").to_pylist(),
     ):
-        m = json.loads(meta)
-        out[int(pid)] = {
-            "n_rows": int(n),
-            "stats": m.get("stats") or {},
-            "nulls": m.get("nulls") or {},
-            "vset": m.get("vset") or {},
-            "bloom": m.get("bloom") or {},
-        }
+        out[int(pid)] = _prune_meta_of(meta, n)
+    if len(_MANIFEST_CACHE) > 1024:  # bound driver memory
+        _MANIFEST_CACHE.clear()
+    _MANIFEST_CACHE[path] = out
+    return out
+
+
+def part_meta(
+    out_dir: str,
+    parts: list[int] | None = None,
+    snaps: list[dict] | None = None,
+) -> dict[int, dict]:
+    """All pruning metadata ({part_id: {"n_rows", "stats", "nulls",
+    "vset", "bloom"}}) in O(#manifests) reads: each snapshot entry
+    carries a ``manifest`` parquet folding its new parts' checkpoint
+    stats (see :func:`write_manifest`); entries merge oldest-first and
+    part ids are never reused across commits, so first-covered wins.
+
+    ``parts`` is the id set the caller actually needs (a snapshot's live
+    set, a rewrite's affected set): ids no manifest covers — legacy
+    tables, pre-manifest snapshots, crashed-run orphans — fall back to
+    their individual checkpoint files. With ``parts=None`` the fallback
+    spans every checkpointed part (the legacy full-scan contract). The
+    per-dimension accessors below are views over this — callers applying
+    several pruning dimensions (DataSource partitions, decode_table)
+    should load this once instead of scanning per dimension."""
+    if snaps is None:
+        snaps = snapshots(out_dir)
+    out: dict[int, dict] = {}
+    for s in snaps:
+        name = s.get("manifest")
+        if name:
+            try:
+                mf = _read_manifest(out_dir, name)
+            except FileNotFoundError:
+                continue  # raced an expire's cleanup: checkpoint fallback
+            for pid, d in mf.items():
+                out.setdefault(pid, d)
+    needed = {int(p) for p in parts} if parts is not None else completed_parts(out_dir)
+    missing = sorted(needed - out.keys())
+    if missing:
+        d = _j(out_dir, "blocks", f"col={CHECKPOINT_COL}")
+        fs = _get_fs(out_dir)
+        if fs.native_paths and len(missing) > 64:
+            # legacy bulk path: one pyarrow dataset scan beats thousands
+            # of per-file opens when (almost) nothing is manifested
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(d, format="parquet").to_table(
+                columns=["part_id", "n_rows", "meta"]
+            )
+            want = set(missing)
+            for pid, n, meta in zip(
+                tbl.column("part_id").to_pylist(),
+                tbl.column("n_rows").to_pylist(),
+                tbl.column("meta").to_pylist(),
+            ):
+                if int(pid) in want:
+                    out[int(pid)] = _prune_meta_of(meta, n)
+        else:
+            for pid in missing:
+                try:
+                    out[pid] = _checkpoint_prune_meta(out_dir, pid)
+                except FileNotFoundError:
+                    pass  # expired or never-checkpointed id: no metadata
     return out
 
 
@@ -1162,20 +1281,30 @@ def _keep_row_ranges_nulls(out_dir: str, pid: int, col: str, kind: str):
 
 
 def _commit_snapshot_entry(
-    out_dir: str, entry: dict, *, append: bool, evolved_meta: dict | None = None
+    out_dir: str,
+    entry: dict,
+    *,
+    append: bool,
+    evolved_meta: dict | None = None,
+    pm: dict | None = None,
 ) -> dict:
     """Publish a prepared snapshot entry: write the (possibly evolved)
-    table meta first, then append the entry with id/parent assigned from
-    the current log tip. The single-line log append is the atomic publish
-    point — everything written before it (parts, evolved meta) is either
-    invisible (orphan parts) or benign (an extra nullable column) until
-    the entry lands. Deferring the evolved-meta write to here closes the
+    table meta and the entry's pruning MANIFEST first, then append the
+    entry with id/parent assigned from the current log tip. The
+    single-line log append is the atomic publish point — everything
+    written before it (parts, evolved meta, manifest) is either
+    invisible (orphans) or benign (an extra nullable column) until the
+    entry lands. Deferring the evolved-meta write to here closes the
     window where a failed or refused append permanently widened the
-    schema."""
+    schema. ``pm`` forwards already-in-hand per-part metadata to
+    :func:`write_manifest` so the encode hot path never re-reads its own
+    checkpoints."""
     if evolved_meta is not None:
         _atomic_write_json(_j(out_dir, "_table_meta.json"), evolved_meta)
-    snaps = snapshots(out_dir)
     e = dict(entry)
+    if e.get("new_parts") and not e.get("manifest"):
+        e["manifest"] = write_manifest(out_dir, e["new_parts"], pm=pm)
+    snaps = snapshots(out_dir)
     e["id"] = (snaps[-1]["id"] + 1) if snaps else 1
     e["parent"] = snaps[-1]["id"] if (snaps and append) else 0
     _snapshot_log_append(out_dir, e)
@@ -1199,6 +1328,9 @@ def _ensure_snapshot_root(out_dir: str, live: list[int], meta: dict) -> None:
         "layout": meta.get("layout", "clustered"),
         "columns": meta["columns"],
         "schema": meta["schema"],
+        # one-time O(live) checkpoint fold: every pruned read of this
+        # legacy table afterwards is O(#manifests)
+        "manifest": write_manifest(out_dir, sorted(live)),
         "ts": time.time(),
     }
     _snapshot_log_append(out_dir, root)
@@ -1341,15 +1473,20 @@ def encode_table(
     # decode output
     if not resume and not append:
         blocks_dir = _j(out_dir, "blocks")
+        mdir = _j(out_dir, MANIFESTDIR)
         if fs.native_paths:
-            if os.path.isdir(blocks_dir):
-                import shutil
+            import shutil
 
+            if os.path.isdir(blocks_dir):
                 shutil.rmtree(blocks_dir)
+            if os.path.isdir(mdir):
+                shutil.rmtree(mdir)  # manifests of the erased history
         else:
             for cdir in fs.listdir(blocks_dir):
                 for f in fs.listdir(_j(blocks_dir, cdir)):
                     fs.remove(_j(blocks_dir, cdir, f))
+            for f in fs.listdir(mdir):
+                fs.remove(_j(mdir, f))
         # Reset the per-entry log by SUPERSEDING, not deleting — and do
         # it BEFORE removing the legacy jsonl (a reader merging jsonl +
         # objects between a jsonl delete and the squash would resolve a
@@ -1622,9 +1759,17 @@ def encode_table(
             # (checkpoint, batch_id) tag) ride the committed entry so
             # replays can recognize an already-committed unit of work
             entry.update(snapshot_extra)
+        # the kernels already shipped each part's full lineage back in
+        # the summary — the commit-time manifest folds it with ZERO
+        # checkpoint re-reads (resumed `done` parts fall back to theirs)
+        pm_new = {
+            int(r["part_id"]): _prune_meta_of(r["lineage"], r["n_rows"])
+            for r in rows
+        }
         if commit:
             _commit_snapshot_entry(
-                out_dir, entry, append=append, evolved_meta=evolved_meta
+                out_dir, entry, append=append, evolved_meta=evolved_meta,
+                pm=pm_new,
             )
     for p in (pending_path, _j(out_dir, "_aligned_fingerprint_append")):
         if fs.exists(p):
@@ -1639,7 +1784,8 @@ def encode_table(
     }
     if not commit:
         result["pending_commit"] = (
-            {"entry": entry, "evolved_meta": evolved_meta} if entry else None
+            {"entry": entry, "evolved_meta": evolved_meta, "pm": pm_new}
+            if entry else None
         )
     return result
 
@@ -2290,7 +2436,9 @@ def decode_table(
     wheres = _normalize_where(where)
     wheres_any = [_normalize_where(w) for w in (where_any or [])]
     if wheres or wheres_any:
-        pm = part_meta(out_dir)  # one read feeds every pruning dimension
+        # one manifest-backed read feeds every pruning dimension —
+        # O(#snapshots) metadata files, not O(#parts) checkpoint opens
+        pm = part_meta(out_dir, parts=parts, snaps=snaps)
         if wheres:
             parts = _prune_parts_conj(out_dir, wheres, parts, pm)
         if wheres_any:
@@ -2466,7 +2614,7 @@ def compact_table(
     # completed_parts fallback would see originals AND merged copies
     # (duplicate rows), permanently if the job crashed before the commit
     _ensure_snapshot_root(out_dir, live, meta)
-    rows_of = {p: d["n_rows"] for p, d in part_meta(out_dir).items()}
+    rows_of = {p: d["n_rows"] for p, d in part_meta(out_dir, parts=live).items()}
     groups: list[list[int]] = []
     cur: list[int] = []
     cur_rows = 0
@@ -2532,6 +2680,8 @@ def compact_table(
         "columns": meta["columns"],
         "schema": meta["schema"],
         "compaction": True,
+        # merged parts' pruning metadata folds here (O(created) reads)
+        "manifest": write_manifest(out_dir, created),
         "ts": time.time(),
     }
     _snapshot_log_append(out_dir, entry)
@@ -2638,7 +2788,9 @@ def optimize_table(
                 f"optimize where references unknown columns {bad_cols}; "
                 f"table has {meta['columns']}"
             )
-        affected = _prune_parts_conj(out_dir, wheres, live, part_meta(out_dir))
+        affected = _prune_parts_conj(
+            out_dir, wheres, live, part_meta(out_dir, parts=live)
+        )
         if not affected:
             return {"parts_removed": 0, "parts_created": 0, "n_rows": 0}
     # legacy (pre-snapshot-log) tables: root the log BEFORE rewrite parts
@@ -2683,7 +2835,7 @@ def optimize_table(
             "num_parts": len(entry["new_parts"]),
         })
     committed = _commit_snapshot_entry(
-        out_dir, entry, append=True, evolved_meta=new_meta
+        out_dir, entry, append=True, evolved_meta=new_meta, pm=pend.get("pm")
     )
     return {
         "parts_removed": len(affected),
@@ -3049,7 +3201,7 @@ def _upsert_rows_inner(
             if len(head) <= broadcast_keys:
                 keys = sorted(r[0] for r in head)
                 # exact membership can refute parts the range merely spans
-                pm = part_meta(out_dir)
+                pm = part_meta(out_dir, parts=affected)
                 affected = prune_parts_eq(
                     out_dir, key_col, keys, affected, part_vsets(out_dir, pm)
                 )
@@ -3118,6 +3270,9 @@ def _upsert_rows_inner(
     _commit_snapshot_entry(
         out_dir, entry, append=True,
         evolved_meta=pend_app["evolved_meta"] if pend_app else None,
+        # append parts' metadata rode the encode summary; rewrite parts
+        # fall back to their checkpoints inside write_manifest
+        pm=pend_app.get("pm") if pend_app else None,
     )
     return {
         "rows_deleted": pending_del["rows_deleted"],
@@ -3154,8 +3309,9 @@ def rollback_table(out_dir: str, snapshot_id: int) -> dict:
     # (one O(#parts) metadata read; this is a maintenance op). Refuse to
     # guess when any involved part's meta is unreadable — same posture
     # as table_column_stats (None, never a wrong number).
-    rows_of = {p: d["n_rows"] for p, d in part_meta(out_dir).items()}
     involved = set(target_parts) | set(cur)
+    pm = part_meta(out_dir, parts=sorted(involved), snaps=snaps)
+    rows_of = {p: d["n_rows"] for p, d in pm.items()}
     delta = (
         sum(rows_of[p] for p in target_parts) - sum(rows_of[p] for p in cur)
         if involved <= set(rows_of)
@@ -3175,7 +3331,9 @@ def rollback_table(out_dir: str, snapshot_id: int) -> dict:
         "schema": ss[1],
         "ts": time.time(),
     }
-    e = _commit_snapshot_entry(out_dir, entry, append=True)
+    # pm already covers every restored part — the rollback entry's
+    # manifest writes without re-reading a single checkpoint
+    e = _commit_snapshot_entry(out_dir, entry, append=True, pm=pm)
     return {
         "snapshot_id": e["id"],
         "restored": snapshot_id,
@@ -3208,7 +3366,7 @@ def table_column_stats(out_dir: str, snapshot_id: int | None = None) -> dict:
     parts = snapshot_parts(out_dir, snapshot_id, snaps=snaps)
     if parts is None:
         parts = sorted(completed_parts(out_dir))
-    pm = part_meta(out_dir)
+    pm = part_meta(out_dir, parts=parts, snaps=snaps)
     out: dict = {}
     for col in meta["columns"]:
         mn = mx = None
@@ -3385,6 +3543,15 @@ def vacuum_orphans(out_dir: str, *, include_pending: bool = False) -> dict:
                 ):
                     fs.remove(_j(d, f))
                     deleted += 1
+    # manifests no entry references: a crashed commit wrote one just
+    # before its log append — same orphan class as its part files
+    live_manifests = {s.get("manifest") for s in snaps} - {None}
+    mdir = _j(out_dir, MANIFESTDIR)
+    for f in fs.listdir(mdir):
+        if f.endswith(".parquet") and f not in live_manifests:
+            fs.remove(_j(mdir, f))
+            _MANIFEST_CACHE.pop(_j(mdir, f), None)
+            deleted += 1
     return {"files_deleted": deleted, "parts_vacuumed": len(orphans)}
 
 
@@ -3429,6 +3596,11 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
         referenced |= set(snapshot_parts(out_dir, s["id"], snaps=snaps))
     for sid in tagged:
         referenced |= set(snapshot_parts(out_dir, sid, snaps=snaps))
+    # fold surviving parts' pruning metadata BEFORE any file deletion:
+    # the squashed root and tag roots get CONSOLIDATED manifests (their
+    # original ones covered only their own new_parts, but as roots they
+    # now own full live sets; dropped entries' manifests die below)
+    pm_all = part_meta(out_dir, parts=sorted(referenced), snaps=snaps)
     deleted = 0
     fs = _get_fs(out_dir)
     blocks = _j(out_dir, "blocks")
@@ -3452,6 +3624,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     first.pop("rollback_of", None)  # ditto: restored parts fold into the root
     first.pop("tag_only", None)  # a retained root MUST replay to consumers
     first["parent"] = 0
+    first["manifest"] = write_manifest(out_dir, first["new_parts"], pm=pm_all)
     # tagged snapshots outside the window: materialized as standalone
     # roots, flagged so the changefeed never replays them (a fresh
     # consumer gets the retained root's rows; tagged roots overlap it)
@@ -3464,6 +3637,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
             t.pop(k, None)
         t["parent"] = 0
         t["tag_only"] = True
+        t["manifest"] = write_manifest(out_dir, t["new_parts"], pm=pm_all)
         tag_roots.append(t)
     squashed = sorted(tag_roots + [first], key=lambda s: s["id"]) + kept[1:]
     body = "".join(
@@ -3486,4 +3660,14 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
         legacy = _j(out_dir, "_snapshots.jsonl")
         if fs.exists(legacy):
             fs.remove(legacy)
+    # manifests of dropped entries (and the roots' superseded originals)
+    # die only AFTER the squash published — a crash before this point
+    # leaves orphan manifest files readers never consult (and part_meta
+    # treats a missing manifest as uncovered anyway); kept[1:] keep theirs
+    live_manifests = {s.get("manifest") for s in squashed} - {None}
+    mdir = _j(out_dir, MANIFESTDIR)
+    for f in fs.listdir(mdir):
+        if f.endswith(".parquet") and f not in live_manifests:
+            fs.remove(_j(mdir, f))
+            _MANIFEST_CACHE.pop(_j(mdir, f), None)
     return {"files_deleted": deleted, "snapshots_kept": len(squashed)}

@@ -2824,3 +2824,100 @@ def test_optimize_stamps_actual_num_parts(spark, tmp_path):
     meta = _json.load(open(_os.path.join(out, "_table_meta.json")))
     assert meta["num_parts"] == rep["parts_created"]
     assert meta["zorder_by"] == ["a", "b"]
+
+
+def test_manifest_pruned_planning_opens_o1_metadata(spark, tmp_path, monkeypatch):
+    """Snapshot manifests: planning a pruned decode of a 300-part table
+    reads ONE manifest file and ZERO per-part checkpoint files on the
+    driver (at 100k parts the per-part path would be a 100k-file listing
+    + footer parse per pruned read). The manifest's metadata must be
+    IDENTICAL to the checkpoint-derived metadata, so pruning decisions
+    cannot diverge."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec import engine
+
+    out = str(tmp_path / "mani")
+    n_parts = 300
+    df = spark.range(3000).select(
+        F.col("id"), (F.col("id") % n_parts).alias("g")
+    )
+    engine.encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                        num_parts=n_parts, target_part_rows=10, resume=False)
+    snaps = engine.snapshots(out)
+    assert snaps[-1].get("manifest")  # commit folded the manifest
+
+    calls = {"ckpt": 0, "mani": 0}
+    orig_c, orig_m = engine._checkpoint_prune_meta, engine._read_manifest
+
+    def count_c(*a):
+        calls["ckpt"] += 1
+        return orig_c(*a)
+
+    def count_m(*a):
+        calls["mani"] += 1
+        return orig_m(*a)
+
+    monkeypatch.setattr(engine, "_checkpoint_prune_meta", count_c)
+    monkeypatch.setattr(engine, "_read_manifest", count_m)
+    engine._MANIFEST_CACHE.clear()
+    dec = engine.decode_table(spark, out, where=("g", 5, 5))
+    assert calls["ckpt"] == 0, "pruned planning re-read per-part checkpoints"
+    assert calls["mani"] == 1  # one snapshot -> one manifest
+    assert dec.filter("g = 5").count() == 10  # still exact
+
+    # manifest metadata == checkpoint metadata, part for part (force the
+    # fallback by hiding the manifest field from the log entries)
+    live = engine.snapshot_parts(out)
+    probe = live[:20]
+    pm_mani = engine.part_meta(out, parts=probe)
+    bare = [dict(s, manifest=None) for s in engine.snapshots(out)]
+    pm_ckpt = engine.part_meta(out, parts=probe, snaps=bare)
+    assert {p: pm_mani[p] for p in probe} == {p: pm_ckpt[p] for p in probe}
+
+
+def test_manifest_lifecycle_expire_and_vacuum(spark, tmp_path):
+    """Manifests follow their entries through the table lifecycle: every
+    commit kind carries one; expire consolidates the squashed root's and
+    deletes dropped entries' files; vacuum reclaims a crashed commit's
+    orphan manifest; pruned reads stay correct throughout."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec import engine
+
+    out = str(tmp_path / "manilife")
+    df = spark.range(400).select(F.col("id"), (F.col("id") % 4).alias("g"))
+    engine.encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                        num_parts=4, target_part_rows=100, resume=False)
+    engine.encode_table(spark, df.withColumn("id", F.col("id") + 400), out,
+                        append=True, cluster_by=["g"], salt_by=["id"],
+                        num_parts=2, target_part_rows=200)
+    engine.delete_rows(spark, out, ("id", 0, 9))
+    engine.upsert_rows(spark, spark.createDataFrame(
+        [(5, 1), (9999, 2)], "id long, g long"),
+        out, "id", cluster_by=["g"], salt_by=["id"], num_parts=1)
+    for s in engine.snapshots(out):
+        assert s.get("manifest"), f"entry {s['id']} lacks a manifest"
+    mdir = _os.path.join(out, "_manifests")
+    # orphan manifest: crashed commit (deferred append never published)
+    engine.encode_table(spark, df.withColumn("id", F.col("id") + 9000), out,
+                        append=True, commit=False, resume=False,
+                        cluster_by=["g"], salt_by=["id"], num_parts=1)
+    orphan_manifest = engine.write_manifest(out, engine.snapshot_parts(out)[:1])
+    n_before = len(_os.listdir(mdir))
+    engine.vacuum_orphans(out, include_pending=True)
+    live_names = {s.get("manifest") for s in engine.snapshots(out)}
+    assert set(_os.listdir(mdir)) == live_names  # orphan reclaimed
+    assert len(_os.listdir(mdir)) < n_before
+    # expire: squashed root gets a CONSOLIDATED manifest; dead ones go
+    engine.expire_snapshots(out, keep_last=1)
+    snaps = engine.snapshots(out)
+    assert len(snaps) == 1 and snaps[0]["manifest"]
+    assert set(_os.listdir(mdir)) == {snaps[0]["manifest"]}
+    pm = engine.part_meta(out, parts=engine.snapshot_parts(out))
+    assert set(pm) == set(engine.snapshot_parts(out))
+    got = engine.decode_table(spark, out, where=("id", 5, 5)).filter(
+        "id = 5").collect()
+    assert [(r["id"], r["g"]) for r in got] == [(5, 1)]  # the upserted row

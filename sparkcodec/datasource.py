@@ -375,6 +375,90 @@ class SparkcodecStreamReader(DataSourceStreamReader):
         pass  # snapshot log is append-only; nothing to clean up
 
 
+class SparkcodecCDCStreamReader(DataSourceStreamReader):
+    """Changefeed in CDC mode (``.option("cdc", "true").option("key",
+    <col>)``): instead of replaying appended ROWS, each micro-batch
+    delivers change EVENTS ``(key, _op, _snapshot_id, _n)`` for the
+    snapshots in (start, end] — including the delete events the
+    append-only feed cannot express (takedown / right-to-erasure
+    propagation). Deletes are the exact per-key multiset diff of a
+    snapshot's removed parts against its rewrite survivors
+    (engine._cdc_plan, same semantics as the batch
+    ``engine.table_changes``); a merged key shows as delete(preimage) +
+    insert(new row). Each task diffs ONE snapshot's changed parts,
+    decoding only the key column — memory is bounded by that snapshot's
+    distinct changed keys; for bulk historical diffs use the batch API,
+    which aggregates via a full shuffle instead."""
+
+    def __init__(self, options, schema):
+        self.out_dir = options.get("path")
+        if not self.out_dir:
+            raise ValueError("sparkcodec stream reader requires .load(<blocks dir>)")
+        self.key_col = options.get("key")
+        if not self.key_col:
+            raise ValueError('cdc mode requires .option("key", "<column>")')
+
+    def initialOffset(self):
+        return {"snapshot": 0}
+
+    def latestOffset(self):
+        from .engine import snapshots
+
+        snaps = snapshots(self.out_dir)
+        return {"snapshot": snaps[-1]["id"] if snaps else 0}
+
+    def partitions(self, start, end):
+        from .engine import _cdc_plan, snapshots
+
+        plan = _cdc_plan(
+            snapshots(self.out_dir), start["snapshot"], end["snapshot"]
+        )
+        by_sid: dict[int, list] = {}
+        for row in plan:
+            by_sid.setdefault(row[0], []).append(row)
+        if not by_sid:
+            return [InputPartition([])]
+        return [InputPartition(rows) for _sid, rows in sorted(by_sid.items())]
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        from .engine import _DECODE_ARROW_OF, _decode_part_batches
+
+        if not partition.value:
+            return
+        meta = _load_meta(self.out_dir)
+        key_arrow = _DECODE_ARROW_OF[meta["schema"][self.key_col]]
+        key_schema = pa.schema([(self.key_col, key_arrow)])
+        out_schema = pa.schema([
+            (self.key_col, key_arrow), ("_op", pa.string()),
+            ("_snapshot_id", pa.int64()), ("_n", pa.int64()),
+        ])
+        sid = partition.value[0][0]
+        ins: dict = {}
+        dels: dict = {}
+        for _sid, pid, w, ch in partition.value:
+            acc = ins if ch == "insert" else dels
+            for b in _decode_part_batches(
+                self.out_dir, [self.key_col], key_schema, pid
+            ):
+                for v in b.column(0).to_pylist():
+                    acc[v] = acc.get(v, 0) + w
+        rows = [
+            {self.key_col: k, "_op": "insert", "_snapshot_id": sid, "_n": n}
+            for k, n in ins.items()
+        ] + [
+            {self.key_col: k, "_op": "delete", "_snapshot_id": sid, "_n": n}
+            for k, n in dels.items()
+            if n > 0
+        ]
+        if rows:
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    def commit(self, end):
+        pass  # snapshot log is append-only; nothing to clean up
+
+
 @dataclass
 class _PartCommit(WriterCommitMessage):
     part_id: int
@@ -557,6 +641,12 @@ class SparkcodecDataSource(DataSource):
     intersects ``where``). Parts and blocks outside every predicate are
     never decoded (zone maps + value sets + blooms); pruning is
     conservative, so compose with ``.filter`` for exactness.
+
+    CDC: ``spark.readStream ... .option("cdc", "true").option("key",
+    "doc_id")`` switches the changefeed from replaying appended rows to
+    delivering change EVENTS ``(key, _op, _snapshot_id, _n)`` including
+    DELETE events (see :class:`SparkcodecCDCStreamReader`); the batch
+    twin is ``engine.table_changes``.
     """
 
     @classmethod
@@ -566,6 +656,20 @@ class SparkcodecDataSource(DataSource):
     def schema(self):
         from .engine import _SPARK_TYPE_OF, _resolve_snapshot_meta
 
+        if (self.options.get("cdc") or "").lower() == "true":
+            # CDC change-event schema: key + op/snapshot/count metadata
+            key = self.options.get("key")
+            if not key:
+                raise ValueError('cdc mode requires .option("key", "<column>")')
+            meta = _load_meta(self.options.get("path"))
+            if key not in meta["schema"]:
+                raise ValueError(
+                    f"cdc key {key!r} not in table columns {meta['columns']}"
+                )
+            return (
+                f"`{key}` {_SPARK_TYPE_OF[meta['schema'][key]]}, "
+                f"`_op` string, `_snapshot_id` long, `_n` long"
+            )
         # Spark may call schema() repeatedly while planning one read:
         # compute the snapshot-schema overlay (one log read) once per
         # DataSource instance
@@ -599,6 +703,8 @@ class SparkcodecDataSource(DataSource):
         return SparkcodecReader(self.options, schema)
 
     def streamReader(self, schema):
+        if (self.options.get("cdc") or "").lower() == "true":
+            return SparkcodecCDCStreamReader(self.options, schema)
         return SparkcodecStreamReader(self.options, schema)
 
     def writer(self, schema, overwrite):

@@ -3342,6 +3342,136 @@ def rollback_table(out_dir: str, snapshot_id: int) -> dict:
     }
 
 
+def _cdc_plan(snaps: list[dict], start: int, end: int | None) -> list[tuple]:
+    """(snapshot_id, part_id, weight, channel) rows describing the change
+    events of snapshots in (start, end] — the shared planning step of the
+    batch :func:`table_changes` and the stream reader's cdc mode.
+
+    Per snapshot: ``insert`` channel = parts carrying genuinely new rows
+    (``append_parts`` when recorded, else ``new_parts`` of plain
+    appends); ``delete`` channel = the rows of ``removed_parts`` (+1)
+    MINUS the rewrite survivors (new parts that are not appends, -1) —
+    a per-key multiset diff, so a key replaced by a merge shows as one
+    delete (preimage) plus one insert (new row), and a key merely
+    carried through a rewrite cancels to zero. Compaction, rollback, and
+    materialized tag roots rearrange existing rows and emit nothing
+    (same skip set as the append changefeed)."""
+    plan: list[tuple] = []
+    for s in snaps:
+        sid = s["id"]
+        if not (start < sid and (end is None or sid <= end)):
+            continue
+        if s.get("compaction") or s.get("tag_only") or s.get("rollback_of"):
+            continue
+        removed = s.get("removed_parts") or []
+        if s.get("append_parts") is not None:
+            appends = s["append_parts"]
+        else:
+            appends = [] if removed else s["new_parts"]
+        aset = set(appends)
+        for p in appends:
+            plan.append((sid, int(p), 1, "insert"))
+        for p in removed:
+            plan.append((sid, int(p), 1, "delete"))
+        for p in s["new_parts"]:
+            if p not in aset:
+                plan.append((sid, int(p), -1, "delete"))
+    return plan
+
+
+def _cdc_key_kernel(out_dir: str, key_col: str, key_arrow):
+    """mapInArrow kernel: (sid, pid, w, ch) plan rows -> per-part
+    PRE-AGGREGATED (snapshot_id, key, ch, n) counts (map-side combine:
+    the shuffle ships one row per distinct key per part, never raw
+    rows). Decodes ONLY the key column."""
+    key_schema = pa.schema([(key_col, key_arrow)])
+    out_schema = pa.schema([
+        ("snapshot_id", pa.int64()), ("__k", key_arrow),
+        ("ch", pa.string()), ("n", pa.int64()),
+    ])
+
+    def kernel(batches):
+        for batch in batches:
+            for sid, pid, w, ch in zip(
+                batch.column("sid").to_pylist(), batch.column("pid").to_pylist(),
+                batch.column("w").to_pylist(), batch.column("ch").to_pylist(),
+            ):
+                counts: dict = {}
+                for b in _decode_part_batches(out_dir, [key_col], key_schema, pid):
+                    for v in b.column(0).to_pylist():
+                        counts[v] = counts.get(v, 0) + w
+                if counts:
+                    yield pa.RecordBatch.from_pylist(
+                        [
+                            {"snapshot_id": sid, "__k": k, "ch": ch, "n": n}
+                            for k, n in counts.items()
+                        ],
+                        schema=out_schema,
+                    )
+
+    return kernel
+
+
+def table_changes(
+    spark: SparkSession,
+    out_dir: str,
+    key_col: str,
+    start_snapshot: int = 0,
+    end_snapshot: int | None = None,
+) -> DataFrame:
+    """CDC view of the table (the Delta ``table_changes`` posture): one
+    row per (snapshot, key, op) for snapshots in ``(start_snapshot,
+    end_snapshot]``, with ``n`` = affected row count. ``op='insert'``
+    rows are the keys of genuinely appended parts; ``op='delete'`` rows
+    are the keys a delete/merge removed, computed as an exact per-key
+    multiset diff of removed parts against their rewrite survivors —
+    only the KEY COLUMN of the involved parts is ever decoded, and the
+    diff is a distributed aggregation (no driver materialization, no
+    key-count ceiling). A key a merge replaced appears as BOTH a delete
+    (preimage) and an insert (new row), so downstream takedown /
+    right-to-erasure propagation and incremental consumers get removals
+    without a full re-read — the append-only changefeed cannot express
+    them. Rollback snapshots emit nothing (consumers that must follow a
+    rollback should resync from the restored snapshot)."""
+    meta = _read_json(_j(out_dir, "_table_meta.json"))
+    if key_col not in meta["columns"]:
+        raise ValueError(
+            f"unknown key column {key_col!r}; table has {meta['columns']}"
+        )
+    plan = _cdc_plan(snapshots(out_dir), start_snapshot, end_snapshot)
+    key_arrow = _DECODE_ARROW_OF[meta["schema"][key_col]]
+    key_spark = _SPARK_TYPE_OF[meta["schema"][key_col]]
+    out_fields = (
+        f"snapshot_id long, {key_col} {key_spark}, op string, n long"
+    )
+    if not plan:
+        return spark.createDataFrame([], out_fields)
+    plan_df = spark.createDataFrame(
+        plan, "sid long, pid int, w int, ch string"
+    ).repartition(
+        max(1, min(len(plan), 4 * spark.sparkContext.defaultParallelism))
+    )
+    per_part = plan_df.mapInArrow(
+        _cdc_key_kernel(out_dir, key_col, key_arrow),
+        f"snapshot_id long, __k {key_spark}, ch string, n long",
+    )
+    agg = per_part.groupBy("snapshot_id", "__k", "ch").agg(
+        F.sum("n").alias("n")
+    )
+    # inserts keep their counts; deletes survive only where the multiset
+    # diff is positive (rows present before the snapshot, absent after)
+    out = agg.filter(
+        (F.col("ch") == "insert") | (F.col("n") > 0)
+    ).select(
+        "snapshot_id",
+        F.col("__k").alias(key_col),
+        F.when(F.col("ch") == "insert", F.lit("insert"))
+        .otherwise(F.lit("delete")).alias("op"),
+        "n",
+    )
+    return out
+
+
 def table_column_stats(out_dir: str, snapshot_id: int | None = None) -> dict:
     """EXACT per-column statistics from checkpoint metadata alone — no
     payload decode, one O(#parts) read (the Iceberg table-stats idiom):

@@ -2116,3 +2116,65 @@ GROUP BY lang
 
 QUERIES["tagged_snapshot_read"] = q_tagged_snapshot_read
 ORACLES["tagged_snapshot_read"] = SQL_TAGGED_SNAPSHOT_READ
+
+
+def q_cdc_changes(spark, sf_dir):
+    """CDC end-to-end: encode all documents (snapshot 1), DELETE a
+    doc_id range (snapshot 2), MERGE an every-10th-doc batch (snapshot
+    3), then read the change events through engine.table_changes — the
+    Delta-CDF-style view whose delete events the append-only changefeed
+    cannot express. Deletes are the exact per-key multiset diff of
+    removed parts vs rewrite survivors, computed as a distributed
+    aggregation over the KEY COLUMN only. The oracle recomputes each
+    (snapshot, op) group's key count, row sum, and key span from the
+    source table: snapshot 2 deletes exactly the range; snapshot 3
+    deletes exactly the still-live merged keys (the range-deleted ones
+    are inserts only) and inserts the whole batch."""
+    from .engine import delete_rows, encode_table, table_changes, upsert_rows
+
+    d = _t(spark, sf_dir, "documents")
+    import hashlib
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sparkcodec_cdc_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    kw = dict(cluster_by=["lang"], salt_by=["doc_id"],
+              sort_by=["lang", "doc_id"])
+    encode_table(spark, d, out, num_parts=4, resume=False, **kw)
+    delete_rows(spark, out, ("doc_id", 100, 199))
+    batch = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1
+    )
+    upsert_rows(spark, batch, out, "doc_id", num_parts=2, **kw)
+    ch = table_changes(spark, out, "doc_id")
+    return ch.groupBy("snapshot_id", "op").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.min("doc_id").alias("min_key"),
+        F.max("doc_id").alias("max_key"),
+    )
+
+
+SQL_CDC_CHANGES = """
+SELECT * FROM (
+    SELECT 1 AS snapshot_id, 'insert' AS op, count(*) AS n_keys,
+           count(*) AS n_rows, min(doc_id) AS min_key, max(doc_id) AS max_key
+    FROM documents
+    UNION ALL
+    SELECT 2, 'delete', count(*), count(*), min(doc_id), max(doc_id)
+    FROM documents WHERE doc_id BETWEEN 100 AND 199
+    UNION ALL
+    SELECT 3, 'insert', count(*), count(*), min(doc_id), max(doc_id)
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT 3, 'delete', count(*), count(*), min(doc_id), max(doc_id)
+    FROM documents WHERE doc_id % 10 = 0 AND doc_id NOT BETWEEN 100 AND 199
+) t WHERE n_keys > 0
+"""
+
+QUERIES["cdc_changes"] = q_cdc_changes
+ORACLES["cdc_changes"] = SQL_CDC_CHANGES

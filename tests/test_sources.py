@@ -914,3 +914,59 @@ def test_stream_reader_where_any_dnf(spark, tmp_path):
     ).count()
     assert n_exact == 500  # 250 per g in the id range
     assert n_exact <= got.count() < 4000, got.count()
+
+
+def test_table_changes_and_cdc_stream(spark, tmp_path):
+    """CDC semantics: appends emit inserts; a range delete emits exactly
+    the removed keys; a merge emits delete(preimage) + insert(new) for
+    replaced keys and insert-only for new keys; keys merely carried
+    through a rewrite cancel to zero. The stream reader's cdc mode
+    delivers the same events per snapshot."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import (
+        delete_rows,
+        encode_table,
+        table_changes,
+        upsert_rows,
+    )
+
+    spark.dataSource.register(SparkcodecDataSource)
+    out = str(tmp_path / "cdc")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("g"))
+    kw = dict(cluster_by=["g"], salt_by=["id"], num_parts=3)
+    encode_table(spark, df, out, resume=False, **kw)          # snapshot 1
+    delete_rows(spark, out, ("id", 10, 19))                   # snapshot 2
+    up = spark.createDataFrame([(5, 0), (200, 0)], "id long, g long")
+    upsert_rows(spark, up, out, "id", **kw)                   # snapshot 3
+
+    ch = table_changes(spark, out, "id").collect()
+    ev = {(r["snapshot_id"], r["op"], r["id"]): r["n"] for r in ch}
+    assert sum(n for (s, o, _k), n in ev.items() if s == 1 and o == "insert") == 100
+    s2_dels = sorted(k for (s, o, k) in ev if s == 2 and o == "delete")
+    assert s2_dels == list(range(10, 20))
+    assert not any(s == 2 and o == "insert" for (s, o, _k) in ev)
+    assert sorted(k for (s, o, k) in ev if s == 3 and o == "insert") == [5, 200]
+    # preimage delete for the replaced key ONLY — key 200 was new, and
+    # the rewrite's carried-through keys (rest of 5's part) cancel out
+    assert sorted(k for (s, o, k) in ev if s == 3 and o == "delete") == [5]
+    # start/end bounds
+    assert all(
+        r["snapshot_id"] == 3
+        for r in table_changes(spark, out, "id", start_snapshot=2).collect()
+    )
+
+    # stream cdc mode: same events, delivered per snapshot
+    sink = str(tmp_path / "cdc_sink")
+    ck = str(tmp_path / "cdc_ck")
+    q = (
+        spark.readStream.format("sparkcodec")
+        .option("cdc", "true").option("key", "id").load(out)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    sev = {(r["_snapshot_id"], r["_op"], r["id"]): r["_n"] for r in got}
+    assert sev == ev

@@ -553,6 +553,200 @@ def _with_writer_lock(op: str):
     return deco
 
 
+def _with_concurrency(op: str):
+    """Decorator for mutating ops that support BOTH concurrency modes:
+
+    - ``concurrency="exclusive"`` (default): hold the single-writer
+      lease for the whole operation — every prior round's behavior.
+    - ``concurrency="optimistic"``: run the heavy work (encode /
+      rewrite) WITHOUT the table lock — the Iceberg optimistic-commit
+      shape. Disjointness of the written files is guaranteed up front by
+      a part-id range reservation (:func:`reserve_part_range`), and the
+      snapshot publish happens inside a SHORT validated critical
+      section (:func:`_acquire_writer_lock_blocking`) that re-resolves
+      the tip and refuses on a real conflict. Non-conflicting writers
+      (append ∥ append, append ∥ compaction) therefore ALL commit and
+      the log linearizes; conflicting pairs still refuse loudly.
+    """
+    import functools
+    import inspect
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            mode = kwargs.get("concurrency", "exclusive")
+            if mode not in ("exclusive", "optimistic"):
+                raise ValueError(
+                    f"concurrency must be 'exclusive' or 'optimistic', "
+                    f"got {mode!r}"
+                )
+            if mode == "optimistic":
+                return fn(*args, **kwargs)
+            out_dir = sig.bind_partial(*args, **kwargs).arguments["out_dir"]
+            tok = _acquire_writer_lock(out_dir, op)
+            try:
+                return fn(*args, **kwargs)
+            finally:
+                _release_writer_lock(out_dir, tok)
+
+        return wrapper
+
+    return deco
+
+
+def _acquire_writer_lock_blocking(
+    out_dir: str,
+    op: str,
+    timeout: float = 120.0,
+    lease_sec: float = 300.0,
+) -> str:
+    """Take the writer lease, waiting out short-lived holders (other
+    committers' critical sections, a running exclusive op) with jittered
+    exponential backoff instead of failing on first contention — the
+    commit half of the optimistic protocol. Raises
+    :class:`ConcurrentWriterError` only after ``timeout``."""
+    import random
+
+    deadline = time.time() + timeout
+    delay = 0.05
+    while True:
+        try:
+            tok = _acquire_writer_lock(out_dir, op, lease_sec=lease_sec)
+            # a None token means the CALLING thread already holds the
+            # lease (reentrant) — valid here too: release is a no-op
+            return tok
+        except ConcurrentWriterError:
+            if time.time() >= deadline:
+                raise
+            time.sleep(delay * (0.5 + random.random()))
+            delay = min(delay * 2, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# part-id range reservations (optimistic writers)
+#
+# An optimistic writer encodes WITHOUT the table lock, so two of them (or
+# one plus an exclusive writer that computes base = max(completed)+1 under
+# the lock) must never write the same blocks/<col>/part_<id>.parquet. The
+# reservation is a tiny conditional-PUT object `_reservations/<base>.json`
+# claiming the half-open id range [base, base+n): exactly one claimant
+# wins a given base (fs.create_exclusive — O_EXCL locally, If-None-Match
+# on object stores), the loser re-lists and claims past the winner's end.
+# The file also shields the range's in-flight part files from
+# vacuum_orphans/expire_snapshots until the reservation is released at
+# commit or its lease expires (crashed writer — same trade as the writer
+# lease: a >lease_sec encode must pass a bigger lease_sec).
+
+RESERVDIR = "_reservations"
+
+
+def _reservations(out_dir: str, *, prune_expired: bool = True) -> list[dict]:
+    """Unexpired reservations of ``out_dir``, base-ordered. Expired ones
+    are deleted best-effort (their orphan parts become vacuumable);
+    unreadable bodies are kept and treated as live (conservative — the
+    FS publishes bodies atomically, so this is a transient at worst)."""
+    fs = _get_fs(out_dir)
+    d = _j(out_dir, RESERVDIR)
+    now = time.time()
+    out = []
+    for name in fs.listdir(d):
+        if not name.endswith(".json"):
+            continue
+        path = _j(d, name)
+        try:
+            r = json.loads(fs.read_bytes(path))
+        except FileNotFoundError:
+            continue  # released between list and read
+        except Exception:
+            stem = name[: -len(".json")]
+            r = {"base": int(stem) if stem.isdigit() else 0, "n": 1,
+                 "ts": now, "lease_sec": _LOCK_LEASE_SEC}
+        if now - r.get("ts", now) > r.get("lease_sec", _LOCK_LEASE_SEC):
+            if prune_expired:
+                try:
+                    fs.remove(path)
+                except FileNotFoundError:
+                    pass
+            continue
+        out.append(r)
+    return sorted(out, key=lambda r: r["base"])
+
+
+def reserved_parts(out_dir: str) -> set[int]:
+    """Part ids inside unexpired reservations — in-flight optimistic
+    writers' ranges, which vacuum/expire must not reclaim."""
+    out: set[int] = set()
+    for r in _reservations(out_dir):
+        out.update(range(r["base"], r["base"] + r["n"]))
+    return out
+
+
+def reserve_part_range(
+    out_dir: str, n: int, op: str, lease_sec: float = _LOCK_LEASE_SEC
+) -> dict:
+    """Claim the next free part-id range [base, base+n) via conditional
+    PUT; returns the reservation record. See the section comment."""
+    fs = _get_fs(out_dir)
+    fs.makedirs(_j(out_dir, RESERVDIR))
+    for _ in range(64):
+        floor = 0
+        done = completed_parts(out_dir)
+        if done:
+            floor = max(done) + 1
+        for s in snapshots(out_dir):
+            np_ = s.get("new_parts") or []
+            if np_:
+                floor = max(floor, max(np_) + 1)
+        for r in _reservations(out_dir):
+            floor = max(floor, r["base"] + r["n"])
+        res = {
+            "base": floor,
+            "n": int(n),
+            "owner": uuid.uuid4().hex,
+            "op": op,
+            "pid": os.getpid(),
+            "ts": time.time(),
+            "lease_sec": lease_sec,
+        }
+        if fs.create_exclusive(
+            _j(out_dir, RESERVDIR, f"{floor:010d}.json"),
+            json.dumps(res, separators=(",", ":")).encode(),
+        ):
+            return res
+        # lost the race for this base: re-list (the winner's reservation
+        # now raises the floor) and claim past it
+    raise ConcurrentWriterError(
+        f"could not reserve a part-id range at {out_dir} after 64 attempts "
+        f"(pathological reservation contention)"
+    )
+
+
+def release_part_range(out_dir: str, res: dict | None) -> None:
+    """Drop a reservation — call ONLY after its parts are committed (or
+    were never written): a failed run keeps its reservation so no writer
+    reuses ids that half-written files may occupy; the lease expiry +
+    vacuum reclaim that case."""
+    if not res:
+        return
+    fs = _get_fs(out_dir)
+    try:
+        fs.remove(_j(out_dir, RESERVDIR, f"{res['base']:010d}.json"))
+    except FileNotFoundError:
+        pass
+
+
+def _base_above_reservations(out_dir: str, floor: int) -> int:
+    """Raise an EXCLUSIVE writer's first part id above every unexpired
+    optimistic reservation: the reserved ranges may have no checkpoints
+    on disk yet (their writer is mid-encode, lock-free), so the usual
+    max(completed)+1 floor cannot see them."""
+    for r in _reservations(out_dir, prune_expired=False):
+        floor = max(floor, r["base"] + r["n"])
+    return floor
+
+
 def legacy_root_parts(out_dir: str, parts: list[int], base: int) -> list[int]:
     """Widen a commit that ROOTS the snapshot log of a pre-snapshot table:
     the entry must carry the legacy parts below ``base`` too, or
@@ -1311,6 +1505,42 @@ def _commit_snapshot_entry(
     return e
 
 
+def _commit_optimistic_append(
+    out_dir: str,
+    entry: dict,
+    meta: dict,
+    pm: dict | None,
+    res: dict | None,
+) -> dict:
+    """The short validated critical section of an optimistic append: take
+    the writer lease (waiting out other committers), re-resolve the
+    table meta AT THE COMMIT POINT — a concurrent writer may have
+    evolved it since this run planned, so evolution is re-checked and
+    re-merged against the CURRENT meta (never the stale one this run
+    started from, which would clobber a concurrent widen) — publish the
+    entry on the current tip, then release the lease and the part-range
+    reservation. An append adds only its reserved parts, so it never
+    conflicts on data; the only refusal is a genuine schema conflict
+    (retyped shared column), surfaced by check_schema_evolution."""
+    tok = _acquire_writer_lock_blocking(out_dir, "commit")
+    try:
+        cur = _read_json(_j(out_dir, "_table_meta.json"))
+        evolved = None
+        if cur["schema"] != meta["schema"] or cur["columns"] != meta["columns"]:
+            check_schema_evolution(cur, meta["schema"], meta["columns"])
+            evolved = merge_evolved_meta(
+                cur, meta["schema"], meta["columns"],
+                meta.get("field_metadata"),
+            )
+        e = _commit_snapshot_entry(
+            out_dir, entry, append=True, evolved_meta=evolved, pm=pm
+        )
+    finally:
+        _release_writer_lock(out_dir, tok)
+    release_part_range(out_dir, res)
+    return e
+
+
 def _ensure_snapshot_root(out_dir: str, live: list[int], meta: dict) -> None:
     """Root the snapshot log of a pre-snapshot (legacy) table with its
     current live set BEFORE any copy-on-write rewrite is written: from
@@ -1345,7 +1575,7 @@ def completed_parts(out_dir: str) -> set[int]:
     return out
 
 
-@_with_writer_lock("encode")
+@_with_concurrency("encode")
 def encode_table(
     spark: SparkSession,
     df: DataFrame,
@@ -1365,6 +1595,7 @@ def encode_table(
     append: bool = False,
     snapshot_extra: dict | None = None,
     commit: bool = True,
+    concurrency: str = "exclusive",
 ) -> dict:
     """Encode ``df`` into a blocks table at ``out_dir``; returns metrics.
 
@@ -1415,6 +1646,18 @@ def encode_table(
     ``_commit_snapshot_entry`` — this is how ``upsert_rows`` folds an
     append and a copy-on-write delete into ONE atomic snapshot. Until
     the caller commits, the written parts are invisible orphans.
+
+    ``concurrency="optimistic"`` (append-only, clustered/z-order
+    layouts, snapshot-logged tables): the encode runs WITHOUT the
+    single-writer lease — part-file disjointness comes from a part-id
+    range reservation (:func:`reserve_part_range`) instead — and the
+    snapshot publishes inside a short validated critical section
+    (:func:`_commit_optimistic_append`) that re-resolves the tip, so
+    concurrent appends (and an append concurrent with a compaction)
+    ALL commit and the log linearizes; a genuine conflict (retyped
+    shared column) still refuses. The trade vs exclusive mode: a
+    CRASHED optimistic append is not resumable — its orphan parts sit
+    protected behind the reservation lease until vacuum reclaims them.
     """
     cols = df.columns
     zb_shift = 0
@@ -1468,6 +1711,46 @@ def encode_table(
     # object-store filesystems (fs.register_filesystem) both work —
     # workers resolve the same registry at decode/encode kernel time
     fs = _get_fs(out_dir)
+    optimistic = concurrency == "optimistic"
+    res = None
+    if optimistic:
+        # the lock-free path needs (a) an existing snapshot-logged table
+        # so the commit composes as a delta on the tip, (b) a layout
+        # whose part count is known up front to reserve, (c) no deferred
+        # commit (that seam belongs to upsert, which is exclusive), and
+        # (d) no crashed-exclusive pending marker whose resume would
+        # overlap our ids
+        if not append:
+            raise ValueError(
+                "concurrency='optimistic' requires append=True — table "
+                "creation and fresh-run resets are inherently exclusive"
+            )
+        if layout == "aligned":
+            raise ValueError(
+                "optimistic appends require the clustered/z-order layouts "
+                "(the aligned layout's part count is only known at scan "
+                "time, so its id range cannot be reserved up front)"
+            )
+        if not commit:
+            raise ValueError(
+                "concurrency='optimistic' cannot defer its commit "
+                "(commit=False): the validated critical section IS the "
+                "commit"
+            )
+        if not fs.exists(_j(out_dir, "_table_meta.json")) or not snapshots(
+            out_dir
+        ):
+            raise ValueError(
+                "optimistic append requires an existing snapshot-logged "
+                "table (first write it with the default exclusive mode)"
+            )
+        if fs.exists(_j(out_dir, "_pending_append.json")):
+            raise ConcurrentWriterError(
+                f"table at {out_dir} has a crashed exclusive append "
+                f"pending resume; finish it (append with resume=True) or "
+                f"reclaim it (vacuum_orphans include_pending=True) before "
+                f"appending optimistically"
+            )
     # a fresh (resume=False, non-append) run must not leave stale parts
     # from an earlier run behind: completed_parts() would blend them into
     # decode output
@@ -1573,7 +1856,14 @@ def encode_table(
             meta.update(merged)
             evolved_meta = meta
         existing = completed_parts(out_dir)
-        if resume and fs.exists(pending_path):
+        if optimistic:
+            # lock-free: disjointness by reservation, not by lock-held
+            # max(completed)+1; no shared pending marker (two optimistic
+            # appends would clobber it), hence no crashed-run resume
+            res = reserve_part_range(out_dir, num_parts, "encode")
+            base = res["base"]
+            done = set()
+        elif resume and fs.exists(pending_path):
             pend = _read_json(pending_path)
             if pend.get("config") != run_config:
                 raise ValueError(
@@ -1583,9 +1873,15 @@ def encode_table(
                 )
             base = pend["base"]
         else:
-            base = (max(existing) + 1) if existing else 0
+            base = _base_above_reservations(
+                out_dir, (max(existing) + 1) if existing else 0
+            )
             _atomic_write_json(pending_path, {"base": base, "config": run_config})
-        done = {p for p in existing if p >= base} if resume else set()
+        done = (
+            {p for p in existing if p >= base}
+            if resume and not optimistic
+            else set()
+        )
     else:
         if resume and fs.exists(meta_path):
             prev = _read_json(meta_path)
@@ -1767,13 +2063,24 @@ def encode_table(
             for r in rows
         }
         if commit:
-            _commit_snapshot_entry(
-                out_dir, entry, append=append, evolved_meta=evolved_meta,
-                pm=pm_new,
-            )
-    for p in (pending_path, _j(out_dir, "_aligned_fingerprint_append")):
-        if fs.exists(p):
-            fs.remove(p)
+            if optimistic:
+                _commit_optimistic_append(out_dir, entry, meta, pm_new, res)
+            else:
+                _commit_snapshot_entry(
+                    out_dir, entry, append=append, evolved_meta=evolved_meta,
+                    pm=pm_new,
+                )
+    elif optimistic:
+        # a no-op optimistic run (empty df) committed nothing: release
+        # the reservation now — nothing was written under it
+        release_part_range(out_dir, res)
+    if not optimistic:
+        # an optimistic run must not remove a pending marker a CONCURRENT
+        # exclusive append may have written mid-flight (its resume relies
+        # on it); exclusive runs own these markers as before
+        for p in (pending_path, _j(out_dir, "_aligned_fingerprint_append")):
+            if fs.exists(p):
+                fs.remove(p)
     result = {
         "parts_encoded": len(rows),
         "parts_skipped": len(done),
@@ -2589,11 +2896,13 @@ def watch_encode(out_dir: str, num_parts: int | None = None, interval: float = 1
 # ~8 MB — see BENCH.md)
 
 
-@_with_writer_lock("compact")
+@_with_concurrency("compact")
 def compact_table(
     spark: SparkSession,
     out_dir: str,
     target_part_rows: int = 262_144,
+    concurrency: str = "exclusive",
+    _pre_commit_hook=None,
 ) -> dict:
     """Merge small live parts into bigger ones as a NEW snapshot.
 
@@ -2604,10 +2913,27 @@ def compact_table(
     left alone. One Spark job: each task decodes its group's parts and
     re-encodes them through the standard part kernel (codec re-selection
     included — merged parts may pick better codecs from fuller samples).
+
+    ``concurrency="optimistic"``: the rewrite runs WITHOUT the table
+    lock (new-part ids from a range reservation), and the commit is a
+    short validated critical section that re-resolves the tip: if every
+    part this compaction replaces is STILL live there (concurrent
+    appends are — their parts are untouched), it commits on the new
+    tip; if a concurrent commit removed or rewrote any of them (a
+    DELETE, MERGE, another compaction), it raises
+    :class:`ConcurrentWriterError` and the rewritten files stay as
+    vacuumable orphans. ``_pre_commit_hook`` is a test seam invoked
+    just before the critical section (deterministic interleaving).
     """
+    optimistic = concurrency == "optimistic"
     meta = _read_json(_j(out_dir, "_table_meta.json"))
     live = snapshot_parts(out_dir)
     if live is None:
+        if optimistic:
+            raise ValueError(
+                "optimistic compaction requires a snapshot-logged table "
+                "(rooting a legacy table's log is an exclusive operation)"
+            )
         live = sorted(completed_parts(out_dir))
     # legacy (pre-snapshot-log) tables: root the log with the current
     # live set BEFORE any merged part lands — otherwise readers on the
@@ -2631,7 +2957,18 @@ def compact_table(
     if not groups:
         return {"groups": 0, "parts_removed": 0, "parts_created": 0}
 
-    base = max(max(live), max(completed_parts(out_dir), default=0)) + 1
+    res = None
+    if optimistic:
+        # lock-free rewrite: new-part ids come from a range reservation,
+        # so neither a concurrent exclusive append (base computed under
+        # the lock) nor another reservation can collide with ours
+        res = reserve_part_range(out_dir, len(groups), "compact")
+        base = res["base"]
+    else:
+        base = _base_above_reservations(
+            out_dir,
+            max(max(live), max(completed_parts(out_dir), default=0)) + 1,
+        )
     columns = meta["columns"]
     arrow_schema = pa.schema(
         [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
@@ -2668,10 +3005,7 @@ def compact_table(
     ).collect()
     removed = sorted(p for g in groups for p in g)
     created = sorted(r["part_id"] for r in summary)
-    snaps = snapshots(out_dir)  # never empty: rooted above before the rewrite
-    entry = {
-        "id": snaps[-1]["id"] + 1,
-        "parent": snaps[-1]["id"],
+    body = {
         "new_parts": created,
         "removed_parts": removed,
         "n_rows": sum(r["n_rows"] for r in summary),
@@ -2680,11 +3014,53 @@ def compact_table(
         "columns": meta["columns"],
         "schema": meta["schema"],
         "compaction": True,
-        # merged parts' pruning metadata folds here (O(created) reads)
+        # merged parts' pruning metadata folds here (O(created) reads);
+        # written BEFORE the publish point, so a crash or a refused
+        # optimistic commit leaves only an orphan manifest
         "manifest": write_manifest(out_dir, created),
         "ts": time.time(),
     }
-    _snapshot_log_append(out_dir, entry)
+    if optimistic:
+        if _pre_commit_hook is not None:
+            _pre_commit_hook()
+        tok = _acquire_writer_lock_blocking(out_dir, "commit")
+        try:
+            # validate AT THE TIP: every part this rewrite replaces must
+            # still be live there — concurrent appends are fine (their
+            # parts are untouched and stay live through this entry), but
+            # a DELETE/MERGE/compaction that removed or rewrote any of
+            # them makes our merged copies resurrect dead rows
+            cur_live = set(snapshot_parts(out_dir) or ())
+            gone = sorted(p for p in removed if p not in cur_live)
+            if gone:
+                raise ConcurrentWriterError(
+                    f"optimistic compaction at {out_dir} lost its race: "
+                    f"parts {gone[:8]}{'...' if len(gone) > 8 else ''} "
+                    f"were removed or rewritten by a concurrent commit "
+                    f"since this rewrite planned; its files stay as "
+                    f"orphans (vacuumable once the reservation lease "
+                    f"expires) — re-run the compaction on the new tip"
+                )
+            # schema may have evolved concurrently (nullable widen by an
+            # append); compaction never changes schema, so stamp the
+            # entry with the CURRENT meta, not the planning-time one
+            cur_meta = _read_json(_j(out_dir, "_table_meta.json"))
+            snaps = snapshots(out_dir)
+            entry = dict(
+                body,
+                columns=cur_meta["columns"],
+                schema=cur_meta["schema"],
+                id=snaps[-1]["id"] + 1,
+                parent=snaps[-1]["id"],
+            )
+            _snapshot_log_append(out_dir, entry)
+        finally:
+            _release_writer_lock(out_dir, tok)
+        release_part_range(out_dir, res)
+    else:
+        snaps = snapshots(out_dir)  # never empty: rooted above
+        entry = dict(body, id=snaps[-1]["id"] + 1, parent=snaps[-1]["id"])
+        _snapshot_log_append(out_dir, entry)
     return {
         "groups": len(groups),
         "parts_removed": len(removed),
@@ -2876,7 +3252,9 @@ def _copy_on_write_delete(
     removed/created part ids under ``result["pending"]`` — the merge
     path folds them with its append into one atomic entry."""
     _ensure_snapshot_root(out_dir, live, meta)
-    base = max(max(live), max(completed_parts(out_dir), default=0)) + 1
+    base = _base_above_reservations(
+        out_dir, max(max(live), max(completed_parts(out_dir), default=0)) + 1
+    )
     columns = meta["columns"]
     arrow_schema = pa.schema(
         [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
@@ -3036,7 +3414,9 @@ def _rewrite_parts_dropping_matched_keys(
     Returns the same ``pending`` shape as
     ``_copy_on_write_delete(commit=False)``; the caller owns the commit.
     """
-    base = max(max(live), max(completed_parts(out_dir), default=0)) + 1
+    base = _base_above_reservations(
+        out_dir, max(max(live), max(completed_parts(out_dir), default=0)) + 1
+    )
     mapping = {int(p): base + i for i, p in enumerate(affected)}
     columns = meta["columns"]
     arrow_schema = pa.schema(
@@ -3631,7 +4011,11 @@ def vacuum_orphans(out_dir: str, *, include_pending: bool = False) -> dict:
     CRASHED-but-resumable append, and its parts (ids at or above the
     recorded base) are protected by default — pass
     ``include_pending=True`` to reclaim them and abandon the resume
-    (the pending marker is removed with them)."""
+    (the pending marker is removed with them). Optimistic writers run
+    WITHOUT the lock, so their in-flight part-id ranges are protected by
+    their unexpired reservations instead (:func:`reserved_parts`); a
+    crashed optimistic run's files become reclaimable only after its
+    reservation lease expires."""
     snaps = snapshots(out_dir)
     if not snaps:
         # pre-snapshot-log table: every checkpointed part IS the live
@@ -3648,10 +4032,12 @@ def vacuum_orphans(out_dir: str, *, include_pending: bool = False) -> dict:
             fs.remove(pending_path)  # abandoning the crashed append
         else:
             protect_base = _read_json(pending_path)["base"]
+    rsv = reserved_parts(out_dir)
     orphans = {
         p
         for p in completed_parts(out_dir)
         if p not in referenced
+        and p not in rsv
         and (protect_base is None or p < protect_base)
     }
     # vacuumed part ids WILL be reused by the next append (base =
@@ -3668,7 +4054,7 @@ def vacuum_orphans(out_dir: str, *, include_pending: bool = False) -> dict:
                 pid = int(f[len("part_") : -len(".parquet")])
                 # covers checkpointed orphans AND half-written parts a
                 # crash left without their checkpoint-last marker
-                if pid not in referenced and (
+                if pid not in referenced and pid not in rsv and (
                     protect_base is None or pid < protect_base
                 ):
                     fs.remove(_j(d, f))
@@ -3731,6 +4117,9 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     # original ones covered only their own new_parts, but as roots they
     # now own full live sets; dropped entries' manifests die below)
     pm_all = part_meta(out_dir, parts=sorted(referenced), snaps=snaps)
+    # in-flight optimistic writers' reserved ranges are not referenced
+    # by any snapshot yet — protect them from the file sweep
+    protected = referenced | reserved_parts(out_dir)
     deleted = 0
     fs = _get_fs(out_dir)
     blocks = _j(out_dir, "blocks")
@@ -3739,7 +4128,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
         for f in fs.listdir(d):
             if f.startswith("part_") and f.endswith(".parquet"):
                 pid = int(f[len("part_") : -len(".parquet")])
-                if pid not in referenced:
+                if pid not in protected:
                     fs.remove(_j(d, f))
                     deleted += 1
     # squash: oldest retained snapshot re-rooted with its full live set;

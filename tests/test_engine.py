@@ -2921,3 +2921,209 @@ def test_manifest_lifecycle_expire_and_vacuum(spark, tmp_path):
     got = engine.decode_table(spark, out, where=("id", 5, 5)).filter(
         "id = 5").collect()
     assert [(r["id"], r["g"]) for r in got] == [(5, 1)]  # the upserted row
+
+
+# ---------------------------------------------------------------------------
+# optimistic concurrency (Iceberg-style non-conflicting commits)
+
+
+def _snap_chain_is_linear(snaps):
+    """Every entry's parent is the previous entry's id (after the root)."""
+    for prev, cur in zip(snaps, snaps[1:]):
+        if cur["parent"] != prev["id"]:
+            return False
+    return True
+
+
+def test_optimistic_appends_both_commit_and_linearize(spark, tmp_path):
+    """Two optimistic appends running CONCURRENTLY (no single-writer
+    lease held during the encode) both commit; the snapshot log
+    linearizes; part ids are disjoint (range reservations); no
+    reservation or lock files survive."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec import engine
+
+    out = str(tmp_path / "opt_appends")
+    df = spark.range(300).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    engine.encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                        num_parts=2, target_part_rows=150, resume=False)
+
+    def appender(lo):
+        d = spark.range(lo, lo + 50).select(
+            F.col("id"), (F.col("id") % 3).alias("g"))
+        return engine.encode_table(
+            spark, d, out, cluster_by=["g"], salt_by=["id"], num_parts=2,
+            target_part_rows=150, append=True, concurrency="optimistic")
+
+    with ThreadPoolExecutor(2) as ex:
+        r1, r2 = list(ex.map(appender, [1000, 2000]))
+    assert r1["parts_encoded"] == 2 and r2["parts_encoded"] == 2
+
+    snaps = engine.snapshots(out)
+    assert len(snaps) == 3  # root + both appends
+    assert _snap_chain_is_linear(snaps)
+    a1, a2 = snaps[1]["new_parts"], snaps[2]["new_parts"]
+    assert not set(a1) & set(a2)  # reservation-disjoint ids
+    assert engine.decode_table(spark, out).count() == 400
+    assert engine.reserved_parts(out) == set()  # released at commit
+    assert not _os.path.exists(_os.path.join(out, "_writer.lock"))
+    # ids never reused: the appends' parts sit above the root's
+    assert min(a1 + a2) > max(snaps[0]["new_parts"])
+
+
+def test_optimistic_compaction_with_concurrent_append_both_commit(spark, tmp_path):
+    """append ∥ compaction: an exclusive append lands BETWEEN the
+    optimistic compaction's rewrite and its commit (via the test seam);
+    the compaction validates at the new tip and still commits — both
+    snapshots land, rows from both survive."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec import engine
+
+    out = str(tmp_path / "opt_compact")
+    df = spark.range(600).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    engine.encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                        num_parts=6, target_part_rows=100, resume=False)
+
+    def concurrent_append():
+        d = spark.range(5000, 5040).select(
+            F.col("id"), (F.col("id") % 3).alias("g"))
+        engine.encode_table(spark, d, out, cluster_by=["g"], salt_by=["id"],
+                            num_parts=1, target_part_rows=100, append=True)
+
+    r = engine.compact_table(spark, out, target_part_rows=400,
+                             concurrency="optimistic",
+                             _pre_commit_hook=concurrent_append)
+    assert r["parts_removed"] >= 2 and r["parts_created"] >= 1
+    snaps = engine.snapshots(out)
+    assert len(snaps) == 3  # root, append, compaction
+    assert snaps[1].get("compaction") is None  # the append
+    assert snaps[2]["compaction"] is True
+    assert _snap_chain_is_linear(snaps)
+    # the concurrent append's rows survive the compaction commit
+    assert engine.decode_table(spark, out).count() == 640
+    assert engine.decode_table(spark, out).filter("id >= 5000").count() == 40
+    assert engine.reserved_parts(out) == set()
+
+
+def test_optimistic_compaction_conflict_refuses_and_reservation_protects(
+    spark, tmp_path
+):
+    """compaction ∥ DELETE on a part being rewritten: the validated
+    commit refuses (ConcurrentWriterError), the table reflects only the
+    delete, and the rewrite's orphan files stay protected by the
+    reservation until its lease expires — then vacuum reclaims them."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec import engine
+
+    out = str(tmp_path / "opt_conflict")
+    df = spark.range(600).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    engine.encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                        num_parts=6, target_part_rows=100, resume=False)
+    n_live0 = len(engine.snapshot_parts(out))
+
+    def concurrent_delete():
+        # rewrites/removes every part holding ids 0..299 — guaranteed to
+        # intersect the compaction's removed set (it rewrites ALL parts)
+        engine.delete_rows(spark, out, ("id", 0, 299))
+
+    with _pytest.raises(engine.ConcurrentWriterError, match="lost its race"):
+        engine.compact_table(spark, out, target_part_rows=400,
+                             concurrency="optimistic",
+                             _pre_commit_hook=concurrent_delete)
+
+    # table state: only the delete landed
+    assert engine.decode_table(spark, out).count() == 300
+    snaps = engine.snapshots(out)
+    assert snaps[-1].get("delete") is not None
+    # the failed rewrite kept its reservation: vacuum must NOT reclaim
+    rsv = engine.reserved_parts(out)
+    assert rsv, "conflicted compaction should keep its reservation"
+    v1 = engine.vacuum_orphans(out)
+    assert engine.reserved_parts(out) == rsv  # still protected
+    # expire the reservation lease, then vacuum reclaims the orphans
+    rdir = _os.path.join(out, "_reservations")
+    for f in _os.listdir(rdir):
+        p = _os.path.join(rdir, f)
+        with open(p) as fh:
+            rec = _json.load(fh)
+        rec["ts"] = _time.time() - 2 * rec["lease_sec"] - 1
+        with open(p, "w") as fh:
+            _json.dump(rec, fh)
+    v2 = engine.vacuum_orphans(out)
+    assert v2["files_deleted"] > v1["files_deleted"] or v2["parts_vacuumed"] > 0
+    assert engine.reserved_parts(out) == set()
+    # decode still exact after the sweep
+    assert engine.decode_table(spark, out).count() == 300
+    assert n_live0 >= 2  # sanity on the fixture (one part per g-group)
+
+
+def test_optimistic_mode_validations(spark, tmp_path):
+    """The lock-free path refuses the shapes it cannot make safe:
+    fresh tables, aligned layout, deferred commits, non-append runs."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec import engine
+
+    out = str(tmp_path / "opt_validate")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("g"))
+
+    with _pytest.raises(ValueError, match="append=True"):
+        engine.encode_table(spark, df, out, num_parts=1, resume=False,
+                            concurrency="optimistic")
+    with _pytest.raises(ValueError, match="existing snapshot-logged"):
+        engine.encode_table(spark, df, out, num_parts=1, append=True,
+                            concurrency="optimistic")
+    engine.encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                        num_parts=1, resume=False)
+    with _pytest.raises(ValueError, match="aligned"):
+        engine.encode_table(spark, df, out, layout="aligned", append=True,
+                            concurrency="optimistic")
+    with _pytest.raises(ValueError, match="cannot defer"):
+        engine.encode_table(spark, df, out, num_parts=1, append=True,
+                            commit=False, concurrency="optimistic")
+    with _pytest.raises(ValueError, match="concurrency must be"):
+        engine.encode_table(spark, df, out, num_parts=1, append=True,
+                            concurrency="eventually")
+
+
+def test_reservation_floors_exclusive_base(spark, tmp_path):
+    """An unexpired reservation (in-flight optimistic writer with no
+    checkpoints on disk yet) floors the ids of a concurrent EXCLUSIVE
+    append — no collision; releasing frees the range for reuse."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec import engine
+
+    out = str(tmp_path / "resv_floor")
+    df = spark.range(200).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    engine.encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                        num_parts=2, target_part_rows=100, resume=False)
+
+    res = engine.reserve_part_range(out, 5, "encode")
+    assert res["base"] == 2 and engine.reserved_parts(out) == {2, 3, 4, 5, 6}
+    # a second reservation claims PAST the first
+    res2 = engine.reserve_part_range(out, 3, "encode")
+    assert res2["base"] == 7
+
+    d = spark.range(900, 950).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    engine.encode_table(spark, d, out, cluster_by=["g"], salt_by=["id"],
+                        num_parts=1, target_part_rows=100, append=True)
+    appended = engine.snapshots(out)[-1]["new_parts"]
+    assert min(appended) >= 10  # above BOTH reserved ranges
+
+    engine.release_part_range(out, res)
+    engine.release_part_range(out, res2)
+    assert engine.reserved_parts(out) == set()
+    assert engine.decode_table(spark, out).count() == 250

@@ -23,6 +23,20 @@ from .index import csr_offsets, edge_ranges
 from .pipeline import unpack_branch_type, with_synapse_id
 
 
+def _workdir(sf_dir: str, name: str) -> str:
+    """Deterministic per-(sf_dir, query) scratch table path. Content hash
+    of the path, NOT hash(): with PYTHONHASHSEED unset the builtin varies
+    per process, so two harness runs on the same sf_dir would race each
+    other in differently-named dirs while a third process collides — md5
+    pins one dir per sf_dir."""
+    import hashlib
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"sparkcodec_{name}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -417,9 +431,7 @@ def q_encode_roundtrip_stats(spark, sf_dir):
     from .engine import decode_table, encode_table
 
     d = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_rt_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = _workdir(sf_dir, "rt")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -463,9 +475,7 @@ def q_encode_roundtrip_lineitem(spark, sf_dir):
         "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
     ]
     li = _t(spark, sf_dir, "lineitem").select(*cols)
-    out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_rtli_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = _workdir(sf_dir, "rtli")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1363,9 +1373,7 @@ def q_pruned_decode(spark, sf_dir):
     from .engine import decode_table, encode_table
 
     d = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_prune_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = _workdir(sf_dir, "prune")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1410,9 +1418,7 @@ def q_datasource_pruned_read(spark, sf_dir):
     from .engine import encode_table
 
     d = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_dsread_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = _workdir(sf_dir, "dsread")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1468,9 +1474,7 @@ def q_delete_rows_stats(spark, sf_dir):
     from .engine import decode_table, delete_rows, encode_table
 
     d = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_delete_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = _workdir(sf_dir, "delete")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1512,9 +1516,7 @@ def q_multi_pred_prune(spark, sf_dir):
     from .engine import decode_table, encode_table
 
     d = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_mpred_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = _workdir(sf_dir, "mpred")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1562,9 +1564,7 @@ def q_merge_upsert_stats(spark, sf_dir):
     from .engine import decode_table, encode_table, upsert_rows
 
     d = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_merge_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = _workdir(sf_dir, "merge")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1635,9 +1635,7 @@ def q_in_list_prune(spark, sf_dir):
     from .engine import decode_table, encode_table
 
     d = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_inlist_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = _workdir(sf_dir, "inlist")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1680,9 +1678,7 @@ def q_metadata_stats(spark, sf_dir):
     from .engine import encode_table, table_column_stats
 
     d = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_mstats_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = _workdir(sf_dir, "mstats")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1730,9 +1726,7 @@ def q_zorder_prune(spark, sf_dir):
     from .engine import decode_table, encode_table
 
     d = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_zorder_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = _workdir(sf_dir, "zorder")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1863,9 +1857,7 @@ def q_dnf_prune(spark, sf_dir):
     from .engine import decode_table, encode_table
 
     d = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_dnf_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = _workdir(sf_dir, "dnf")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1912,9 +1904,7 @@ def q_zorder_string_prune(spark, sf_dir):
     from .engine import decode_table, encode_table
 
     d = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_zstr_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = _workdir(sf_dir, "zstr")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1964,9 +1954,7 @@ def q_optimize_rewrite_stats(spark, sf_dir):
     from .engine import decode_table, encode_table, optimize_table
 
     d = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(), f"sparkcodec_optim_{abs(hash(sf_dir)) % 10**8}"
-    )
+    out = _workdir(sf_dir, "optim")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -2071,16 +2059,7 @@ def q_tagged_snapshot_read(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    # content hash of the path, NOT hash(): with PYTHONHASHSEED unset the
-    # builtin varies per process, so two harness runs on the same sf_dir
-    # could race each other in differently-named dirs while a third
-    # process collides — md5 pins one dir per sf_dir deterministically
-    import hashlib
-
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"sparkcodec_tagread_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
-    )
+    out = _workdir(sf_dir, "tagread")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -2178,3 +2157,29 @@ SELECT * FROM (
 
 QUERIES["cdc_changes"] = q_cdc_changes
 ORACLES["cdc_changes"] = SQL_CDC_CHANGES
+
+
+def q_ann_ivf_persisted_topk(spark, sf_dir):
+    """ANN through the PERSISTED index (sparkcodec.ann): build the IVF
+    postings table once (same deterministic LCG centroids as
+    q_ann_ivf_topk, so the same DuckDB oracle verifies this path),
+    then answer the query by probing it — driver-side probe-cluster
+    selection from ONE vector, pruned postings decode (exact value
+    sets refute non-probed parts before any task runs), semi-join back
+    to the data table, cosine top-10. At 10^12 scale this replaces the
+    per-query assignment scan of the in-plan IVF with an O(nprobe)
+    pruned read of a prebuilt index that versions with the data (tags;
+    see extend_ann_index for appends without rebuilds)."""
+    from .ann import ann_topk, build_ann_index
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = _workdir(sf_dir, "annivf")
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ann_index(spark, e, idx, k=8, seed_base=100)
+    return ann_topk(spark, e, idx, query_id=0, nprobe=2, topk=10)
+
+
+QUERIES["ann_ivf_persisted_topk"] = q_ann_ivf_persisted_topk
+ORACLES["ann_ivf_persisted_topk"] = SQL_ANN_IVF_TOPK

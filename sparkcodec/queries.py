@@ -771,23 +771,7 @@ def q_winnow_fingerprints(spark, sf_dir):
     array_min — no Python in the path); the portable sha256-derived gram
     hash gives a full DuckDB oracle. At 10^12 scale fingerprints feed
     the same bucket-join choreography as the MinHash bands."""
-    K, W = _WIN_K, _WIN_W
-    d = _capped_text(_t(spark, sf_dir, "documents")).filter(
-        F.length("text") >= K + W - 1
-    )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length("text") - (K - 1)),
-        lambda i: F.col("text").substr(i, F.lit(K)),
-    )
-    hs = F.transform(grams, lambda g: _portable_hash(g, 977))
-    d2 = d.select("doc_id", hs.alias("hs"))
-    sel = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("hs") - (W - 1)),
-            lambda p: F.array_min(F.slice(F.col("hs"), p, F.lit(W))),
-        )
-    )
-    return d2.select("doc_id", F.explode(sel).alias("fp"))
+    return _winnow_fps(_capped_text(_t(spark, sf_dir, "documents")), "doc_id")
 
 
 SQL_WINNOW_FINGERPRINTS = f"""
@@ -2183,3 +2167,108 @@ def q_ann_ivf_persisted_topk(spark, sf_dir):
 
 QUERIES["ann_ivf_persisted_topk"] = q_ann_ivf_persisted_topk
 ORACLES["ann_ivf_persisted_topk"] = SQL_ANN_IVF_TOPK
+
+
+# --- benchmark decontamination (n-gram fingerprint overlap vs an eval set)
+
+_DECON_MOD = 31      # every 31st doc contributes a benchmark passage
+_DECON_OFF = 20      # passage start (1-based, like SQL substr)
+_DECON_LEN = 200     # passage length
+_DECON_MIN = 3       # shared fingerprints to flag contamination
+
+
+def _winnow_fps(d, idcol: str):
+    """(id, fp) winnowing fingerprints of ``d``'s ``text`` column — the
+    derivation q_winnow_fingerprints documents, factored so corpus and
+    benchmark sides compute the identical scheme. Pure JVM array
+    expressions; fp set-distinct per document."""
+    K, W = _WIN_K, _WIN_W
+    d = d.filter(F.length("text") >= K + W - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (K - 1)),
+        lambda i: F.col("text").substr(i, F.lit(K)),
+    )
+    hs = F.transform(grams, lambda g: _portable_hash(g, 977))
+    d2 = d.select(idcol, hs.alias("hs"))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (W - 1)),
+            lambda p: F.array_min(F.slice(F.col("hs"), p, F.lit(W))),
+        )
+    )
+    return d2.select(idcol, F.explode(sel).alias("fp"))
+
+
+def q_benchmark_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the LLM-pipeline op that drops
+    training docs overlapping an evaluation set: fingerprint the corpus
+    AND the benchmark with the same winnowing scheme (any shared
+    substring >= k+w-1 chars shares a fingerprint), join on
+    fingerprint, and flag (doc, bench item) pairs sharing >=
+    _DECON_MIN fingerprints. The benchmark is synthesized
+    deterministically from the corpus itself (every _DECON_MODth doc
+    contributes one 200-char passage), so source docs MUST flag — a
+    built-in positive control the oracle verifies.
+
+    100 TB posture: the benchmark side is tiny by construction (eval
+    suites are thousands of items, not billions), so its fingerprints
+    BROADCAST — the corpus-side fingerprint stream never shuffles; the
+    only exchange is the grouped aggregation over matched pairs, which
+    is bounded by actual contamination, not corpus size. Never
+    all-pairs."""
+    d = _capped_text(_t(spark, sf_dir, "documents"))
+    corpus = _winnow_fps(d, "doc_id")
+    bench_src = d.filter(F.col("doc_id") % _DECON_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("text").substr(F.lit(_DECON_OFF), F.lit(_DECON_LEN)).alias("text"),
+    )
+    bfps = _winnow_fps(bench_src, "bench_id")
+    pairs = (
+        corpus.join(F.broadcast(bfps), "fp")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _DECON_MIN)
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.sum("shared_fps").alias("total_shared"),
+        F.min("bench_id").alias("first_bench_id"),
+    )
+
+
+def _sql_winnow_fps(src_sql: str, idcol: str) -> str:
+    """DuckDB mirror of _winnow_fps over an arbitrary (id, text) source."""
+    return f"""
+  SELECT DISTINCT {idcol}, fp FROM (
+    SELECT {idcol},
+           unnest([list_min(hs[p:p + {_WIN_W - 1}])
+                   FOR p IN range(1, len(hs) - {_WIN_W} + 2)]) AS fp
+    FROM (
+      SELECT {idcol},
+             [('0x' || substr(sha256(substr(text, i, {_WIN_K}) || '#977'), 1, 15))::BIGINT
+              FOR i IN range(1, length(text) - {_WIN_K} + 2)] AS hs
+      FROM ({src_sql}) WHERE length(text) >= {_WIN_K + _WIN_W - 1}
+    )
+  )"""
+
+
+SQL_BENCHMARK_DECONTAMINATE = f"""
+WITH capped AS (
+  SELECT doc_id, substr(text, 1, {_SH_CAP}) AS text FROM documents
+), corpus AS ({_sql_winnow_fps("SELECT doc_id, text FROM capped", "doc_id")}
+), bench AS ({_sql_winnow_fps(
+    f"SELECT doc_id AS bench_id, substr(text, {_DECON_OFF}, {_DECON_LEN}) AS text "
+    f"FROM capped WHERE doc_id % {_DECON_MOD} = 0", "bench_id")}
+), pairs AS (
+  SELECT c.doc_id, b.bench_id, count(*) AS shared_fps
+  FROM corpus c JOIN bench b USING (fp)
+  GROUP BY 1, 2 HAVING count(*) >= {_DECON_MIN}
+)
+SELECT doc_id, count(*) AS n_bench_hits,
+       cast(sum(shared_fps) AS BIGINT) AS total_shared,
+       min(bench_id) AS first_bench_id
+FROM pairs GROUP BY doc_id
+"""
+
+QUERIES["benchmark_decontaminate"] = q_benchmark_decontaminate
+ORACLES["benchmark_decontaminate"] = SQL_BENCHMARK_DECONTAMINATE

@@ -6,6 +6,8 @@
         [--expire-keep-last 3] [--delete col:lo:hi] [--rollback N] \
         [--optimize-zorder c1,c2 | --optimize-sort c1,c2] \
         [--tag NAME[:SID]] [--delete-tag NAME] [--tags] \
+        [--create-branch NAME[:SID]] [--fast-forward NAME] \
+        [--delete-branch NAME] [--branches] \
         [--stats] [--history]
 
 --delete removes rows with lo <= col <= hi as a copy-on-write snapshot
@@ -115,6 +117,21 @@ def main() -> int:
     )
     ap.add_argument("--tags", action="store_true", help="print all tags")
     ap.add_argument(
+        "--create-branch", default=None, metavar="NAME[:SID]",
+        help="create a WRITABLE branch ref at a snapshot (default the "
+             "tip); branch commits are invisible to main until "
+             "--fast-forward folds them back as one atomic snapshot",
+    )
+    ap.add_argument("--delete-branch", default=None, metavar="NAME")
+    ap.add_argument(
+        "--fast-forward", default=None, metavar="NAME",
+        help="fold branch NAME into main (refused if main moved since "
+             "the fork — re-apply the branch's changes on the new tip)",
+    )
+    ap.add_argument(
+        "--branches", action="store_true", help="print all branch tips"
+    )
+    ap.add_argument(
         "--optimize-zorder", default=None, metavar="COLS",
         help="re-cluster the live table on the Morton interleave of "
              "these comma-separated columns as one snapshot",
@@ -147,6 +164,19 @@ def main() -> int:
         ap.error("pass --optimize-zorder or --optimize-sort, not both")
     if args.optimize_where and not (args.optimize_zorder or args.optimize_sort):
         ap.error("--optimize-where requires --optimize-zorder or --optimize-sort")
+    br_name = br_sid = None
+    if args.create_branch:
+        br_name, _, bsid_s = args.create_branch.partition(":")
+        if not br_name:
+            ap.error("--create-branch needs a name: NAME[:SID]")
+        if bsid_s:
+            try:
+                br_sid = int(bsid_s)
+            except ValueError:
+                ap.error(
+                    f"--create-branch snapshot id must be an integer, "
+                    f"got {bsid_s!r}"
+                )
     tag_name = tag_sid = None
     if args.tag:
         tag_name, _, sid_s = args.tag.partition(":")
@@ -219,6 +249,22 @@ def main() -> int:
         from sparkcodec.engine import list_tags
 
         out["tags"] = list_tags(args.table)
+    if args.create_branch:
+        from sparkcodec.engine import create_branch
+
+        out["create_branch"] = create_branch(args.table, br_name, br_sid)
+    if args.fast_forward:
+        from sparkcodec.engine import fast_forward
+
+        out["fast_forward"] = fast_forward(args.table, args.fast_forward)
+    if args.delete_branch:
+        from sparkcodec.engine import delete_branch
+
+        out["delete_branch"] = delete_branch(args.table, args.delete_branch)
+    if args.branches:
+        from sparkcodec.engine import list_branches
+
+        out["branches"] = list_branches(args.table)
     if args.rollback is not None:
         from sparkcodec.engine import rollback_table
 

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .engine import (
+    _tip_entry,
     decode_table,
     encode_table,
     resolve_ref,
@@ -201,7 +202,7 @@ def ann_index_params(index_dir: str, ref: str | None = None) -> dict:
     this is normally the resolved entry itself. Raises if no entry in
     range does (not an ANN index)."""
     snaps = snapshots(index_dir)
-    sid = resolve_ref(index_dir, ref) if ref is not None else snaps[-1]["id"]
+    sid = resolve_ref(index_dir, ref) if ref is not None else _tip_entry(snaps)["id"]
     for s in reversed(snaps):
         if s["id"] <= sid and s.get("ann"):
             return s["ann"]

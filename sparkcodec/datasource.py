@@ -319,6 +319,9 @@ class SparkcodecStreamReader(DataSourceStreamReader):
             and not s.get("rollback_of")
             # materialized tagged roots overlap the retained root's rows
             and not s.get("tag_only")
+            # branch commits are off-main; their net new rows arrive
+            # once, via the fast-forward entry's append_parts
+            and not s.get("branch")
             for p in (
                 s["append_parts"] if s.get("append_parts") is not None
                 else s["new_parts"]
@@ -579,9 +582,13 @@ class SparkcodecWriter(DataSourceArrowWriter):
             cur = _load_meta(self.out_dir)
             from .engine import write_manifest
 
+            from .engine import _tip_entry
+
             entry = {
+                # ids are log-sequence; the parent is the MAIN tip (a
+                # trailing branch commit is a bystander to this sink)
                 "id": (snaps[-1]["id"] + 1) if snaps else 1,
-                "parent": snaps[-1]["id"] if snaps else 0,
+                "parent": _tip_entry(snaps)["id"] if snaps else 0,
                 "new_parts": parts,
                 # pruning manifest (O(#snapshots) metadata reads for
                 # every future pruned read); O(this commit's parts)

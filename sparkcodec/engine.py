@@ -1481,6 +1481,7 @@ def _commit_snapshot_entry(
     append: bool,
     evolved_meta: dict | None = None,
     pm: dict | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Publish a prepared snapshot entry: write the (possibly evolved)
     table meta and the entry's pruning MANIFEST first, then append the
@@ -1499,9 +1500,24 @@ def _commit_snapshot_entry(
     if e.get("new_parts") and not e.get("manifest"):
         e["manifest"] = write_manifest(out_dir, e["new_parts"], pm=pm)
     snaps = snapshots(out_dir)
+    # ids are log-sequence (unique across ALL chains); the parent is
+    # chain-specific: the named branch's ref tip, else the main tip —
+    # a trailing branch commit must never become a main parent
     e["id"] = (snaps[-1]["id"] + 1) if snaps else 1
-    e["parent"] = snaps[-1]["id"] if (snaps and append) else 0
+    if branch is not None:
+        bid = _branch_tip(out_dir, branch, snaps)
+        e["parent"] = bid
+        e["branch"] = branch
+    else:
+        tip = _tip_entry(snaps) if snaps else None
+        e["parent"] = tip["id"] if (tip and append) else 0
     _snapshot_log_append(out_dir, e)
+    if branch is not None:
+        # move the ref AFTER the entry is durable: a crash between the
+        # two leaves the entry as an unreachable bystander (its parts
+        # are protected from vacuum like any committed entry) and the
+        # branch simply did not advance
+        _write_ref(out_dir, branch, e["id"], kind="branch", force=True)
     return e
 
 
@@ -1596,6 +1612,7 @@ def encode_table(
     snapshot_extra: dict | None = None,
     commit: bool = True,
     concurrency: str = "exclusive",
+    branch: str | None = None,
 ) -> dict:
     """Encode ``df`` into a blocks table at ``out_dir``; returns metrics.
 
@@ -1659,6 +1676,23 @@ def encode_table(
     CRASHED optimistic append is not resumable — its orphan parts sit
     protected behind the reservation lease until vacuum reclaims them.
     """
+    if branch is not None:
+        if not append:
+            raise ValueError(
+                "branch= requires append=True: a branch commit adds a "
+                "snapshot onto an existing table's branch tip"
+            )
+        if concurrency == "optimistic":
+            raise ValueError(
+                "branch commits take the table lock (the ref move and the "
+                "log append publish together); use the default exclusive "
+                "concurrency"
+            )
+        if not commit:
+            raise ValueError(
+                "branch= with commit=False would drop the branch: the "
+                "deferred committer owns the branch placement"
+            )
     cols = df.columns
     zb_shift = 0
     zexpr = None
@@ -2068,7 +2102,7 @@ def encode_table(
             else:
                 _commit_snapshot_entry(
                     out_dir, entry, append=append, evolved_meta=evolved_meta,
-                    pm=pm_new,
+                    pm=pm_new, branch=branch,
                 )
     elif optimistic:
         # a no-op optimistic run (empty df) committed nothing: release
@@ -2160,12 +2194,27 @@ def snapshots(out_dir: str) -> list[dict]:
     )
 
 
+def _tip_entry(snaps: list[dict]) -> dict | None:
+    """The MAIN-chain tip: the newest entry not flagged ``branch``.
+    Branch commits live in the same log (ids stay globally unique and
+    vacuum/expire see their parts) but are bystanders to the main
+    table — every default-tip resolution (reads, commit parents, tags,
+    expire's retention walk, the changefeed watermark semantics) goes
+    through here so a trailing branch commit never shifts what "the
+    table" means. None only for an empty log; a non-empty log always
+    has a main root (entry 1 is never branch-flagged)."""
+    for s in reversed(snaps):
+        if not s.get("branch"):
+            return s
+    return None
+
+
 def snapshot_parts(
     out_dir: str, snapshot_id: int | None = None, snaps: list[dict] | None = None
 ) -> list[int] | None:
-    """Resolve the live part set of a snapshot (default: latest) by
-    walking the parent chain; None when the table predates snapshots.
-    Pass ``snaps`` when the log is already in hand."""
+    """Resolve the live part set of a snapshot (default: the main-chain
+    tip) by walking the parent chain; None when the table predates
+    snapshots. Pass ``snaps`` when the log is already in hand."""
     if snaps is None:
         snaps = snapshots(out_dir)
     if not snaps:
@@ -2173,7 +2222,7 @@ def snapshot_parts(
             raise ValueError(f"table at {out_dir} has no snapshot log")
         return None
     by_id = {s["id"]: s for s in snaps}
-    sid = snapshot_id if snapshot_id is not None else snaps[-1]["id"]
+    sid = snapshot_id if snapshot_id is not None else _tip_entry(snaps)["id"]
     if sid not in by_id:
         raise ValueError(f"unknown snapshot {sid}; have {sorted(by_id)}")
     chain = []
@@ -2222,7 +2271,7 @@ def _resolve_snapshot_meta(
     if snaps is None:
         snaps = snapshots(out_dir)
     sid = snapshot_id if snapshot_id is not None else (
-        snaps[-1]["id"] if snaps else None
+        _tip_entry(snaps)["id"] if snaps else None
     )
     if sid is not None:
         ss = snapshot_schema(out_dir, sid, snaps=snaps)
@@ -2643,7 +2692,10 @@ def snapshot_id_as_of(out_dir: str, ts) -> int:
     else:
         t = float(ts)
     snaps = snapshots(out_dir)
-    eligible = [s for s in snaps if float(s.get("ts", 0)) <= t]
+    # main-chain semantics: a branch commit is not "the table at ts"
+    eligible = [
+        s for s in snaps if not s.get("branch") and float(s.get("ts", 0)) <= t
+    ]
     if not eligible:
         raise ValueError(
             f"no snapshot of {out_dir} existed at {ts!r} (earliest is "
@@ -3051,7 +3103,7 @@ def compact_table(
                 columns=cur_meta["columns"],
                 schema=cur_meta["schema"],
                 id=snaps[-1]["id"] + 1,
-                parent=snaps[-1]["id"],
+                parent=_tip_entry(snaps)["id"],
             )
             _snapshot_log_append(out_dir, entry)
         finally:
@@ -3059,7 +3111,7 @@ def compact_table(
         release_part_range(out_dir, res)
     else:
         snaps = snapshots(out_dir)  # never empty: rooted above
-        entry = dict(body, id=snaps[-1]["id"] + 1, parent=snaps[-1]["id"])
+        entry = dict(body, id=snaps[-1]["id"] + 1, parent=_tip_entry(snaps)["id"])
         _snapshot_log_append(out_dir, entry)
     return {
         "groups": len(groups),
@@ -3231,6 +3283,7 @@ def _copy_on_write_delete(
     tag: list,
     extra: dict | None = None,
     commit: bool = True,
+    branch: str | None = None,
 ) -> dict:
     """Shared copy-on-write rewrite for row-level delete/merge: decode
     each affected part, drop the rows ``mask_fn`` marks (a picklable
@@ -3324,7 +3377,7 @@ def _copy_on_write_delete(
     if extra:
         entry.update(extra)
     if commit:
-        _commit_snapshot_entry(out_dir, entry, append=True)
+        _commit_snapshot_entry(out_dir, entry, append=True, branch=branch)
     else:
         out["pending"] = {
             "removed_parts": removed,
@@ -3334,13 +3387,25 @@ def _copy_on_write_delete(
     return out
 
 
-def _load_live(out_dir: str, col: str) -> tuple[dict, list[int]]:
+def _load_live(
+    out_dir: str, col: str, branch: str | None = None
+) -> tuple[dict, list[int]]:
     meta = _read_json(_j(out_dir, "_table_meta.json"))
+    if branch is not None:
+        # resolve against the BRANCH tip: its live set AND the schema in
+        # effect there (main may have evolved since the fork; rewriting
+        # branch parts against main's wider schema would smuggle the
+        # evolution onto the branch)
+        snaps = snapshots(out_dir)
+        sid = _branch_tip(out_dir, branch, snaps)
+        meta, _, _ = _resolve_snapshot_meta(out_dir, meta, sid, snaps=snaps)
+        live = snapshot_parts(out_dir, sid, snaps=snaps)
+    else:
+        live = snapshot_parts(out_dir)
+        if live is None:
+            live = sorted(completed_parts(out_dir))
     if col not in meta["columns"]:
         raise ValueError(f"unknown column {col!r}; table has {meta['columns']}")
-    live = snapshot_parts(out_dir)
-    if live is None:
-        live = sorted(completed_parts(out_dir))
     return meta, live
 
 
@@ -3349,6 +3414,7 @@ def delete_rows(
     spark: SparkSession,
     out_dir: str,
     where: tuple,
+    branch: str | None = None,
 ) -> dict:
     """Row-level DELETE as a new snapshot (Iceberg copy-on-write posture).
 
@@ -3365,7 +3431,7 @@ def delete_rows(
     re-deliver the rewritten rows (the feed is append-only, like
     compaction rewrites)."""
     col, lo, hi = where
-    meta, live = _load_live(out_dir, col)
+    meta, live = _load_live(out_dir, col, branch=branch)
     affected = prune_parts(out_dir, where, live)  # overlap or no stats
     if not affected:
         return {"parts_scanned": 0, "parts_rewritten": 0, "rows_deleted": 0}
@@ -3384,7 +3450,8 @@ def delete_rows(
         return m
 
     return _copy_on_write_delete(
-        spark, out_dir, affected, live, meta, mask, [col, lo, hi]
+        spark, out_dir, affected, live, meta, mask, [col, lo, hi],
+        branch=branch,
     )
 
 
@@ -3507,6 +3574,7 @@ def upsert_rows(
     key_col: str,
     *,
     broadcast_keys: int = 100_000,
+    branch: str | None = None,
     **encode_kwargs,
 ) -> dict:
     """MERGE (upsert) by key as ONE atomic snapshot: rows of ``df``
@@ -3549,19 +3617,20 @@ def upsert_rows(
     df = df.persist()
     try:
         return _upsert_rows_inner(spark, df, out_dir, key_col, merge_id,
-                                  broadcast_keys, encode_kwargs)
+                                  broadcast_keys, encode_kwargs, branch)
     finally:
         df.unpersist()
 
 
 def _upsert_rows_inner(
-    spark, df, out_dir, key_col, merge_id, broadcast_keys, encode_kwargs
+    spark, df, out_dir, key_col, merge_id, broadcast_keys, encode_kwargs,
+    branch=None,
 ) -> dict:
     pending_del = {"removed_parts": [], "new_parts": [], "rows_deleted": 0}
     parts_rewritten = 0
     meta = None
     if _exists(_j(out_dir, "_table_meta.json")):
-        meta, live = _load_live(out_dir, key_col)
+        meta, live = _load_live(out_dir, key_col, branch=branch)
         span = df.agg(
             F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
         ).first()
@@ -3653,6 +3722,7 @@ def _upsert_rows_inner(
         # append parts' metadata rode the encode summary; rewrite parts
         # fall back to their checkpoints inside write_manifest
         pm=pend_app.get("pm") if pend_app else None,
+        branch=branch,
     )
     return {
         "rows_deleted": pending_del["rows_deleted"],
@@ -3675,6 +3745,13 @@ def rollback_table(out_dir: str, snapshot_id: int) -> dict:
     snaps = snapshots(out_dir)
     if not snaps:
         raise ValueError(f"table at {out_dir} has no snapshot log")
+    by_branch = {s["id"]: s.get("branch") for s in snaps}
+    if by_branch.get(snapshot_id):
+        raise ValueError(
+            f"snapshot {snapshot_id} is a commit of branch "
+            f"{by_branch[snapshot_id]!r}; rollback targets main history — "
+            f"use fast_forward to adopt a branch's state"
+        )
     target_parts = snapshot_parts(out_dir, snapshot_id, snaps=snaps)  # validates
     cur = snapshot_parts(out_dir, snaps=snaps)
     ss = snapshot_schema(out_dir, snapshot_id, snaps=snaps)
@@ -3742,6 +3819,11 @@ def _cdc_plan(snaps: list[dict], start: int, end: int | None) -> list[tuple]:
         if not (start < sid and (end is None or sid <= end)):
             continue
         if s.get("compaction") or s.get("tag_only") or s.get("rollback_of"):
+            continue
+        if s.get("branch"):
+            # branch commits are invisible to the main feed; their net
+            # delta arrives once, via the fast-forward entry (which is
+            # a plain entry to this planner)
             continue
         removed = s.get("removed_parts") or []
         if s.get("append_parts") is not None:
@@ -3928,6 +4010,57 @@ REFDIR = "_refs"
 _REF_NAME_OK = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
 
 
+def _read_refs(out_dir: str) -> dict[str, dict]:
+    """Every ref object: {name: {"snapshot_id": int, "kind": "tag" |
+    "branch", ...}}. Refs written before branches landed carry no
+    ``kind`` and read as tags (the only kind that existed)."""
+    fs = _get_fs(out_dir)
+    out: dict[str, dict] = {}
+    for f in fs.listdir(_j(out_dir, REFDIR)):
+        if f.endswith(".json"):
+            try:
+                obj = _read_json(_j(out_dir, REFDIR, f))
+            except FileNotFoundError:
+                continue  # deleted between the listing and the read
+            obj.setdefault("kind", "tag")
+            out[f[: -len(".json")]] = obj
+    return out
+
+
+def _write_ref(
+    out_dir: str, name: str, sid: int, *, kind: str, force: bool
+) -> bool:
+    """Publish one ref object (atomic PUT). ``force=False`` is
+    create-only (conditional PUT); returns False on collision."""
+    fs = _get_fs(out_dir)
+    path = _j(out_dir, REFDIR, f"{name}.json")
+    body = json.dumps(
+        {"snapshot_id": int(sid), "kind": kind, "ts": time.time()}
+    ).encode()
+    fs.makedirs(_j(out_dir, REFDIR))
+    if force:
+        fs.put_atomic(path, body)
+        return True
+    return fs.create_exclusive(path, body)
+
+
+def _branch_tip(out_dir: str, name: str, snaps: list[dict]) -> int:
+    """Snapshot id a branch ref points at; validates the ref exists,
+    is a branch, and its tip is still in the log."""
+    refs = _read_refs(out_dir)
+    r = refs.get(name)
+    if r is None or r["kind"] != "branch":
+        have = sorted(n for n, o in refs.items() if o["kind"] == "branch")
+        raise ValueError(f"unknown branch {name!r}; have {have}")
+    sid = int(r["snapshot_id"])
+    if sid not in {s["id"] for s in snaps}:
+        raise ValueError(
+            f"branch {name!r} points at snapshot {sid}, which is no "
+            f"longer in the log (expired without branch protection?)"
+        )
+    return sid
+
+
 @_with_writer_lock("tag")
 def tag_snapshot(
     out_dir: str, name: str, snapshot_id: int | None = None, *, force: bool = False
@@ -3946,16 +4079,13 @@ def tag_snapshot(
     snaps = snapshots(out_dir)
     if not snaps:
         raise ValueError(f"table at {out_dir} has no snapshots to tag")
-    sid = snapshot_id if snapshot_id is not None else snaps[-1]["id"]
+    sid = snapshot_id if snapshot_id is not None else _tip_entry(snaps)["id"]
     if sid not in {s["id"] for s in snaps}:
         raise ValueError(f"unknown snapshot {sid}; have {[s['id'] for s in snaps]}")
-    fs = _get_fs(out_dir)
-    path = _j(out_dir, REFDIR, f"{name}.json")
-    body = json.dumps({"snapshot_id": sid, "ts": time.time()}).encode()
-    fs.makedirs(_j(out_dir, REFDIR))
-    if force:
-        fs.put_atomic(path, body)
-    elif not fs.create_exclusive(path, body):
+    existing = _read_refs(out_dir).get(name)
+    if existing is not None and existing["kind"] != "tag":
+        raise ValueError(f"ref {name!r} is a branch, not a tag")
+    if not _write_ref(out_dir, name, sid, kind="tag", force=force):
         raise ValueError(
             f"tag {name!r} already exists (snapshot "
             f"{list_tags(out_dir).get(name)}); pass force=True to move it"
@@ -3966,37 +4096,198 @@ def tag_snapshot(
 @_with_writer_lock("untag")
 def delete_tag(out_dir: str, name: str) -> bool:
     """Remove a tag; its snapshot becomes expirable again. False when
-    the tag does not exist."""
-    fs = _get_fs(out_dir)
-    path = _j(out_dir, REFDIR, f"{name}.json")
-    if not fs.exists(path):
+    the tag does not exist. Refuses branch refs (use
+    :func:`delete_branch`)."""
+    ref = _read_refs(out_dir).get(name)
+    if ref is None:
         return False
-    fs.remove(path)
+    if ref["kind"] != "tag":
+        raise ValueError(f"ref {name!r} is a branch; use delete_branch")
+    _get_fs(out_dir).remove(_j(out_dir, REFDIR, f"{name}.json"))
     return True
 
 
 def list_tags(out_dir: str) -> dict[str, int]:
-    """{tag name: snapshot id} of every ref."""
-    fs = _get_fs(out_dir)
-    out = {}
-    for f in fs.listdir(_j(out_dir, REFDIR)):
-        if f.endswith(".json"):
-            try:
-                obj = _read_json(_j(out_dir, REFDIR, f))
-            except FileNotFoundError:
-                continue  # deleted between the listing and the read
-            out[f[: -len(".json")]] = int(obj["snapshot_id"])
-    return out
+    """{tag name: snapshot id} of every TAG ref (branches excluded)."""
+    return {
+        n: int(o["snapshot_id"])
+        for n, o in _read_refs(out_dir).items()
+        if o["kind"] == "tag"
+    }
+
+
+def list_branches(out_dir: str) -> dict[str, int]:
+    """{branch name: tip snapshot id} of every BRANCH ref."""
+    return {
+        n: int(o["snapshot_id"])
+        for n, o in _read_refs(out_dir).items()
+        if o["kind"] == "branch"
+    }
 
 
 def resolve_ref(out_dir: str, ref: str) -> int:
-    """Tag name -> snapshot id (shared by decode_table and the
-    DataSource's ``ref`` option; one place for the error wording and
-    any future ref semantics)."""
-    tags = list_tags(out_dir)
-    if ref not in tags:
-        raise ValueError(f"unknown tag {ref!r}; have {sorted(tags)}")
-    return tags[ref]
+    """Ref name (tag or branch) -> snapshot id (shared by decode_table
+    and the DataSource's ``ref`` option; one place for the error
+    wording and the ref semantics)."""
+    refs = _read_refs(out_dir)
+    if ref not in refs:
+        raise ValueError(f"unknown ref {ref!r}; have {sorted(refs)}")
+    return int(refs[ref]["snapshot_id"])
+
+
+@_with_writer_lock("branch")
+def create_branch(
+    out_dir: str, name: str, snapshot_id: int | None = None
+) -> dict:
+    """Create a WRITABLE named ref (Iceberg-style branch) at
+    ``snapshot_id`` (default: the main tip). Branch commits share the
+    table's part-id space and snapshot log — their entries carry a
+    ``branch`` marker and parent onto the branch's own tip, so the main
+    table never sees them: ``decode_table(out_dir)`` keeps reading main,
+    ``decode_table(out_dir, ref=name)`` reads the branch, and
+    :func:`fast_forward` folds the branch back into main as one atomic
+    snapshot. ``delete_rows`` / ``upsert_rows`` / ``encode_table(
+    append=True)`` all take ``branch=`` to write against the branch tip.
+    Like tags, branch tips are protected from ``expire_snapshots``."""
+    if not _REF_NAME_OK.match(name):
+        raise ValueError(
+            f"branch name {name!r} must be [A-Za-z0-9._-], start alphanumeric"
+        )
+    snaps = snapshots(out_dir)
+    if not snaps:
+        raise ValueError(f"table at {out_dir} has no snapshots to branch")
+    sid = snapshot_id if snapshot_id is not None else _tip_entry(snaps)["id"]
+    if sid not in {s["id"] for s in snaps}:
+        raise ValueError(f"unknown snapshot {sid}; have {[s['id'] for s in snaps]}")
+    if not _write_ref(out_dir, name, sid, kind="branch", force=False):
+        kind = _read_refs(out_dir).get(name, {}).get("kind", "ref")
+        raise ValueError(f"ref {name!r} already exists (a {kind})")
+    return {"name": name, "snapshot_id": sid}
+
+
+@_with_writer_lock("branch")
+def delete_branch(out_dir: str, name: str) -> bool:
+    """Drop a branch ref; its commits become unreachable bystanders
+    (their part files are reclaimed by the next ``expire_snapshots``,
+    which only protects referenced chains). False when the branch does
+    not exist; refuses tag refs."""
+    ref = _read_refs(out_dir).get(name)
+    if ref is None:
+        return False
+    if ref["kind"] != "branch":
+        raise ValueError(f"ref {name!r} is a tag; use delete_tag")
+    _get_fs(out_dir).remove(_j(out_dir, REFDIR, f"{name}.json"))
+    return True
+
+
+def _branch_fork(
+    by_id: dict[int, dict], btip_id: int
+) -> tuple[int | None, list[dict]]:
+    """Walk the branch-flagged ancestry from a branch tip: returns
+    (fork snapshot id — the first NON-branch ancestor, or the
+    ``fork_base`` an expire stamped on a materialized branch root, or
+    None when neither survives — and the branch-flagged entries walked,
+    tip first)."""
+    walked: list[dict] = []
+    cur = by_id.get(btip_id)
+    while cur is not None:
+        if not cur.get("branch"):
+            return cur["id"], walked
+        walked.append(cur)
+        nxt = by_id.get(cur["parent"])
+        if nxt is None:
+            return cur.get("fork_base"), walked
+        cur = nxt
+    return None, walked
+
+
+@_with_writer_lock("fast-forward")
+def fast_forward(out_dir: str, name: str) -> dict:
+    """Fold branch ``name`` into main as ONE atomic snapshot — the
+    merge primitive (fast-forward only, like ``git merge --ff-only``):
+    allowed iff main has not moved since the branch forked (the branch
+    tip's first non-branch ancestor IS the main tip, or the main tip is
+    a previous fast-forward of this same branch). The committed entry
+    is a self-contained net diff of the branch against main —
+    ``new_parts`` = parts the branch added that are still live,
+    ``removed_parts`` = main-live parts the branch dropped,
+    ``append_parts`` = the added parts carrying genuinely new rows — so
+    the changefeed, CDC diff, expire, and rollback all treat it exactly
+    like a normal commit: a streaming consumer that skipped the branch
+    commits receives the branch's net inserts (and, in CDC mode, its
+    net deletes) once, at the fast-forward. A diverged branch is
+    refused — rewrite it on the new tip (e.g. re-run the upserts) as
+    with any optimistic-concurrency loss. No part file moves."""
+    snaps = snapshots(out_dir)
+    if not snaps:
+        raise ValueError(f"table at {out_dir} has no snapshot log")
+    by_id = {s["id"]: s for s in snaps}
+    btip = _branch_tip(out_dir, name, snaps)
+    main = _tip_entry(snaps)
+    fork, walked = _branch_fork(by_id, btip)
+    walked_ids = {e["id"] for e in walked}
+    ok = main["id"] == fork or (
+        main.get("fast_forward_of") == name
+        and main.get("ff_from") in walked_ids | ({fork} - {None})
+    )
+    if not ok:
+        raise ValueError(
+            f"branch {name!r} (tip {btip}, forked at {fork}) cannot "
+            f"fast-forward onto main tip {main['id']}: main moved since "
+            f"the fork — re-apply the branch's changes on the current "
+            f"tip instead"
+        )
+    live_main = set(snapshot_parts(out_dir, main["id"], snaps=snaps))
+    live_b = set(snapshot_parts(out_dir, btip, snaps=snaps))
+    added = sorted(live_b - live_main)
+    removed = sorted(live_main - live_b)
+    if not added and not removed:
+        return {"fast_forwarded": False, "snapshot_id": main["id"],
+                "branch_tip": btip, "parts_added": 0, "parts_removed": 0}
+    # which added parts carry genuinely NEW rows (vs rewrite survivors):
+    # union of the walked branch entries' own append sets, restricted to
+    # parts still live at the branch tip — the plain (append-only)
+    # changefeed delivers exactly these
+    appended: set[int] = set()
+    for e in walked:
+        if e.get("tag_only"):
+            continue  # materialized branch root: rows fold into main's root
+        if e.get("append_parts") is not None:
+            app = e["append_parts"]
+        elif e.get("removed_parts") or e.get("delete") or e.get("compaction"):
+            app = []
+        else:
+            app = e["new_parts"]
+        appended |= set(app)
+    appended &= live_b & set(added)
+    pm = part_meta(out_dir, parts=sorted(set(added) | set(removed)), snaps=snaps)
+    rows_of = {p: d["n_rows"] for p, d in pm.items()}
+    delta = (
+        sum(rows_of[p] for p in added) - sum(rows_of[p] for p in removed)
+        if set(added) | set(removed) <= set(rows_of)
+        else None
+    )
+    ss = snapshot_schema(out_dir, btip, snaps=snaps)
+    if ss is None:
+        m = _read_json(_j(out_dir, "_table_meta.json"))
+        ss = (m["columns"], m["schema"])
+    entry = {
+        "new_parts": added,
+        "removed_parts": removed,
+        "append_parts": sorted(appended),
+        "n_rows": delta,
+        "enc_bytes": 0,
+        "layout": by_id[btip].get("layout", "clustered"),
+        "fast_forward_of": name,
+        "ff_from": btip,
+        "columns": ss[0],
+        "schema": ss[1],
+        "ts": time.time(),
+    }
+    e = _commit_snapshot_entry(out_dir, entry, append=True, pm=pm)
+    return {"fast_forwarded": True, "snapshot_id": e["id"],
+            "branch_tip": btip, "parts_added": len(added),
+            "parts_removed": len(removed)}
 
 
 @_with_writer_lock("vacuum")
@@ -4093,17 +4384,21 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     # retention slot nor (critically) let it be re-rooted as a
     # replayable changefeed root, which would deliver its rows twice
     chain_ids = set()
-    cur = snaps[-1]
+    cur = _tip_entry(snaps)  # never a trailing branch commit
     while cur:
         chain_ids.add(cur["id"])
         cur = by_id.get(cur["parent"])
     chain = [s for s in snaps if s["id"] in chain_ids]
     kept = chain[-keep_last:]
     kept_ids = {s["id"] for s in kept}
+    # pinned off-chain snapshots: tags AND branch tips (a branch's
+    # intermediate commits expire like main history; its TIP must stay
+    # readable and committable-onto)
+    branch_tips = set(list_branches(out_dir).values())
     tagged = sorted(
         {
             sid
-            for sid in list_tags(out_dir).values()
+            for sid in set(list_tags(out_dir).values()) | branch_tips
             if sid in by_id and sid not in kept_ids
         }
     )
@@ -4142,6 +4437,8 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     first.pop("append_parts", None)  # ditto: merge rewrites fold into the root
     first.pop("rollback_of", None)  # ditto: restored parts fold into the root
     first.pop("tag_only", None)  # a retained root MUST replay to consumers
+    first.pop("fast_forward_of", None)  # ditto: ff delta folds into the root
+    first.pop("ff_from", None)
     first["parent"] = 0
     first["manifest"] = write_manifest(out_dir, first["new_parts"], pm=pm_all)
     # tagged snapshots outside the window: materialized as standalone
@@ -4152,10 +4449,18 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
         t = dict(by_id[sid])
         t["new_parts"] = sorted(snapshot_parts(out_dir, sid, snaps=snaps))
         for k in ("removed_parts", "compaction", "delete", "append_parts",
-                  "rollback_of"):
+                  "rollback_of", "fast_forward_of", "ff_from"):
             t.pop(k, None)
         t["parent"] = 0
         t["tag_only"] = True
+        if sid in branch_tips and t.get("branch"):
+            # a materialized BRANCH root loses its parent chain, so the
+            # fast-forward divergence check can no longer walk to the
+            # fork — stamp the fork id (resolved against the pre-squash
+            # log) so fast_forward still recognizes an unmoved main
+            fork, _walked = _branch_fork(by_id, sid)
+            if fork is not None:
+                t["fork_base"] = fork
         t["manifest"] = write_manifest(out_dir, t["new_parts"], pm=pm_all)
         tag_roots.append(t)
     squashed = sorted(tag_roots + [first], key=lambda s: s["id"]) + kept[1:]

@@ -2272,3 +2272,108 @@ FROM pairs GROUP BY doc_id
 
 QUERIES["benchmark_decontaminate"] = q_benchmark_decontaminate
 ORACLES["benchmark_decontaminate"] = SQL_BENCHMARK_DECONTAMINATE
+
+
+# ---------------------------------------------------------------------------
+# branches: writable refs + fast-forward merge (engine.create_branch /
+# fast_forward — Iceberg branch semantics over the shared snapshot log;
+# the reference has no refs, its outputs are write-once directories)
+
+
+def q_branch_merge_read(spark, sf_dir):
+    """Branch workflow end-to-end: encode documents, branch 'fix', and ON
+    THE BRANCH delete every 'de' row, then upsert a batch that replaces
+    doc_id < 50 and inserts new ids above 2M. Main is read BEFORE the
+    fast-forward (must be the untouched original — branch commits are
+    invisible bystanders) and AFTER (must be exactly the branch's net
+    state, adopted as one atomic snapshot). Both reads aggregate per
+    lang under a phase label; the oracle computes both phases
+    relationally from the source table, so isolation leaks, a wrong
+    fast-forward diff, or double-applied branch commits all break the
+    hash."""
+    from .engine import (
+        create_branch,
+        decode_table,
+        delete_rows,
+        encode_table,
+        fast_forward,
+        upsert_rows,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = _workdir(sf_dir, "branch")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark, d, out,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=8, resume=False,
+    )
+    create_branch(out, "fix")
+    delete_rows(spark, out, ("lang", "de", "de"), branch="fix")
+    upd = d.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.concat(F.lit("fix-"), F.col("doc_id")).alias("text"),
+        F.lit("bb").alias("lang"),
+        F.col("source"),
+        F.length(F.concat(F.lit("fix-"), F.col("doc_id"))).cast("long").alias("n_chars"),
+    )
+    ins = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(F.lit("new-"), F.col("doc_id")).alias("text"),
+        F.lit("nn").alias("lang"),
+        F.col("source"),
+        F.length(F.concat(F.lit("new-"), F.col("doc_id"))).cast("long").alias("n_chars"),
+    )
+    batch = upd.unionByName(ins).select(*d.columns)
+    upsert_rows(
+        spark, batch, out, "doc_id", branch="fix",
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=2,
+    )
+
+    def agg(df, phase):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+        ).withColumn("phase", F.lit(phase))
+
+    # decode plans its part list eagerly, so this frame keeps reading
+    # main's pre-ff state even after the fast-forward below (copy-on-
+    # write: the old parts still exist until expire)
+    pre = agg(decode_table(spark, out), "pre_ff")
+    ff = fast_forward(out, "fix")
+    assert ff["fast_forwarded"] is True
+    post = agg(decode_table(spark, out), "post_ff")
+    return pre.unionByName(post).select(
+        "phase", "lang", "n_docs", "total_chars", "max_doc_id"
+    )
+
+
+SQL_BRANCH_MERGE_READ = """
+WITH post AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE lang <> 'de' AND doc_id >= 50
+  UNION ALL
+  SELECT doc_id, 'bb' AS lang, length('fix-' || doc_id) AS n_chars
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, 'nn' AS lang,
+         length('new-' || doc_id) AS n_chars
+  FROM documents WHERE doc_id < 30
+)
+SELECT 'pre_ff' AS phase, lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       max(doc_id) AS max_doc_id
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 'post_ff' AS phase, lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       max(doc_id) AS max_doc_id
+FROM post GROUP BY lang
+"""
+
+QUERIES["branch_merge_read"] = q_branch_merge_read
+ORACLES["branch_merge_read"] = SQL_BRANCH_MERGE_READ

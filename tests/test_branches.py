@@ -1,0 +1,296 @@
+"""Branches: writable named refs over the shared snapshot log.
+
+A branch commit lives in the same log as main (globally unique ids,
+vacuum/expire see its parts) but carries a ``branch`` marker and parents
+onto the branch's own ref tip, so the main table never observes it; a
+``fast_forward`` folds the branch back into main as ONE self-contained
+net-diff snapshot the changefeed/CDC/expire machinery treats like any
+other commit. Reference analog: the reference pipeline has no notion of
+refs at all (its outputs are write-once directories) — this is
+engine-of-its-own territory modeled on Iceberg branch semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk(spark, out, n=300, parts=2):
+    from sparkcodec.engine import encode_table
+
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 5).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=parts, resume=False)
+    return df
+
+
+def _append(spark, out, lo, n, branch=None):
+    from sparkcodec.engine import encode_table
+
+    df = spark.range(lo, lo + n).select(
+        F.col("id"), (F.col("id") % 5).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    return encode_table(spark, df, out, append=True, cluster_by=["g"],
+                        salt_by=["id"], num_parts=1, branch=branch)
+
+
+def test_branch_create_list_delete(spark, tmp_path):
+    from sparkcodec.engine import (
+        create_branch,
+        delete_branch,
+        delete_tag,
+        list_branches,
+        list_tags,
+        resolve_ref,
+        tag_snapshot,
+    )
+
+    out = str(tmp_path / "t")
+    _mk(spark, out)
+    assert create_branch(out, "dev") == {"name": "dev", "snapshot_id": 1}
+    assert list_branches(out) == {"dev": 1}
+    assert list_tags(out) == {}  # branches are not tags
+    assert resolve_ref(out, "dev") == 1
+    # ref-namespace collisions refused both ways
+    with pytest.raises(ValueError, match="already exists"):
+        create_branch(out, "dev")
+    with pytest.raises(ValueError, match="is a branch"):
+        tag_snapshot(out, "dev")
+    tag_snapshot(out, "v1")
+    with pytest.raises(ValueError, match="already exists"):
+        create_branch(out, "v1")
+    # wrong-kind deletes refused; right-kind deletes work
+    with pytest.raises(ValueError, match="use delete_branch"):
+        delete_tag(out, "dev")
+    with pytest.raises(ValueError, match="use delete_tag"):
+        delete_branch(out, "v1")
+    assert delete_branch(out, "dev") is True
+    assert delete_branch(out, "dev") is False
+    assert list_branches(out) == {}
+
+
+def test_branch_write_isolation(spark, tmp_path):
+    """Appends and deletes on a branch are invisible to main (and to
+    main's defaults: tip reads, as_of, tagging), while the branch ref
+    reads its own chain; main keeps committing correctly AFTER a
+    trailing branch commit."""
+    from sparkcodec.engine import (
+        create_branch,
+        decode_table,
+        delete_rows,
+        snapshot_id_as_of,
+        snapshots,
+        tag_snapshot,
+    )
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=300)
+    create_branch(out, "dev")
+    _append(spark, out, 300, 100, branch="dev")          # branch: +100
+    delete_rows(spark, out, ("id", 0, 49), branch="dev")  # branch: -50
+    assert decode_table(spark, out).count() == 300        # main untouched
+    assert decode_table(spark, out, ref="dev").count() == 350
+    # branch rows really are the branch's: spot-check the delete range
+    # (decode's where prunes conservatively; exact filter composes)
+    b = decode_table(spark, out, ref="dev", where=("id", 0, 59))
+    assert b.where("id BETWEEN 0 AND 59").count() == 10  # 0..49 deleted
+    # a commit on MAIN after trailing branch entries parents onto main's
+    # tip, not the branch commit
+    _append(spark, out, 1000, 50)
+    snaps = snapshots(out)
+    mains = [s for s in snaps if not s.get("branch")]
+    assert mains[-1]["parent"] == mains[-2]["id"]
+    assert decode_table(spark, out).count() == 350        # 300 + 50
+    assert decode_table(spark, out, ref="dev").count() == 350  # unchanged
+    # defaults ignore branch commits: as_of "now" and tag default both
+    # resolve the main tip
+    assert snapshot_id_as_of(out, 4e9) == mains[-1]["id"]
+    assert tag_snapshot(out, "tip")["snapshot_id"] == mains[-1]["id"]
+
+
+def test_branch_upsert_and_fast_forward(spark, tmp_path):
+    """Upsert on a branch, then fast-forward: main atomically adopts the
+    branch's net state; a second ff with no new branch commits is a
+    no-op; more branch commits fast-forward again (the previous ff
+    marker is recognized as this branch's)."""
+    from sparkcodec.engine import (
+        create_branch,
+        decode_table,
+        fast_forward,
+        upsert_rows,
+    )
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=300)
+    create_branch(out, "fix")
+    up = spark.range(100).select(
+        F.col("id"), F.lit(9).cast("long").alias("g"),
+        (F.col("id") + 7).alias("v"),
+    )
+    r = upsert_rows(spark, up, out, "id", branch="fix",
+                    cluster_by=["g"], salt_by=["id"], num_parts=1)
+    assert r["rows_appended"] == 100 and r["rows_deleted"] == 100
+    assert decode_table(spark, out).count() == 300  # main pre-ff
+    ff = fast_forward(out, "fix")
+    assert ff["fast_forwarded"] is True
+    main = decode_table(spark, out)
+    assert main.count() == 300
+    assert main.where("g = 9").count() == 100  # upserted rows adopted
+    assert main.where("id < 100 and v = id + 7").count() == 100
+    # no new branch commits -> no-op
+    ff2 = fast_forward(out, "fix")
+    assert ff2["fast_forwarded"] is False
+    # branch continues past the ff and fast-forwards again
+    _append(spark, out, 500, 40, branch="fix")
+    ff3 = fast_forward(out, "fix")
+    assert ff3["fast_forwarded"] is True
+    assert decode_table(spark, out).count() == 340
+
+
+def test_fast_forward_diverged_refused(spark, tmp_path):
+    from sparkcodec.engine import create_branch, fast_forward
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=200)
+    create_branch(out, "dev")
+    _append(spark, out, 200, 50, branch="dev")
+    _append(spark, out, 900, 50)  # main moves past the fork
+    with pytest.raises(ValueError, match="main moved since"):
+        fast_forward(out, "dev")
+
+
+def test_branch_changefeed_and_cdc(spark, tmp_path):
+    """The main changefeed delivers nothing for branch commits; the
+    fast-forward entry delivers the branch's net NEW rows exactly once,
+    and in CDC mode the branch's net deletes surface as delete events at
+    the fast-forward snapshot."""
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import (
+        create_branch,
+        delete_rows,
+        fast_forward,
+        snapshots,
+        table_changes,
+    )
+
+    spark.dataSource.register(SparkcodecDataSource)
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=300)
+    create_branch(out, "dev")
+    _append(spark, out, 300, 100, branch="dev")
+    delete_rows(spark, out, ("id", 0, 49), branch="dev")
+
+    def drain(sink, ck):
+        q = (spark.readStream.format("sparkcodec").load(out)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    got = drain(str(tmp_path / "s1"), str(tmp_path / "c1"))
+    assert got.count() == 300  # root only; branch commits invisible
+    ff = fast_forward(out, "dev")
+    got2 = drain(str(tmp_path / "s1"), str(tmp_path / "c1"))
+    # incremental: exactly the branch's net-new rows, delivered once
+    assert got2.count() == 400
+    assert got2.where("id >= 300").count() == 100
+    # CDC: the ff snapshot carries the branch's net deletes + inserts
+    ch = table_changes(spark, out, "id",
+                       start_snapshot=ff["snapshot_id"] - 1).collect()
+    ops = {(r["op"], r["id"]) for r in ch}
+    assert ("delete", 0) in ops and ("delete", 49) in ops
+    assert ("insert", 300) in ops
+    assert ("delete", 50) not in ops  # carried-through keys cancel
+    n_del = sum(1 for op, _ in ops if op == "delete")
+    assert n_del == 50
+    # branch commits themselves emit no CDC events
+    sids = {s["id"] for s in snapshots(out) if s.get("branch")}
+    assert not [r for r in ch if r["snapshot_id"] in sids]
+
+
+def test_branch_survives_expire(spark, tmp_path):
+    """expire_snapshots protects branch TIPS like tags (materialized
+    root with fork_base); the branch stays readable, keeps accepting
+    commits, and still fast-forwards when main did not move."""
+    from sparkcodec.engine import (
+        create_branch,
+        decode_table,
+        expire_snapshots,
+        fast_forward,
+        list_branches,
+        snapshots,
+    )
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=200)
+    create_branch(out, "dev")
+    _append(spark, out, 200, 50, branch="dev")
+    _append(spark, out, 250, 50, branch="dev")
+    expire_snapshots(out, keep_last=1)
+    # branch tip materialized: still readable, intermediate gone
+    assert decode_table(spark, out, ref="dev").count() == 300
+    assert decode_table(spark, out).count() == 200
+    tip = list_branches(out)["dev"]
+    by_id = {s["id"]: s for s in snapshots(out)}
+    assert by_id[tip].get("tag_only") and by_id[tip].get("branch") == "dev"
+    assert by_id[tip].get("fork_base") == 1
+    # keeps accepting commits and fast-forwards (main never moved)
+    _append(spark, out, 300, 25, branch="dev")
+    assert decode_table(spark, out, ref="dev").count() == 325
+    ff = fast_forward(out, "dev")
+    assert ff["fast_forwarded"] is True
+    assert decode_table(spark, out).count() == 325
+
+
+def test_branch_rollback_refused_and_vacuum_safe(spark, tmp_path):
+    """rollback targets main history only; vacuum_orphans never
+    reclaims committed branch parts."""
+    from sparkcodec.engine import (
+        create_branch,
+        decode_table,
+        rollback_table,
+        snapshots,
+        vacuum_orphans,
+    )
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=200)
+    create_branch(out, "dev")
+    _append(spark, out, 200, 50, branch="dev")
+    bsid = [s["id"] for s in snapshots(out) if s.get("branch")][0]
+    with pytest.raises(ValueError, match="use fast_forward"):
+        rollback_table(out, bsid)
+    assert vacuum_orphans(out)["parts_vacuumed"] == 0
+    assert decode_table(spark, out, ref="dev").count() == 250
+
+
+def test_branch_cli_surface(spark, tmp_path, monkeypatch, capsys):
+    """maintain_job drives the branch lifecycle without a Spark session:
+    create at a pinned snapshot, list, fast-forward (no-op here: no
+    branch commits), delete."""
+    import json
+
+    from jobs.maintain_job import main
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=100)
+
+    def run(*argv):
+        monkeypatch.setattr("sys.argv", ["maintain_job.py", "--table", out,
+                                         *argv])
+        assert main() == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    r = run("--create-branch", "dev:1", "--branches")
+    assert r["create_branch"] == {"name": "dev", "snapshot_id": 1}
+    assert r["branches"] == {"dev": 1}
+    r = run("--fast-forward", "dev")
+    assert r["fast_forward"]["fast_forwarded"] is False
+    r = run("--delete-branch", "dev", "--branches")
+    assert r["delete_branch"] is True and r["branches"] == {}

@@ -2176,7 +2176,7 @@ def test_snapshot_tags_survive_expire(spark, tmp_path):
     assert not delete_tag(out, "v1-training")
     expire_snapshots(out, keep_last=1)
     assert [s["id"] for s in snapshots(out)] == [3]
-    with _pytest.raises(ValueError, match="unknown tag"):
+    with _pytest.raises(ValueError, match="unknown ref"):
         decode_table(spark, out, ref="v1-training")
 
 

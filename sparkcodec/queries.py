@@ -2377,3 +2377,130 @@ FROM post GROUP BY lang
 
 QUERIES["branch_merge_read"] = q_branch_merge_read
 ORACLES["branch_merge_read"] = SQL_BRANCH_MERGE_READ
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: concat-and-chunk training batches (the GPT-style
+# pack: documents in doc_id order are concatenated into one token stream
+# and cut every _PACK_CTX tokens). The global running offset is a
+# TWO-LEVEL prefix sum — an intra-bucket window (parallel across
+# buckets) plus a window over the tiny per-bucket totals broadcast back
+# — so no stage ever sees a single global-ordering partition: the same
+# gather→scan→scatter choreography as q_prefix_offsets, applied per-row.
+
+_PACK_CTX = 2048
+_PACK_BUCKET = 512  # docs per prefix-sum bucket
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Pack documents into fixed-size context windows and audit the
+    packs: per pack, how many docs touch it, its token fill (== ctx for
+    all but the last pack), and how many docs START in it. A wrong
+    offset anywhere shifts every downstream pack boundary, so the
+    oracle (a single-window cumsum in DuckDB) catches any error in the
+    distributed two-level prefix sum."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    t = d.select("doc_id", toks.alias("n_tok")).withColumn(
+        "b", (F.col("doc_id") / _PACK_BUCKET).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("b").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("local_off", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)))
+    bt = t.groupBy("b").agg(F.sum("n_tok").alias("btot"))
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bt.select(
+        "b", F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("b_off")
+    )
+    t = t.join(F.broadcast(boff), "b")
+    start = F.col("b_off") + F.col("local_off")
+    end = start + F.col("n_tok")
+    spans = t.select(
+        "doc_id", "n_tok", start.alias("start"), end.alias("end"),
+        F.floor(start / _PACK_CTX).alias("p0"),
+        F.floor((end - 1) / _PACK_CTX).alias("p1"),
+    )
+    ex = spans.select(
+        "start", "end", F.explode(F.sequence("p0", "p1")).alias("pack_id")
+    )
+    in_pack = (
+        F.least(F.col("end"), (F.col("pack_id") + 1) * _PACK_CTX)
+        - F.greatest(F.col("start"), F.col("pack_id") * _PACK_CTX)
+    )
+    starts_here = (F.col("start") >= F.col("pack_id") * _PACK_CTX).cast("long")
+    return ex.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(in_pack).alias("pack_tokens"),
+        F.sum(starts_here).alias("n_doc_starts"),
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH tok AS (
+  SELECT doc_id,
+         cast(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM tok
+), spans AS (
+  SELECT doc_id, n_tok, s, s + n_tok AS e,
+         cast(s // {_PACK_CTX} AS BIGINT) AS p0,
+         cast((s + n_tok - 1) // {_PACK_CTX} AS BIGINT) AS p1
+  FROM cum
+), ex AS (
+  SELECT s, e, unnest(range(p0, p1 + 1)) AS pack_id FROM spans
+)
+SELECT pack_id, count(*) AS n_docs,
+       cast(sum(least(e, (pack_id + 1) * {_PACK_CTX})
+                - greatest(s, pack_id * {_PACK_CTX})) AS BIGINT) AS pack_tokens,
+       cast(sum(CASE WHEN s >= pack_id * {_PACK_CTX} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_doc_starts
+FROM ex GROUP BY pack_id
+"""
+
+QUERIES["sequence_packing"] = q_sequence_packing
+ORACLES["sequence_packing"] = SQL_SEQUENCE_PACKING
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Data-mixture reweighting: temperature-scaled per-source sampling
+    weights (w_s ∝ n_s^0.5 — the multilingual-training upsampling rule
+    at T=2), computed from exact per-source token counts. sqrt is used
+    instead of pow(x, 0.5) deliberately: IEEE-754 sqrt is correctly
+    rounded in both engines, so the oracle's doubles match bit-for-bit
+    before the 6-digit round. The normalizing total rides a broadcast
+    of the tiny per-source aggregate — the wide text never reshuffles."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum(F.sqrt(F.col("n_tokens"))).alias("z")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens")) / F.col("z"), 6).alias("weight"),
+    )
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(sqrt(n_tokens)) AS z FROM per)
+SELECT source, n_docs, n_tokens,
+       round(sqrt(n_tokens) / z, 6) AS weight
+FROM per, tot
+"""
+
+QUERIES["mixture_weights"] = q_mixture_weights
+ORACLES["mixture_weights"] = SQL_MIXTURE_WEIGHTS

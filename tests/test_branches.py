@@ -294,3 +294,39 @@ def test_branch_cli_surface(spark, tmp_path, monkeypatch, capsys):
     assert r["fast_forward"]["fast_forwarded"] is False
     r = run("--delete-branch", "dev", "--branches")
     assert r["delete_branch"] is True and r["branches"] == {}
+
+
+def test_branch_datasource_read_and_schema_evolution(spark, tmp_path):
+    """The DataSource ref option reads branch tips; a schema evolution
+    committed ON a branch (append with a new nullable column) stays off
+    main until the fast-forward adopts the branch's schema — per-
+    snapshot schema versioning routes each chain to its own columns."""
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import (
+        create_branch,
+        decode_table,
+        encode_table,
+        fast_forward,
+    )
+
+    spark.dataSource.register(SparkcodecDataSource)
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=200)
+    create_branch(out, "dev")
+    wide = spark.range(200, 260).select(
+        F.col("id"), (F.col("id") % 5).alias("g"), (F.col("id") * 2).alias("v"),
+        F.lit(1).cast("long").alias("extra"),
+    )
+    encode_table(spark, wide, out, append=True, cluster_by=["g"],
+                 salt_by=["id"], num_parts=1, branch="dev")
+    # DataSource batch read resolves the branch ref
+    ds = (spark.read.format("sparkcodec").option("ref", "dev").load(out))
+    assert ds.count() == 260
+    assert "extra" in ds.columns
+    # main: still the pre-evolution schema and rows
+    m = decode_table(spark, out)
+    assert m.count() == 200 and "extra" not in m.columns
+    fast_forward(out, "dev")
+    m2 = decode_table(spark, out)
+    assert m2.count() == 260 and "extra" in m2.columns
+    assert m2.where("extra = 1").count() == 60  # old rows read as NULL

@@ -6,7 +6,7 @@
         [--expire-keep-last 3] [--delete col:lo:hi] [--rollback N] \
         [--optimize-zorder c1,c2 | --optimize-sort c1,c2] \
         [--tag NAME[:SID]] [--delete-tag NAME] [--tags] \
-        [--create-branch NAME[:SID]] [--fast-forward NAME] \
+        [--create-branch NAME[:SID]] [--rebase NAME] [--fast-forward NAME] \
         [--delete-branch NAME] [--branches] \
         [--stats] [--history]
 
@@ -127,6 +127,13 @@ def main() -> int:
         "--fast-forward", default=None, metavar="NAME",
         help="fold branch NAME into main (refused if main moved since "
              "the fork — re-apply the branch's changes on the new tip)",
+    )
+    ap.add_argument(
+        "--rebase", default=None, metavar="NAME",
+        help="re-fork a diverged branch onto the current main tip "
+             "(part-granular three-way merge; refused when both sides "
+             "rewrote the same part) — follow with --fast-forward to "
+             "complete the merge",
     )
     ap.add_argument(
         "--branches", action="store_true", help="print all branch tips"
@@ -253,6 +260,10 @@ def main() -> int:
         from sparkcodec.engine import create_branch
 
         out["create_branch"] = create_branch(args.table, br_name, br_sid)
+    if args.rebase:
+        from sparkcodec.engine import rebase_branch
+
+        out["rebase"] = rebase_branch(args.table, args.rebase)
     if args.fast_forward:
         from sparkcodec.engine import fast_forward
 

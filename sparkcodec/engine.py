@@ -1482,6 +1482,7 @@ def _commit_snapshot_entry(
     evolved_meta: dict | None = None,
     pm: dict | None = None,
     branch: str | None = None,
+    branch_parent: int | None = None,
 ) -> dict:
     """Publish a prepared snapshot entry: write the (possibly evolved)
     table meta and the entry's pruning MANIFEST first, then append the
@@ -1505,7 +1506,12 @@ def _commit_snapshot_entry(
     # a trailing branch commit must never become a main parent
     e["id"] = (snaps[-1]["id"] + 1) if snaps else 1
     if branch is not None:
-        bid = _branch_tip(out_dir, branch, snaps)
+        # normal branch commits parent onto the ref tip; a rebase passes
+        # branch_parent to re-fork the chain onto the main tip instead
+        bid = (
+            branch_parent if branch_parent is not None
+            else _branch_tip(out_dir, branch, snaps)
+        )
         e["parent"] = bid
         e["branch"] = branch
     else:
@@ -4201,6 +4207,27 @@ def _branch_fork(
     return None, walked
 
 
+def _branch_appended(
+    walked: list[dict], live_b: set[int], added
+) -> set[int]:
+    """Which of a branch's net-added parts carry genuinely NEW rows (vs
+    rewrite survivors): the union of the walked branch entries' own
+    append sets, restricted to parts still live at the branch tip — the
+    plain (append-only) changefeed delivers exactly these."""
+    appended: set[int] = set()
+    for e in walked:
+        if e.get("tag_only"):
+            continue  # materialized branch root: rows fold into main's root
+        if e.get("append_parts") is not None:
+            app = e["append_parts"]
+        elif e.get("removed_parts") or e.get("delete") or e.get("compaction"):
+            app = []
+        else:
+            app = e["new_parts"]
+        appended |= set(app)
+    return appended & live_b & set(added)
+
+
 @_with_writer_lock("fast-forward")
 def fast_forward(out_dir: str, name: str) -> dict:
     """Fold branch ``name`` into main as ONE atomic snapshot — the
@@ -4244,22 +4271,7 @@ def fast_forward(out_dir: str, name: str) -> dict:
     if not added and not removed:
         return {"fast_forwarded": False, "snapshot_id": main["id"],
                 "branch_tip": btip, "parts_added": 0, "parts_removed": 0}
-    # which added parts carry genuinely NEW rows (vs rewrite survivors):
-    # union of the walked branch entries' own append sets, restricted to
-    # parts still live at the branch tip — the plain (append-only)
-    # changefeed delivers exactly these
-    appended: set[int] = set()
-    for e in walked:
-        if e.get("tag_only"):
-            continue  # materialized branch root: rows fold into main's root
-        if e.get("append_parts") is not None:
-            app = e["append_parts"]
-        elif e.get("removed_parts") or e.get("delete") or e.get("compaction"):
-            app = []
-        else:
-            app = e["new_parts"]
-        appended |= set(app)
-    appended &= live_b & set(added)
+    appended = _branch_appended(walked, live_b, added)
     pm = part_meta(out_dir, parts=sorted(set(added) | set(removed)), snaps=snaps)
     rows_of = {p: d["n_rows"] for p, d in pm.items()}
     delta = (
@@ -4288,6 +4300,101 @@ def fast_forward(out_dir: str, name: str) -> dict:
     return {"fast_forwarded": True, "snapshot_id": e["id"],
             "branch_tip": btip, "parts_added": len(added),
             "parts_removed": len(removed)}
+
+
+@_with_writer_lock("rebase")
+def rebase_branch(out_dir: str, name: str) -> dict:
+    """Re-fork a DIVERGED branch onto the current main tip — the step
+    that makes ``rebase_branch`` + :func:`fast_forward` a full merge
+    workflow. The branch's net diff against its OLD fork (parts it
+    added, parts it rewrote or deleted) is replayed as ONE new branch
+    commit whose parent is the main tip; the three-way merge is
+    part-granular:
+
+    - parts only MAIN touched since the fork: main's version wins
+      (they simply stay in the rebased live set);
+    - parts only the BRANCH touched: the branch's version wins
+      (its removals and additions apply on top of main);
+    - parts BOTH sides rewrote or removed: refused with the part list —
+      the branch's rewrite was computed against rows main has since
+      changed, and replaying it would resurrect or double-delete them.
+      Re-apply the branch's logical change (the delete predicate / the
+      merge batch) on a fresh branch instead.
+
+    A branch with no commits just moves its ref to the main tip. No
+    part file moves in any case; a not-diverged branch is a no-op
+    (fast_forward directly)."""
+    snaps = snapshots(out_dir)
+    if not snaps:
+        raise ValueError(f"table at {out_dir} has no snapshot log")
+    by_id = {s["id"]: s for s in snaps}
+    btip = _branch_tip(out_dir, name, snaps)
+    main = _tip_entry(snaps)
+    fork, walked = _branch_fork(by_id, btip)
+    walked_ids = {e["id"] for e in walked}
+    if main["id"] == fork or (
+        main.get("fast_forward_of") == name
+        and main.get("ff_from") in walked_ids | ({fork} - {None})
+    ):
+        return {"rebased": False, "reason": "not diverged",
+                "branch_tip": btip}
+    if fork is None:
+        raise ValueError(
+            f"branch {name!r} (tip {btip}) cannot rebase: its fork point "
+            f"expired from the log, so its diff base is unknowable"
+        )
+    if not walked:
+        # ref parked on a stale main entry with no branch commits:
+        # rebasing is just catching the ref up to the tip
+        _write_ref(out_dir, name, main["id"], kind="branch", force=True)
+        return {"rebased": True, "snapshot_id": main["id"],
+                "parts_added": 0, "parts_removed": 0, "conflicts": []}
+    live_fork = set(snapshot_parts(out_dir, fork, snaps=snaps))
+    live_b = set(snapshot_parts(out_dir, btip, snaps=snaps))
+    live_main = set(snapshot_parts(out_dir, main["id"], snaps=snaps))
+    added = sorted(live_b - live_fork)
+    removed = sorted(live_fork - live_b)
+    conflicts = sorted(set(removed) - live_main)
+    if conflicts:
+        raise ValueError(
+            f"branch {name!r} cannot rebase onto main tip {main['id']}: "
+            f"parts {conflicts[:8]}{'...' if len(conflicts) > 8 else ''} "
+            f"were rewritten or removed by BOTH the branch and main "
+            f"since the fork — re-apply the branch's changes on a fresh "
+            f"branch of the current tip"
+        )
+    appended = _branch_appended(walked, live_b, added)
+    pm = part_meta(out_dir, parts=sorted(set(added) | set(removed)),
+                   snaps=snaps)
+    rows_of = {p: d["n_rows"] for p, d in pm.items()}
+    delta = (
+        sum(rows_of[p] for p in added) - sum(rows_of[p] for p in removed)
+        if set(added) | set(removed) <= set(rows_of)
+        else None
+    )
+    ss = snapshot_schema(out_dir, btip, snaps=snaps)
+    if ss is None:
+        m = _read_json(_j(out_dir, "_table_meta.json"))
+        ss = (m["columns"], m["schema"])
+    entry = {
+        "new_parts": added,
+        "removed_parts": removed,
+        "append_parts": sorted(appended),
+        "n_rows": delta,
+        "enc_bytes": 0,
+        "layout": by_id[btip].get("layout", "clustered"),
+        "rebase_of": btip,
+        "columns": ss[0],
+        "schema": ss[1],
+        "ts": time.time(),
+    }
+    e = _commit_snapshot_entry(
+        out_dir, entry, append=True, pm=pm,
+        branch=name, branch_parent=main["id"],
+    )
+    return {"rebased": True, "snapshot_id": e["id"],
+            "parts_added": len(added), "parts_removed": len(removed),
+            "conflicts": []}
 
 
 @_with_writer_lock("vacuum")
@@ -4449,7 +4556,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
         t = dict(by_id[sid])
         t["new_parts"] = sorted(snapshot_parts(out_dir, sid, snaps=snaps))
         for k in ("removed_parts", "compaction", "delete", "append_parts",
-                  "rollback_of", "fast_forward_of", "ff_from"):
+                  "rollback_of", "fast_forward_of", "ff_from", "rebase_of"):
             t.pop(k, None)
         t["parent"] = 0
         t["tag_only"] = True

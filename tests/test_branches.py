@@ -330,3 +330,74 @@ def test_branch_datasource_read_and_schema_evolution(spark, tmp_path):
     m2 = decode_table(spark, out)
     assert m2.count() == 260 and "extra" in m2.columns
     assert m2.where("extra = 1").count() == 60  # old rows read as NULL
+
+
+def test_rebase_branch_then_merge(spark, tmp_path):
+    """Part-granular three-way merge: main appends AND deletes after the
+    fork while the branch appends and deletes disjoint parts; rebase
+    replays the branch's net diff onto the new main tip, fast-forward
+    then completes the merge — both sides' changes land exactly once."""
+    from sparkcodec.engine import (
+        create_branch,
+        decode_table,
+        delete_rows,
+        fast_forward,
+        rebase_branch,
+    )
+
+    out = str(tmp_path / "t")
+    # two widely separated id bands so the CoW deletes touch disjoint parts
+    _mk(spark, out, n=200, parts=1)               # band A: 0..199 (part 1)
+    _append(spark, out, 10_000, 200)              # band B: 10000..10199
+    create_branch(out, "dev")
+    # branch: new rows + delete inside band B only
+    _append(spark, out, 20_000, 60, branch="dev")
+    delete_rows(spark, out, ("id", 10_000, 10_049), branch="dev")
+    # main diverges: new rows + delete inside band A only
+    _append(spark, out, 30_000, 40)
+    delete_rows(spark, out, ("id", 0, 24))
+    with pytest.raises(ValueError, match="main moved since"):
+        fast_forward(out, "dev")
+    r = rebase_branch(out, "dev")
+    assert r["rebased"] is True and r["conflicts"] == []
+    # rebased branch sees BOTH sides' changes
+    b = decode_table(spark, out, ref="dev")
+    assert b.count() == 400 + 60 + 40 - 50 - 25
+    assert b.where("id BETWEEN 0 AND 24").count() == 0        # main's delete
+    assert b.where("id BETWEEN 10000 AND 10049").count() == 0  # branch's
+    assert b.where("id >= 20000 AND id < 21000").count() == 60
+    # main unchanged until the ff completes the merge
+    assert decode_table(spark, out).count() == 400 + 40 - 25
+    ff = fast_forward(out, "dev")
+    assert ff["fast_forwarded"] is True
+    assert decode_table(spark, out).count() == 425
+    # idempotent: nothing further to rebase or forward
+    assert rebase_branch(out, "dev")["rebased"] is False
+    assert fast_forward(out, "dev")["fast_forwarded"] is False
+
+
+def test_rebase_conflict_refused(spark, tmp_path):
+    """Both sides rewriting the SAME part is a genuine conflict: the
+    branch's rewrite was computed against rows main has since changed,
+    so the rebase refuses with the part list."""
+    from sparkcodec.engine import create_branch, delete_rows, rebase_branch
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=200, parts=1)
+    create_branch(out, "dev")
+    delete_rows(spark, out, ("id", 0, 9), branch="dev")   # rewrites part 1
+    delete_rows(spark, out, ("id", 100, 109))             # main rewrites it too
+    with pytest.raises(ValueError, match="BOTH the branch and main"):
+        rebase_branch(out, "dev")
+
+
+def test_rebase_empty_branch_moves_ref(spark, tmp_path):
+    from sparkcodec.engine import create_branch, list_branches, rebase_branch
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=100)
+    create_branch(out, "dev")     # at snapshot 1
+    _append(spark, out, 100, 50)  # main moves to snapshot 2
+    r = rebase_branch(out, "dev")
+    assert r["rebased"] is True and r["parts_added"] == 0
+    assert list_branches(out)["dev"] == 2

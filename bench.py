@@ -114,6 +114,12 @@ def main() -> None:
     # work shows for the same core pair on this host (calibrate runs N
     # fixed-size units on N procs, so per-unit throughput is N/wall)
     hw_speedup = (CPUS / cal[str(CPUS)]) / (8 / cal["8"]) if cal.get(str(CPUS)) else None
+    # host ceiling for the PRIMARY 2->8 pair: each calibrate worker burns a
+    # fixed unit, so per-unit throughput at n workers is n/wall(n); the
+    # ratio bounds what ANY 2-vs-8-slot comparison can show when the
+    # sandbox's effective parallel capacity is externally throttled
+    hw_speedup_2_8 = (8 / cal["8"]) / (2 / cal["2"]) if cal.get("2") else None
+    hw_ceiling_2_8 = (hw_speedup_2_8 / 4) if hw_speedup_2_8 else None
     queries = {
         "encode_local2_aligned": encA2["wall"],
         "encode_local8": enc8["wall"],
@@ -155,6 +161,19 @@ def main() -> None:
             "speedup_8_to_N": round(speedup, 3),
             f"scaling_efficiency_8_to_{CPUS}": round(efficiency, 4),
             "hw_calibration_walls": cal,
+            # pure-CPU host efficiency for the SAME 2->8 pair, measured in
+            # the same run: 1.0 on a host that really gives 8 slots 4x the
+            # compute of 2; the *_vs_hw_2_to_8 fields divide the encode
+            # pairs by this ceiling (host-normalized scaling)
+            "hw_ceiling_2_to_8": round(hw_ceiling_2_8, 4) if hw_ceiling_2_8 else None,
+            "scaling_eff_aligned_vs_hw_2_to_8": (
+                round(encA8["gbps"] / (4 * encA2["gbps"]) / hw_ceiling_2_8, 4)
+                if hw_ceiling_2_8 else None
+            ),
+            "scaling_eff_clustered_vs_hw_2_to_8": (
+                round(enc8["gbps"] / (4 * enc2["gbps"]) / hw_ceiling_2_8, 4)
+                if hw_ceiling_2_8 else None
+            ),
             "hw_calibration_speedup_8_to_N": round(hw_speedup, 3) if hw_speedup else None,
             "scaling_efficiency_vs_hw_ceiling": (
                 round(speedup / hw_speedup, 4) if hw_speedup else None

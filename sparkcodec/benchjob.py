@@ -223,7 +223,7 @@ def main() -> None:
     elif args.mode == "decode":
         res = run_decode(args.cores, args.input, args.out)
     elif args.mode == "calibrate":
-        res = run_calibrate([8, args.cores])
+        res = run_calibrate([2, 8, args.cores])
     else:
         res = run_queries(args.cores, args.sf_dir, args.queries.split(","))
     print("BENCHJOB " + json.dumps(res))

@@ -2504,3 +2504,44 @@ FROM per, tot
 
 QUERIES["mixture_weights"] = q_mixture_weights
 ORACLES["mixture_weights"] = SQL_MIXTURE_WEIGHTS
+
+
+# GPT-2-style pretokenizer, engine-portable subset: contraction suffixes,
+# space-glued letter runs, digit runs, punctuation runs, residual
+# whitespace. (The original's trailing-space lookahead is dropped — RE2,
+# DuckDB's engine, has no lookahead; Java and RE2 agree on this subset.)
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """Token counting with a BPE-ish pretokenizer regex (the GPT-2
+    pattern family) next to the plain whitespace count — the ratio is
+    the fertility proxy a data pipeline uses to budget training tokens
+    from raw text. Pure Catalyst (regexp_extract_all is JVM-side); the
+    oracle runs the SAME regex through DuckDB's RE2."""
+    d = _t(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.groupBy("lang").agg(
+        F.sum(bpe.cast("long")).alias("total_bpe_tokens"),
+        F.max(bpe).alias("max_bpe_tokens"),
+        F.round(F.sum(bpe.cast("long")) / F.sum(ws.cast("long")), 4)
+        .alias("fertility_vs_ws"),
+    )
+
+
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")  # escape for the SQL literal
+
+SQL_BPE_TOKEN_STATS = f"""
+SELECT lang,
+       cast(sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS BIGINT)
+         AS total_bpe_tokens,
+       max(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS max_bpe_tokens,
+       round(sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}')))
+             / sum(len(regexp_split_to_array(trim(text), '\\s+'))), 4)
+         AS fertility_vs_ws
+FROM documents GROUP BY lang
+"""
+
+QUERIES["bpe_token_stats"] = q_bpe_token_stats
+ORACLES["bpe_token_stats"] = SQL_BPE_TOKEN_STATS

@@ -457,9 +457,26 @@ def enc_fsst(arr: pa.Array, table: SymbolTable | None = None) -> tuple[bytes, di
     return payload, meta
 
 
+_TABLE_CACHE: dict[str, SymbolTable] = {}
+
+
 def dec_fsst(payload: bytes, meta: dict) -> pa.Array:
     symdata, symlens, codes_b, exc_b, p_lens = split_sections(payload, meta["secs"])
-    table = SymbolTable.from_bytes(symdata, symlens)
+    # every block of a partition ships the same table (enc_fsst encodes
+    # them with one prebuilt per-partition table) but rebuilds its
+    # encode-side hash structures on decode — ~10% of the decode wall.
+    # Cache by the content hash stamped in the meta, verified against
+    # THIS payload's symbol bytes so a stale or colliding entry can
+    # never decode with the wrong table (the compare is a few hundred
+    # bytes; the rebuild it skips is the expensive part).
+    sth = meta.get("sth")
+    table = _TABLE_CACHE.get(sth) if sth else None
+    if table is None or table.to_bytes() != (symdata, symlens):
+        table = SymbolTable.from_bytes(symdata, symlens)
+        if sth:
+            if len(_TABLE_CACHE) > 256:
+                _TABLE_CACHE.clear()
+            _TABLE_CACHE[sth] = table
     codes = np.frombuffer(codes_b, dtype=np.uint8)
     exceptions = np.frombuffer(exc_b, dtype=np.uint8)
     blob = decode_to_blob(codes, exceptions, table)

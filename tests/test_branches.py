@@ -401,3 +401,37 @@ def test_rebase_empty_branch_moves_ref(spark, tmp_path):
     r = rebase_branch(out, "dev")
     assert r["rebased"] is True and r["parts_added"] == 0
     assert list_branches(out)["dev"] == 2
+
+
+def test_streaming_wap_into_branch(spark, tmp_path):
+    """Streaming write-audit-publish: a stream ingests into a STAGING
+    branch (one branch snapshot per micro-batch, exactly-once via the
+    stream tag), main stays untouched for auditing, and fast_forward
+    publishes the audited batches atomically."""
+    from sparkcodec.engine import create_branch, decode_table, fast_forward
+    from sparkcodec.streaming import encode_stream
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=100, parts=1)
+    create_branch(out, "staging")
+    src = str(tmp_path / "src")
+    spark.range(100, 160).select(
+        F.col("id"), (F.col("id") % 5).alias("g"), (F.col("id") * 2).alias("v"),
+    ).write.parquet(src)
+    stream = (spark.readStream.schema("id long, g long, v long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = encode_stream(stream, out, str(tmp_path / "ck"), trigger_once=True,
+                      cluster_by=["g"], salt_by=["id"], num_parts=1,
+                      branch="staging")
+    q.awaitTermination()
+    assert decode_table(spark, out).count() == 100          # audit window
+    assert decode_table(spark, out, ref="staging").count() == 160
+    ff = fast_forward(out, "staging")
+    assert ff["fast_forwarded"] is True
+    assert decode_table(spark, out).count() == 160
+    # replay on the same checkpoint: exactly-once no-op on the branch too
+    q2 = encode_stream(stream, out, str(tmp_path / "ck"), trigger_once=True,
+                       cluster_by=["g"], salt_by=["id"], num_parts=1,
+                       branch="staging")
+    q2.awaitTermination()
+    assert decode_table(spark, out, ref="staging").count() == 160

@@ -1911,12 +1911,25 @@ def encode_table(
                     f"since the interrupted append: {pend.get('config')} "
                     f"vs {run_config}; rerun with resume=False"
                 )
+            if pend.get("branch") != branch:
+                # the crashed append targeted a different chain: adopting
+                # its base would classify ITS checkpointed parts as this
+                # run's and commit another chain's rows here
+                raise ValueError(
+                    f"append resume refused: the interrupted append "
+                    f"targeted {pend.get('branch') or 'main'!r}, this run "
+                    f"targets {branch or 'main'!r}; resume it there or "
+                    f"rerun with resume=False"
+                )
             base = pend["base"]
         else:
             base = _base_above_reservations(
                 out_dir, (max(existing) + 1) if existing else 0
             )
-            _atomic_write_json(pending_path, {"base": base, "config": run_config})
+            _atomic_write_json(
+                pending_path,
+                {"base": base, "config": run_config, "branch": branch},
+            )
         done = (
             {p for p in existing if p >= base}
             if resume and not optimistic

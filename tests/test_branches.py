@@ -435,3 +435,29 @@ def test_streaming_wap_into_branch(spark, tmp_path):
                        branch="staging")
     q2.awaitTermination()
     assert decode_table(spark, out, ref="staging").count() == 160
+
+
+def test_resume_refuses_cross_chain_pending(spark, tmp_path):
+    """A crashed append's _pending_append.json binds its part-id base to
+    its TARGET CHAIN: a resume aimed at a different chain must refuse,
+    or it would adopt the crashed run's checkpointed parts and commit
+    another chain's rows onto this one."""
+    import json as _json
+
+    from sparkcodec.engine import create_branch
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=100, parts=1)
+    create_branch(out, "dev")
+    # simulate a crashed MAIN append: pending marker without its commit
+    meta = _json.load(open(f"{out}/_table_meta.json"))
+    part_keys = ("num_parts", "layout", "cluster_by", "salt_by", "columns",
+                 "zorder_by", "target_part_rows")
+    cfg = {k: meta[k] for k in part_keys}
+    cfg["num_parts"] = 1
+    with open(f"{out}/_pending_append.json", "w") as fh:
+        _json.dump({"base": 2, "config": cfg, "branch": None}, fh)
+    with pytest.raises(ValueError, match="targeted 'main'"):
+        _append(spark, out, 100, 50, branch="dev")
+    # the matching chain resumes fine
+    _append(spark, out, 100, 50)

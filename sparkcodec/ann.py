@@ -202,6 +202,10 @@ def ann_index_params(index_dir: str, ref: str | None = None) -> dict:
     this is normally the resolved entry itself. Raises if no entry in
     range does (not an ANN index)."""
     snaps = snapshots(index_dir)
+    if not snaps:
+        raise ValueError(
+            f"no snapshot log at {index_dir} — not built by build_ann_index"
+        )
     sid = resolve_ref(index_dir, ref) if ref is not None else _tip_entry(snaps)["id"]
     for s in reversed(snaps):
         if s["id"] <= sid and s.get("ann"):

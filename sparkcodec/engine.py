@@ -660,8 +660,14 @@ def _reservations(out_dir: str, *, prune_expired: bool = True) -> list[dict]:
         except FileNotFoundError:
             continue  # released between list and read
         except Exception:
+            # unreadable body (transient store hiccup): the range's true
+            # extent is unknowable, so protect GENEROUSLY — an n=1 guess
+            # would let vacuum/expire reclaim the rest of an in-flight
+            # writer's files and hand its ids to a second writer. The
+            # next healthy read restores the real n; a permanently
+            # unreadable record heals at lease expiry.
             stem = name[: -len(".json")]
-            r = {"base": int(stem) if stem.isdigit() else 0, "n": 1,
+            r = {"base": int(stem) if stem.isdigit() else 0, "n": 1 << 20,
                  "ts": now, "lease_sec": _LOCK_LEASE_SEC}
         if now - r.get("ts", now) > r.get("lease_sec", _LOCK_LEASE_SEC):
             if prune_expired:
@@ -687,36 +693,70 @@ def reserve_part_range(
     out_dir: str, n: int, op: str, lease_sec: float = _LOCK_LEASE_SEC
 ) -> dict:
     """Claim the next free part-id range [base, base+n) via conditional
-    PUT; returns the reservation record. See the section comment."""
+    PUT; returns the reservation record. See the section comment.
+
+    The claim itself runs under a BRIEF writer-lease acquisition: an
+    exclusive append computes its base = max(completed)+1 while holding
+    that lease for its whole run, so a reservation taken lock-free could
+    land on the same base the in-flight exclusive run already planned
+    (its parts have no checkpoints yet — invisible to the floor scan)
+    and two writers would write the same part files. Holding the lease
+    for the floor-scan + conditional-PUT linearizes reservations against
+    exclusive planning; optimistic writers still overlap each other (the
+    lease is held only for this tiny step). A ``_pending_append.json``
+    seen here therefore belongs to a CRASHED exclusive append (a live
+    one would be holding the lease): its planned id range is respected
+    when its part count is recorded, else the reservation refuses and
+    points at the resume/vacuum remedies."""
     fs = _get_fs(out_dir)
     fs.makedirs(_j(out_dir, RESERVDIR))
-    for _ in range(64):
-        floor = 0
-        done = completed_parts(out_dir)
-        if done:
-            floor = max(done) + 1
-        for s in snapshots(out_dir):
-            np_ = s.get("new_parts") or []
-            if np_:
-                floor = max(floor, max(np_) + 1)
-        for r in _reservations(out_dir):
-            floor = max(floor, r["base"] + r["n"])
-        res = {
-            "base": floor,
-            "n": int(n),
-            "owner": uuid.uuid4().hex,
-            "op": op,
-            "pid": os.getpid(),
-            "ts": time.time(),
-            "lease_sec": lease_sec,
-        }
-        if fs.create_exclusive(
-            _j(out_dir, RESERVDIR, f"{floor:010d}.json"),
-            json.dumps(res, separators=(",", ":")).encode(),
-        ):
-            return res
-        # lost the race for this base: re-list (the winner's reservation
-        # now raises the floor) and claim past it
+    tok = _acquire_writer_lock_blocking(out_dir, f"reserve-{op}")
+    try:
+        pend_floor = 0
+        pend_path = _j(out_dir, "_pending_append.json")
+        if fs.exists(pend_path):
+            pend = _read_json(pend_path)
+            pn = (pend.get("config") or {}).get("num_parts")
+            if isinstance(pn, int) and pn > 0:
+                pend_floor = pend["base"] + pn
+            else:
+                raise ConcurrentWriterError(
+                    f"cannot reserve a part-id range at {out_dir}: a "
+                    f"crashed exclusive append left _pending_append.json "
+                    f"with an unbounded part count (base "
+                    f"{pend.get('base')}); resume that append, or abandon "
+                    f"it with vacuum_orphans(include_pending=True), before "
+                    f"optimistic writes"
+                )
+        for _ in range(64):
+            floor = pend_floor
+            done = completed_parts(out_dir)
+            if done:
+                floor = max(floor, max(done) + 1)
+            for s in snapshots(out_dir):
+                np_ = s.get("new_parts") or []
+                if np_:
+                    floor = max(floor, max(np_) + 1)
+            for r in _reservations(out_dir):
+                floor = max(floor, r["base"] + r["n"])
+            res = {
+                "base": floor,
+                "n": int(n),
+                "owner": uuid.uuid4().hex,
+                "op": op,
+                "pid": os.getpid(),
+                "ts": time.time(),
+                "lease_sec": lease_sec,
+            }
+            if fs.create_exclusive(
+                _j(out_dir, RESERVDIR, f"{floor:010d}.json"),
+                json.dumps(res, separators=(",", ":")).encode(),
+            ):
+                return res
+            # lost the race for this base: re-list (the winner's
+            # reservation now raises the floor) and claim past it
+    finally:
+        _release_writer_lock(out_dir, tok)
     raise ConcurrentWriterError(
         f"could not reserve a part-id range at {out_dir} after 64 attempts "
         f"(pathological reservation contention)"
@@ -1067,7 +1107,11 @@ def _bloom_key(v) -> str:
     if isinstance(v, decimal.Decimal):
         # no decimal STORAGE type exists today, but a Decimal probe must
         # still key consistently with the numeric kinds (3 == Decimal(3)
-        # == 3.0), not by repr through the string fallback
+        # == 3.0), not by repr through the string fallback. Non-finite
+        # Decimals (NaN/Infinity) cannot int()/compare — key them like
+        # their float twins so the probe stays conservative, not fatal.
+        if not v.is_finite():
+            return f"f:{float(v)!r}"
         iv = int(v)
         return f"i:{iv}" if v == iv else f"f:{float(v)!r}"
     return f"s:{v}"
@@ -1553,6 +1597,14 @@ def _commit_optimistic_append(
             evolved = merge_evolved_meta(
                 cur, meta["schema"], meta["columns"],
                 meta.get("field_metadata"),
+            )
+            # the entry becomes the TIP, and default reads overlay the
+            # tip entry's schema — stamping the planning-time schema
+            # would hide a column a CONCURRENT commit added (its rows
+            # would become unreadable at this tip); stamp the merged
+            # union instead (same rule as compact's optimistic commit)
+            entry = dict(
+                entry, columns=evolved["columns"], schema=evolved["schema"]
             )
         e = _commit_snapshot_entry(
             out_dir, entry, append=True, evolved_meta=evolved, pm=pm
@@ -3085,12 +3137,17 @@ def compact_table(
         "columns": meta["columns"],
         "schema": meta["schema"],
         "compaction": True,
-        # merged parts' pruning metadata folds here (O(created) reads);
-        # written BEFORE the publish point, so a crash or a refused
-        # optimistic commit leaves only an orphan manifest
-        "manifest": write_manifest(out_dir, created),
         "ts": time.time(),
     }
+    if not optimistic:
+        # merged parts' pruning metadata folds here (O(created) reads);
+        # the exclusive path holds the writer lease, so vacuum/expire
+        # (also lease holders) cannot sweep the not-yet-referenced file.
+        # The OPTIMISTIC path defers this into its critical section
+        # below: written lock-free it would sit unreferenced while a
+        # concurrent vacuum runs, get swept, and every future pruned
+        # read of this entry would fall back to O(parts) checkpoints.
+        body["manifest"] = write_manifest(out_dir, created)
     if optimistic:
         if _pre_commit_hook is not None:
             _pre_commit_hook()
@@ -3121,6 +3178,11 @@ def compact_table(
                 body,
                 columns=cur_meta["columns"],
                 schema=cur_meta["schema"],
+                # manifest written INSIDE the lease: vacuum/expire also
+                # hold it, so the file can never sit unreferenced in
+                # front of a concurrent sweep (it becomes referenced by
+                # the log append two lines down, atomically w.r.t. them)
+                manifest=write_manifest(out_dir, created),
                 id=snaps[-1]["id"] + 1,
                 parent=_tip_entry(snaps)["id"],
             )

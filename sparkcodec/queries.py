@@ -24,16 +24,18 @@ from .pipeline import unpack_branch_type, with_synapse_id
 
 
 def _workdir(sf_dir: str, name: str) -> str:
-    """Deterministic per-(sf_dir, query) scratch table path. Content hash
-    of the path, NOT hash(): with PYTHONHASHSEED unset the builtin varies
-    per process, so two harness runs on the same sf_dir would race each
-    other in differently-named dirs while a third process collides — md5
-    pins one dir per sf_dir."""
+    """Scratch table path for a query: deterministic WITHIN a process
+    (content md5 of sf_dir — with PYTHONHASHSEED unset the builtin
+    hash() would vary run to run), isolated ACROSS processes (pid
+    suffix — each query starts with rmtree, so two concurrent harness
+    runs sharing one name would delete each other's half-built table
+    mid-job)."""
     import hashlib
 
     return os.path.join(
         tempfile.gettempdir(),
-        f"sparkcodec_{name}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        f"sparkcodec_{name}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
     )
 
 
@@ -2096,12 +2098,7 @@ def q_cdc_changes(spark, sf_dir):
     from .engine import delete_rows, encode_table, table_changes, upsert_rows
 
     d = _t(spark, sf_dir, "documents")
-    import hashlib
-
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"sparkcodec_cdc_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
-    )
+    out = _workdir(sf_dir, "cdc")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)

@@ -3127,3 +3127,123 @@ def test_reservation_floors_exclusive_base(spark, tmp_path):
     engine.release_part_range(out, res2)
     assert engine.reserved_parts(out) == set()
     assert engine.decode_table(spark, out).count() == 250
+
+
+def test_reservation_respects_crashed_pending_append(spark, tmp_path):
+    """reserve_part_range must not hand out ids inside a crashed
+    exclusive append's planned range (its parts may have no checkpoints
+    yet but WILL be rewritten by a resume): bounded pendings raise the
+    floor past base+num_parts; unbounded ones (no recorded part count)
+    refuse with the resume/vacuum remedies."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        ConcurrentWriterError,
+        release_part_range,
+        reserve_part_range,
+    )
+
+    out = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    from sparkcodec.engine import encode_table
+
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=2, resume=False)
+    meta = _json.load(open(f"{out}/_table_meta.json"))
+    cfg = {k: meta[k] for k in ("num_parts", "layout", "cluster_by",
+                                "salt_by", "columns", "zorder_by",
+                                "target_part_rows")}
+    cfg["num_parts"] = 6
+    with open(f"{out}/_pending_append.json", "w") as fh:
+        _json.dump({"base": 3, "config": cfg, "branch": None}, fh)
+    res = reserve_part_range(out, 4, "test")
+    assert res["base"] >= 3 + 6, res  # past the crashed run's whole range
+    release_part_range(out, res)
+    cfg2 = dict(cfg, num_parts=None)  # unbounded: aligned/derived count
+    with open(f"{out}/_pending_append.json", "w") as fh:
+        _json.dump({"base": 3, "config": cfg2, "branch": None}, fh)
+    with _pytest.raises(ConcurrentWriterError, match="unbounded part count"):
+        reserve_part_range(out, 4, "test")
+    import os as _os
+
+    _os.remove(f"{out}/_pending_append.json")
+
+
+def test_unreadable_reservation_protects_generously(spark, tmp_path):
+    """An unreadable reservation body must protect MORE than one part id:
+    the range's true extent is unknowable, and an n=1 guess would let a
+    second writer reserve inside an in-flight writer's range."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_table, reserve_part_range, reserved_parts
+
+    out = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=2, resume=False)
+    _os.makedirs(f"{out}/_reservations", exist_ok=True)
+    with open(f"{out}/_reservations/0000000005.json", "w") as fh:
+        fh.write("{corrupt")  # transiently unreadable body
+    assert len(reserved_parts(out)) > 1000  # generous, not n=1
+    res = reserve_part_range(out, 2, "test")
+    assert res["base"] >= 5 + (1 << 20)
+
+
+def test_optimistic_commit_stamps_commit_time_schema(spark, tmp_path):
+    """An optimistic append planned before a concurrent add-column
+    evolution must stamp the MERGED schema on its entry: the entry
+    becomes the tip and default reads overlay the tip's schema, so the
+    planning-time schema would hide the concurrently added column."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        _commit_optimistic_append,
+        decode_table,
+        encode_table,
+        snapshots,
+    )
+
+    out = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=1, resume=False)
+    # concurrent widen: an append lands column "extra" at the tip
+    encode_table(
+        spark,
+        spark.range(100, 150).select(
+            F.col("id"), (F.col("id") % 3).alias("g"),
+            F.lit(1).cast("long").alias("extra"),
+        ),
+        out, append=True, cluster_by=["g"], salt_by=["id"], num_parts=1,
+    )
+    assert "extra" in decode_table(spark, out).columns
+    # a stale-planned optimistic commit (planning meta predates "extra")
+    stale_meta = _json.load(open(f"{out}/_table_meta.json"))
+    stale_meta = dict(stale_meta, columns=["id", "g"],
+                      schema={"id": "i64", "g": "i64"})
+    entry = {"new_parts": [], "n_rows": 0, "enc_bytes": 0,
+             "layout": "clustered", "columns": ["id", "g"],
+             "schema": {"id": "i64", "g": "i64"}, "ts": 0.0}
+    _commit_optimistic_append(out, entry, stale_meta, None, None)
+    tip = snapshots(out)[-1]
+    assert "extra" in tip["schema"], tip
+    assert "extra" in decode_table(spark, out).columns  # still readable
+
+
+def test_bloom_key_nonfinite_decimal():
+    """Non-finite Decimal probes key like their float twins instead of
+    crashing the read."""
+    from decimal import Decimal
+
+    from sparkcodec.engine import _bloom_key
+
+    assert _bloom_key(Decimal("NaN")) == _bloom_key(float("nan"))
+    assert _bloom_key(Decimal("Infinity")) == _bloom_key(float("inf"))
+    assert _bloom_key(Decimal("3")) == _bloom_key(3)

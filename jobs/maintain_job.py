@@ -153,6 +153,11 @@ def main() -> int:
         help="bound the optimize rewrite to parts overlapping this range "
              "(repeat for a conjunction); untouched parts keep their ids",
     )
+    ap.add_argument(
+        "--drop-column", default=None, metavar="COL",
+        help="metadata-only DROP COLUMN snapshot: tip reads stop "
+             "decoding it, pre-drop snapshots still time-travel to it",
+    )
     ap.add_argument("--delete", default=None, help="col:lo:hi range to delete")
     ap.add_argument("--delete-col", default=None, help="delete: column name")
     ap.add_argument(
@@ -276,6 +281,10 @@ def main() -> int:
         from sparkcodec.engine import list_branches
 
         out["branches"] = list_branches(args.table)
+    if args.drop_column:
+        from sparkcodec.engine import drop_column
+
+        out["drop_column"] = drop_column(args.table, args.drop_column)
     if args.rollback is not None:
         from sparkcodec.engine import rollback_table
 

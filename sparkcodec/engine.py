@@ -3812,6 +3812,56 @@ def _upsert_rows_inner(
     }
 
 
+@_with_writer_lock("evolve")
+def drop_column(out_dir: str, col: str) -> dict:
+    """DROP COLUMN as a metadata-only snapshot (the Iceberg posture): no
+    part file is touched — the committed entry carries the narrowed
+    schema, so reads at the new tip stop decoding the column while time
+    travel (id / timestamp / tag) to any pre-drop snapshot still
+    reconstructs it (schema is versioned per snapshot). The table meta
+    narrows too, so future appends are validated against the post-drop
+    shape — and an append that re-introduces the name is ADD-COLUMN
+    evolution, which resurrects the column's HISTORICAL values in old
+    parts (their block files still exist; this engine keys columns by
+    name, not by Iceberg-style field id). The dropped bytes are
+    reclaimed only when the pre-drop snapshots expire and a compaction
+    or optimize rewrites the old parts."""
+    meta = _read_json(_j(out_dir, "_table_meta.json"))
+    if col not in meta["columns"]:
+        raise ValueError(f"unknown column {col!r}; table has {meta['columns']}")
+    if len(meta["columns"]) == 1:
+        raise ValueError(f"cannot drop {col!r}: it is the table's only column")
+    snaps = snapshots(out_dir)
+    live = snapshot_parts(out_dir, snaps=snaps)
+    if live is None:
+        live = sorted(completed_parts(out_dir))
+    _ensure_snapshot_root(out_dir, live, meta)
+    new_meta = dict(meta)
+    new_meta["columns"] = [c for c in meta["columns"] if c != col]
+    new_meta["schema"] = {
+        c: meta["schema"][c] for c in new_meta["columns"]
+    }
+    fm = dict(meta.get("field_metadata") or {})
+    fm.pop(col, None)
+    new_meta["field_metadata"] = fm
+    entry = {
+        "new_parts": [],
+        "removed_parts": [],
+        "n_rows": 0,
+        "enc_bytes": 0,
+        "layout": meta.get("layout", "clustered"),
+        "drop_column": col,
+        "columns": new_meta["columns"],
+        "schema": new_meta["schema"],
+        "ts": time.time(),
+    }
+    e = _commit_snapshot_entry(
+        out_dir, entry, append=True, evolved_meta=new_meta
+    )
+    return {"snapshot_id": e["id"], "dropped": col,
+            "columns": new_meta["columns"]}
+
+
 @_with_writer_lock("rollback")
 def rollback_table(out_dir: str, snapshot_id: int) -> dict:
     """Roll the table back to ``snapshot_id`` as a NEW snapshot (Iceberg
@@ -4621,6 +4671,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     first.pop("tag_only", None)  # a retained root MUST replay to consumers
     first.pop("fast_forward_of", None)  # ditto: ff delta folds into the root
     first.pop("ff_from", None)
+    first.pop("drop_column", None)  # the root's schema already reflects it
     first["parent"] = 0
     first["manifest"] = write_manifest(out_dir, first["new_parts"], pm=pm_all)
     # tagged snapshots outside the window: materialized as standalone

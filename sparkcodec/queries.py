@@ -2542,3 +2542,56 @@ FROM documents GROUP BY lang
 
 QUERIES["bpe_token_stats"] = q_bpe_token_stats
 ORACLES["bpe_token_stats"] = SQL_BPE_TOKEN_STATS
+
+
+def q_drop_column_read(spark, sf_dir):
+    """DROP COLUMN end-to-end: encode documents, drop ``source``
+    (metadata-only snapshot), read the tip WITHOUT the column and the
+    pre-drop snapshot WITH it. Both reads aggregate under a phase label;
+    the oracle computes both from the source table — a drop that
+    rewrites data, leaks the column into tip reads, or breaks pre-drop
+    time travel diverges."""
+    from .engine import decode_table, drop_column, encode_table
+
+    d = _t(spark, sf_dir, "documents")
+    out = _workdir(sf_dir, "dropcol")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark, d, out,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=4, resume=False,
+    )
+    drop_column(out, "source")
+    tip = decode_table(spark, out)
+    assert "source" not in tip.columns
+    post = tip.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.lit(0).cast("long").alias("n_sources"),
+    ).withColumn("phase", F.lit("post_drop"))
+    pre = decode_table(spark, out, snapshot_id=1).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    ).withColumn("phase", F.lit("pre_drop"))
+    return pre.unionByName(post).select(
+        "phase", "lang", "n_docs", "total_chars", "n_sources"
+    )
+
+
+SQL_DROP_COLUMN_READ = """
+SELECT 'pre_drop' AS phase, lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       cast(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 'post_drop' AS phase, lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       cast(0 AS BIGINT) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+QUERIES["drop_column_read"] = q_drop_column_read
+ORACLES["drop_column_read"] = SQL_DROP_COLUMN_READ

@@ -3247,3 +3247,40 @@ def test_bloom_key_nonfinite_decimal():
     assert _bloom_key(Decimal("NaN")) == _bloom_key(float("nan"))
     assert _bloom_key(Decimal("Infinity")) == _bloom_key(float("inf"))
     assert _bloom_key(Decimal("3")) == _bloom_key(3)
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    """drop_column narrows the tip schema without touching part files:
+    tip reads lose the column, time travel to the pre-drop snapshot
+    still reconstructs it, appends validate against the narrowed shape,
+    and re-adding the name resurrects historical values (documented
+    name-keyed trade)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_table, drop_column, encode_table
+
+    out = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v"),
+    )
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=2, resume=False)
+    r = drop_column(out, "v")
+    assert r["columns"] == ["id", "g"]
+    tip = decode_table(spark, out)
+    assert tip.columns == ["id", "g"] and tip.count() == 200
+    pre = decode_table(spark, out, snapshot_id=1)
+    assert "v" in pre.columns and pre.where("v = id * 2").count() == 200
+    with _pytest.raises(ValueError, match="unknown column"):
+        drop_column(out, "nope")
+    # append without the column: clean; with it: add-column evolution
+    encode_table(spark, df.select("id", "g"), out, append=True,
+                 cluster_by=["g"], salt_by=["id"], num_parts=1)
+    assert decode_table(spark, out).count() == 400
+    encode_table(spark, df, out, append=True, cluster_by=["g"],
+                 salt_by=["id"], num_parts=1)
+    back = decode_table(spark, out)
+    assert "v" in back.columns
+    # name-keyed resurrection: snapshot-1 parts decode their old v values
+    assert back.where("id < 200 AND v = id * 2").count() >= 200

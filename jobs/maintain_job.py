@@ -158,7 +158,11 @@ def main() -> int:
         help="metadata-only DROP COLUMN snapshot: tip reads stop "
              "decoding it, pre-drop snapshots still time-travel to it",
     )
-    ap.add_argument("--delete", default=None, help="col:lo:hi range to delete")
+    ap.add_argument(
+        "--delete", action="append", default=None,
+        help="col:lo:hi range to delete; repeat the flag for a "
+             "conjunction (a row is deleted when it matches EVERY range)",
+    )
     ap.add_argument("--delete-col", default=None, help="delete: column name")
     ap.add_argument(
         "--delete-lo", default=None,
@@ -207,18 +211,18 @@ def main() -> int:
         from sparkcodec.engine import delete_rows
 
         if args.delete_col:
-            col, lo, hi = (
+            preds = [(
                 args.delete_col,
                 _coerce_bound(args.delete_lo),
                 _coerce_bound(args.delete_hi),
-            )
+            )]
         else:
             try:
-                col, lo, hi = parse_delete_spec(args.delete)
+                preds = [parse_delete_spec(s) for s in args.delete]
             except ValueError as e:
                 ap.error(str(e))
         spark = SparkSession.builder.appName("sparkcodec-maintain").getOrCreate()
-        out["delete"] = delete_rows(spark, args.table, (col, lo, hi))
+        out["delete"] = delete_rows(spark, args.table, preds)
     if args.compact:
         from pyspark.sql import SparkSession
 

@@ -3368,7 +3368,7 @@ def _copy_on_write_delete(
 ) -> dict:
     """Shared copy-on-write rewrite for row-level delete/merge: decode
     each affected part, drop the rows ``mask_fn`` marks (a picklable
-    callable: arrow column values -> boolean mask of rows to DELETE,
+    callable: the part's arrow Table -> boolean mask of rows to DELETE,
     null-safe), re-encode survivors under new part ids, and commit one
     snapshot (removed_parts = changed parts only; an untouched part
     keeps its id with no write). ``tag`` is recorded under the entry's
@@ -3394,7 +3394,6 @@ def _copy_on_write_delete(
         [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
     )
     block_rows = meta.get("block_rows") or 65536
-    col = tag[0]
     plan = [(base + i, int(p)) for i, p in enumerate(affected)]
     plan_df = spark.createDataFrame(plan, "new_pid int, old_pid int").repartition(
         max(1, min(len(plan), 4 * spark.sparkContext.defaultParallelism))
@@ -3411,7 +3410,7 @@ def _copy_on_write_delete(
                     list(_decode_part_batches(out_dir, columns, arrow_schema, old_pid)),
                     schema=arrow_schema,
                 )
-                keep = tbl.filter(pc.invert(mask_fn(tbl.column(col))))
+                keep = tbl.filter(pc.invert(mask_fn(tbl)))
                 n_before, n_after = tbl.num_rows, keep.num_rows
                 wrote = -1
                 if n_after < n_before and n_after > 0:
@@ -3499,40 +3498,66 @@ def delete_rows(
 ) -> dict:
     """Row-level DELETE as a new snapshot (Iceberg copy-on-write posture).
 
-    ``where=(col, lo, hi)`` deletes rows with ``lo <= col <= hi`` (either
-    bound may be None for a half-open range; NULL never matches, matching
-    SQL range semantics). Zone maps bound the work: parts whose [min,max]
-    cannot overlap the range are untouched; overlapping (or stat-less)
-    parts are decoded, filtered exactly, and re-encoded under new part
-    ids in one Spark job. A rewritten part that turns out unchanged keeps
-    its original id (no write). Earlier snapshots still time-travel to
-    the pre-delete rows; ``expire_snapshots`` reclaims the bytes.
+    ``where`` takes the SAME predicate algebra as ``decode_table``: one
+    predicate or a list of them (a conjunction). Forms: ``(col, lo,
+    hi)`` — range, either bound None for half-open — and ``(col, [v1,
+    v2, ...])`` — IN-list membership. A row is deleted when it matches
+    EVERY predicate; NULL never matches (SQL semantics). Pruning runs
+    through every dimension before any task is scheduled — zone-map
+    spans for ranges, spans + exact value sets + bloom filters for
+    IN-lists — so parts refuted by any predicate are untouched;
+    surviving (or stat-less) parts are decoded, filtered exactly, and
+    re-encoded under new part ids in one Spark job. A rewritten part
+    that turns out unchanged keeps its original id (no write). Earlier
+    snapshots still time-travel to the pre-delete rows;
+    ``expire_snapshots`` reclaims the bytes.
 
     Delete snapshots are flagged so the changefeed stream reader does not
     re-deliver the rewritten rows (the feed is append-only, like
     compaction rewrites)."""
-    col, lo, hi = where
-    meta, live = _load_live(out_dir, col, branch=branch)
-    affected = prune_parts(out_dir, where, live)  # overlap or no stats
+    wheres = _normalize_where(where)
+    if not wheres:
+        raise ValueError("delete_rows needs at least one predicate")
+    meta, live = _load_live(out_dir, wheres[0][0], branch=branch)
+    for w in wheres:
+        if w[0] not in meta["columns"]:
+            raise ValueError(
+                f"unknown column {w[0]!r}; table has {meta['columns']}"
+            )
+    if not live:
+        return {"parts_scanned": 0, "parts_rewritten": 0, "rows_deleted": 0}
+    pm = part_meta(out_dir, parts=live)
+    affected = _prune_parts_conj(out_dir, wheres, live, pm)
     if not affected:
         return {"parts_scanned": 0, "parts_rewritten": 0, "rows_deleted": 0}
 
-    def mask(v):
+    def mask(tbl):
         import pyarrow.compute as pc
 
-        # and_kleene: false AND null = false, so a NULL value yields
-        # match=false (kept) — plain and_ would propagate null into the
-        # mask and filter() would drop the row
-        m = pc.is_valid(v)  # NULL never matches the range
-        if lo is not None:
-            m = pc.and_kleene(m, pc.greater_equal(v, pa.scalar(lo, v.type)))
-        if hi is not None:
-            m = pc.and_kleene(m, pc.less_equal(v, pa.scalar(hi, v.type)))
+        m = None
+        for w in wheres:
+            v = tbl.column(w[0])
+            if len(w) == 2:
+                mm = pc.and_kleene(
+                    pc.is_valid(v),
+                    pc.is_in(v, value_set=pa.array(list(w[1])).cast(v.type)),
+                )
+            else:
+                _, lo, hi = w
+                # and_kleene: false AND null = false, so a NULL value
+                # yields match=false (kept) — plain and_ would propagate
+                # null into the mask and filter() would drop the row
+                mm = pc.is_valid(v)
+                if lo is not None:
+                    mm = pc.and_kleene(mm, pc.greater_equal(v, pa.scalar(lo, v.type)))
+                if hi is not None:
+                    mm = pc.and_kleene(mm, pc.less_equal(v, pa.scalar(hi, v.type)))
+            m = mm if m is None else pc.and_(m, mm)
         return m
 
     return _copy_on_write_delete(
-        spark, out_dir, affected, live, meta, mask, [col, lo, hi],
-        branch=branch,
+        spark, out_dir, affected, live, meta, mask,
+        [list(w) for w in wheres], branch=branch,
     )
 
 
@@ -3742,9 +3767,10 @@ def _upsert_rows_inner(
             if affected and len(head) <= broadcast_keys and keys:
                 key_bc = spark.sparkContext.broadcast(keys)
 
-                def mask(v):
+                def mask(tbl):
                     import pyarrow.compute as pc
 
+                    v = tbl.column(key_col)
                     return pc.and_kleene(
                         pc.is_valid(v),
                         pc.is_in(v, value_set=pa.array(key_bc.value).cast(v.type)),

@@ -2595,3 +2595,46 @@ FROM documents GROUP BY lang
 
 QUERIES["drop_column_read"] = q_drop_column_read
 ORACLES["drop_column_read"] = SQL_DROP_COLUMN_READ
+
+
+def q_delete_conj_in_stats(spark, sf_dir):
+    """Multi-predicate DELETE: one copy-on-write snapshot removes rows
+    matching ``lang IN ('de','fr') AND doc_id BETWEEN 100 AND 5000`` —
+    the same predicate algebra decode_table takes, pruned through zone
+    maps + value sets + blooms before any rewrite task runs. The oracle
+    anti-applies the same conjunction relationally; a delete that
+    over- or under-matches (wrong AND, IN treated as range, NULL
+    mishandling) diverges."""
+    from .engine import decode_table, delete_rows, encode_table
+
+    d = _t(spark, sf_dir, "documents")
+    out = _workdir(sf_dir, "delconj")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark, d, out,
+        cluster_by=["lang"], salt_by=["doc_id"], sort_by=["lang", "doc_id"],
+        num_parts=4, resume=False,
+    )
+    delete_rows(spark, out, [("lang", ["de", "fr"]), ("doc_id", 100, 5000)])
+    dec = decode_table(spark, out)
+    return dec.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+SQL_DELETE_CONJ_IN_STATS = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents
+WHERE NOT (lang IN ('de', 'fr') AND doc_id BETWEEN 100 AND 5000)
+GROUP BY lang
+"""
+
+QUERIES["delete_conj_in_stats"] = q_delete_conj_in_stats
+ORACLES["delete_conj_in_stats"] = SQL_DELETE_CONJ_IN_STATS

@@ -1281,9 +1281,10 @@ def test_upsert_commits_one_atomic_snapshot(spark, tmp_path):
     affected = prune_parts(out, ("id", 100, 109), live)
     assert affected
 
-    def mask(v):
+    def mask(tbl):
         import pyarrow.compute as pc
 
+        v = tbl.column("id")
         return pc.and_kleene(
             pc.is_valid(v),
             pc.and_kleene(pc.greater_equal(v, 100), pc.less_equal(v, 109)),
@@ -3284,3 +3285,37 @@ def test_drop_column_metadata_only(spark, tmp_path):
     assert "v" in back.columns
     # name-keyed resurrection: snapshot-1 parts decode their old v values
     assert back.where("id < 200 AND v = id * 2").count() >= 200
+
+
+def test_delete_rows_conjunction_and_in(spark, tmp_path):
+    """delete_rows takes decode_table's predicate algebra: a conjunction
+    of a range and an IN-list deletes exactly the AND of both; a
+    predicate on an unknown column refuses; NULLs never match."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_table, delete_rows, encode_table
+
+    out = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("g"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+    )
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=2, resume=False)
+    r = delete_rows(spark, out, [("g", [1, 3]), ("id", 50, 199)])
+    expect_deleted = sum(1 for i in range(50, 200) if i % 5 in (1, 3))
+    assert r["rows_deleted"] == expect_deleted
+    dec = decode_table(spark, out)
+    assert dec.count() == 300 - expect_deleted
+    assert dec.where("g IN (1,3) AND id BETWEEN 50 AND 199").count() == 0
+    assert dec.where("g IN (1,3)").count() > 0  # outside the range kept
+    with _pytest.raises(ValueError, match="unknown column"):
+        delete_rows(spark, out, [("nope", 0, 1)])
+    # NULL never matches: delete on v range keeps the NULL-v rows
+    before_nulls = dec.where("v IS NULL").count()
+    delete_rows(spark, out, ("v", 0, 10_000))
+    after = decode_table(spark, out)
+    assert after.where("v IS NULL").count() == before_nulls
+    assert after.where("v IS NOT NULL").count() == 0

@@ -4453,6 +4453,17 @@ def fast_forward(out_dir: str, name: str) -> dict:
             "parts_removed": len(removed)}
 
 
+def merge_branch(out_dir: str, name: str) -> dict:
+    """Merge a branch into main: :func:`rebase_branch` when it diverged
+    (part-granular three-way merge; genuine conflicts still refuse),
+    then :func:`fast_forward`. The two steps commit separately — a crash
+    between them leaves the branch rebased and main untouched, and
+    re-running merge_branch completes the publish."""
+    reb = rebase_branch(out_dir, name)
+    ff = fast_forward(out_dir, name)
+    return {"rebased": reb.get("rebased", False), **ff}
+
+
 @_with_writer_lock("rebase")
 def rebase_branch(out_dir: str, name: str) -> dict:
     """Re-fork a DIVERGED branch onto the current main tip — the step

@@ -461,3 +461,24 @@ def test_resume_refuses_cross_chain_pending(spark, tmp_path):
         _append(spark, out, 100, 50, branch="dev")
     # the matching chain resumes fine
     _append(spark, out, 100, 50)
+
+
+def test_merge_branch_convenience(spark, tmp_path):
+    """merge_branch = rebase (when diverged) + fast-forward, in one
+    call; a non-diverged branch just fast-forwards."""
+    from sparkcodec.engine import create_branch, decode_table, merge_branch
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=200, parts=1)
+    _append(spark, out, 10_000, 100)
+    create_branch(out, "dev")
+    _append(spark, out, 20_000, 60, branch="dev")
+    _append(spark, out, 30_000, 40)  # main diverges
+    r = merge_branch(out, "dev")
+    assert r["rebased"] is True and r["fast_forwarded"] is True
+    assert decode_table(spark, out).count() == 400
+    # not diverged: plain ff path
+    _append(spark, out, 40_000, 10, branch="dev")
+    r2 = merge_branch(out, "dev")
+    assert r2["rebased"] is False and r2["fast_forwarded"] is True
+    assert decode_table(spark, out).count() == 410

@@ -424,9 +424,11 @@ class SparkcodecCDCStreamReader(DataSourceStreamReader):
         return [InputPartition(rows) for _sid, rows in sorted(by_sid.items())]
 
     def read(self, partition):
+        import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
-        from .engine import _DECODE_ARROW_OF, _decode_part_batches
+        from .engine import _DECODE_ARROW_OF, _part_key_counts
 
         if not partition.value:
             return
@@ -438,25 +440,43 @@ class SparkcodecCDCStreamReader(DataSourceStreamReader):
             ("_snapshot_id", pa.int64()), ("_n", pa.int64()),
         ])
         sid = partition.value[0][0]
-        ins: dict = {}
-        dels: dict = {}
+        # per-part vectorized value_counts, then one Arrow group-by sum
+        # per channel — no per-row Python anywhere on the key path
+        per_ch: dict[str, list] = {"insert": [], "delete": []}
         for _sid, pid, w, ch in partition.value:
-            acc = ins if ch == "insert" else dels
-            for b in _decode_part_batches(
-                self.out_dir, [self.key_col], key_schema, pid
-            ):
-                for v in b.column(0).to_pylist():
-                    acc[v] = acc.get(v, 0) + w
-        rows = [
-            {self.key_col: k, "_op": "insert", "_snapshot_id": sid, "_n": n}
-            for k, n in ins.items()
-        ] + [
-            {self.key_col: k, "_op": "delete", "_snapshot_id": sid, "_n": n}
-            for k, n in dels.items()
-            if n > 0
-        ]
-        if rows:
-            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+            res = _part_key_counts(self.out_dir, self.key_col, key_schema, pid)
+            if res is None:
+                continue
+            values, counts = res
+            per_ch[ch].append(pa.table({
+                "k": values,
+                "n": pc.multiply(counts, pa.scalar(w, pa.int64())),
+            }))
+        for ch, op in (("insert", "insert"), ("delete", "delete")):
+            if not per_ch[ch]:
+                continue
+            agg = (
+                pa.concat_tables(per_ch[ch])
+                .group_by("k")
+                .aggregate([("n", "sum")])
+            )
+            keys, n = agg.column("k"), agg.column("n_sum")
+            if ch == "delete":
+                # multiset diff: only keys with net-positive removal count
+                mask = pc.greater(n, 0)
+                keys, n = keys.filter(mask), n.filter(mask)
+            m = len(keys)
+            if m == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    keys.combine_chunks(),
+                    pc.fill_null(pa.nulls(m, pa.string()), op),
+                    pa.array(np.full(m, sid, dtype=np.int64)),
+                    n.combine_chunks(),
+                ],
+                schema=out_schema,
+            )
 
     def commit(self, end):
         pass  # snapshot log is append-only; nothing to clean up

@@ -605,12 +605,19 @@ def _acquire_writer_lock_blocking(
     """Take the writer lease, waiting out short-lived holders (other
     committers' critical sections, a running exclusive op) with jittered
     exponential backoff instead of failing on first contention — the
-    commit half of the optimistic protocol. Raises
-    :class:`ConcurrentWriterError` only after ``timeout``."""
+    commit half of the optimistic protocol. The deadline self-extends
+    to outlast the CURRENT holder's lease (its lock body records ts +
+    lease_sec): an optimistic append whose encode already finished must
+    not strand its work as orphans merely because an exclusive op holds
+    a 300s (or caller-raised) lease longer than a fixed 120s wait.
+    Raises :class:`ConcurrentWriterError` only once the deadline passes
+    with the holder's lease already expired-or-unknown."""
     import random
 
     deadline = time.time() + timeout
     delay = 0.05
+    key = _j(out_dir, "_writer.lock")
+    fs = _get_fs(out_dir)
     while True:
         try:
             tok = _acquire_writer_lock(out_dir, op, lease_sec=lease_sec)
@@ -618,6 +625,14 @@ def _acquire_writer_lock_blocking(
             # lease (reentrant) — valid here too: release is a no-op
             return tok
         except ConcurrentWriterError:
+            # peek at the holder: wait at least until ITS lease expires
+            # (+slack for its release/our takeover), however long it is
+            try:
+                cur = json.loads(fs.read_bytes(key))
+                expiry = cur.get("ts", 0) + cur.get("lease_sec", lease_sec)
+                deadline = max(deadline, expiry + 10.0)
+            except Exception:
+                pass  # no/unreadable lock: keep the current deadline
             if time.time() >= deadline:
                 raise
             time.sleep(delay * (0.5 + random.random()))
@@ -3998,11 +4013,37 @@ def _cdc_plan(snaps: list[dict], start: int, end: int | None) -> list[tuple]:
     return plan
 
 
+def _part_key_counts(out_dir: str, key_col: str, key_schema, pid: int):
+    """Distinct-key counts of ONE part's key column, fully vectorized:
+    decode only the key column, one ``pyarrow.compute.value_counts``
+    over the part's batches — NO per-row Python (a null key counts as a
+    distinct value, matching the SQL oracle's GROUP BY). Returns
+    ``(values: pa.Array, counts: pa.Int64Array)`` or ``None`` for an
+    empty part."""
+    import pyarrow.compute as pc
+
+    chunks = [
+        b.column(0)
+        for b in _decode_part_batches(out_dir, [key_col], key_schema, pid)
+    ]
+    if not chunks:
+        return None
+    vc = pc.value_counts(pa.chunked_array(chunks))
+    if len(vc) == 0:
+        return None
+    return vc.field("values"), vc.field("counts").cast(pa.int64())
+
+
 def _cdc_key_kernel(out_dir: str, key_col: str, key_arrow):
     """mapInArrow kernel: (sid, pid, w, ch) plan rows -> per-part
     PRE-AGGREGATED (snapshot_id, key, ch, n) counts (map-side combine:
     the shuffle ships one row per distinct key per part, never raw
-    rows). Decodes ONLY the key column."""
+    rows). Decodes ONLY the key column; the key path is vectorized
+    (``_part_key_counts`` — the only Python loop here is over plan rows,
+    i.e. O(#changed parts), never over data rows)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
     key_schema = pa.schema([(key_col, key_arrow)])
     out_schema = pa.schema([
         ("snapshot_id", pa.int64()), ("__k", key_arrow),
@@ -4011,22 +4052,21 @@ def _cdc_key_kernel(out_dir: str, key_col: str, key_arrow):
 
     def kernel(batches):
         for batch in batches:
-            for sid, pid, w, ch in zip(
-                batch.column("sid").to_pylist(), batch.column("pid").to_pylist(),
-                batch.column("w").to_pylist(), batch.column("ch").to_pylist(),
-            ):
-                counts: dict = {}
-                for b in _decode_part_batches(out_dir, [key_col], key_schema, pid):
-                    for v in b.column(0).to_pylist():
-                        counts[v] = counts.get(v, 0) + w
-                if counts:
-                    yield pa.RecordBatch.from_pylist(
-                        [
-                            {"snapshot_id": sid, "__k": k, "ch": ch, "n": n}
-                            for k, n in counts.items()
-                        ],
-                        schema=out_schema,
-                    )
+            for row in batch.to_pylist():  # O(#plan rows) = parts
+                res = _part_key_counts(out_dir, key_col, key_schema, row["pid"])
+                if res is None:
+                    continue
+                values, counts = res
+                n = len(values)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(n, row["sid"], dtype=np.int64)),
+                        values,
+                        pc.fill_null(pa.nulls(n, pa.string()), row["ch"]),
+                        pc.multiply(counts, pa.scalar(row["w"], pa.int64())),
+                    ],
+                    schema=out_schema,
+                )
 
     return kernel
 
@@ -4337,6 +4377,27 @@ def delete_branch(out_dir: str, name: str) -> bool:
     return True
 
 
+def _rows_delta(pm: dict, added, removed, ctx: str) -> int | None:
+    """Net row delta of a part-set diff from checkpoint metadata; None
+    (with a loud warning naming the parts) when any part's metadata is
+    missing — consumers of snapshot ``n_rows`` see a null for an
+    otherwise-healthy commit, which must not pass silently."""
+    touched = set(added) | set(removed)
+    missing = sorted(touched - set(pm))
+    if missing:
+        import warnings
+
+        warnings.warn(
+            f"{ctx}: part metadata missing for parts {missing[:8]}"
+            f"{'...' if len(missing) > 8 else ''}; committing with "
+            f"n_rows=None (row accounting unavailable for this snapshot)",
+            stacklevel=2,
+        )
+        return None
+    rows_of = {p: d["n_rows"] for p, d in pm.items()}
+    return sum(rows_of[p] for p in added) - sum(rows_of[p] for p in removed)
+
+
 def _branch_fork(
     by_id: dict[int, dict], btip_id: int
 ) -> tuple[int | None, list[dict]]:
@@ -4368,7 +4429,15 @@ def _branch_appended(
     appended: set[int] = set()
     for e in walked:
         if e.get("tag_only"):
-            continue  # materialized branch root: rows fold into main's root
+            # materialized branch root: an expire squashed the branch's
+            # history, but stamped the exact appended set (computed from
+            # the pre-squash log) back onto the root as append_parts —
+            # without it a later fast-forward would commit
+            # append_parts=[] and changefeed consumers would silently
+            # never receive the branch's pre-expire inserted rows (the
+            # stream reader skips tag_only roots too)
+            appended |= set(e.get("append_parts") or [])
+            continue
         if e.get("append_parts") is not None:
             app = e["append_parts"]
         elif e.get("removed_parts") or e.get("delete") or e.get("compaction"):
@@ -4424,12 +4493,7 @@ def fast_forward(out_dir: str, name: str) -> dict:
                 "branch_tip": btip, "parts_added": 0, "parts_removed": 0}
     appended = _branch_appended(walked, live_b, added)
     pm = part_meta(out_dir, parts=sorted(set(added) | set(removed)), snaps=snaps)
-    rows_of = {p: d["n_rows"] for p, d in pm.items()}
-    delta = (
-        sum(rows_of[p] for p in added) - sum(rows_of[p] for p in removed)
-        if set(added) | set(removed) <= set(rows_of)
-        else None
-    )
+    delta = _rows_delta(pm, added, removed, f"fast_forward({name!r})")
     ss = snapshot_schema(out_dir, btip, snaps=snaps)
     if ss is None:
         m = _read_json(_j(out_dir, "_table_meta.json"))
@@ -4500,10 +4564,15 @@ def rebase_branch(out_dir: str, name: str) -> dict:
     ):
         return {"rebased": False, "reason": "not diverged",
                 "branch_tip": btip}
-    if fork is None:
+    if fork is None or fork not in by_id:
+        # fork can be a stamped fork_base whose ENTRY an expire has since
+        # dropped (main moved past it) — same refusal as a lost fork, not
+        # an "unknown snapshot" internal error from snapshot_parts
         raise ValueError(
             f"branch {name!r} (tip {btip}) cannot rebase: its fork point "
-            f"expired from the log, so its diff base is unknowable"
+            f"{'' if fork is None else f'{fork} '}expired from the log, "
+            f"so its diff base is unknowable — re-apply the branch's "
+            f"changes on a fresh branch of the current tip"
         )
     if not walked:
         # ref parked on a stale main entry with no branch commits:
@@ -4528,12 +4597,7 @@ def rebase_branch(out_dir: str, name: str) -> dict:
     appended = _branch_appended(walked, live_b, added)
     pm = part_meta(out_dir, parts=sorted(set(added) | set(removed)),
                    snaps=snaps)
-    rows_of = {p: d["n_rows"] for p, d in pm.items()}
-    delta = (
-        sum(rows_of[p] for p in added) - sum(rows_of[p] for p in removed)
-        if set(added) | set(removed) <= set(rows_of)
-        else None
-    )
+    delta = _rows_delta(pm, added, removed, f"rebase_branch({name!r})")
     ss = snapshot_schema(out_dir, btip, snaps=snaps)
     if ss is None:
         m = _read_json(_j(out_dir, "_table_meta.json"))
@@ -4727,10 +4791,20 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
             # a materialized BRANCH root loses its parent chain, so the
             # fast-forward divergence check can no longer walk to the
             # fork — stamp the fork id (resolved against the pre-squash
-            # log) so fast_forward still recognizes an unmoved main
-            fork, _walked = _branch_fork(by_id, sid)
+            # log) so fast_forward still recognizes an unmoved main.
+            # Also stamp the branch's exact appended set (computable
+            # only NOW, from the pre-squash entries): a later
+            # fast_forward folds it into its entry's append_parts so the
+            # changefeed delivers the branch's pre-expire inserts once —
+            # safe to carry on a tag_only root because both the stream
+            # reader and _cdc_plan skip tag_only entries entirely
+            fork, walked_b = _branch_fork(by_id, sid)
             if fork is not None:
                 t["fork_base"] = fork
+            live_tip = set(t["new_parts"])
+            t["append_parts"] = sorted(
+                _branch_appended(walked_b, live_tip, live_tip)
+            )
         t["manifest"] = write_manifest(out_dir, t["new_parts"], pm=pm_all)
         tag_roots.append(t)
     squashed = sorted(tag_roots + [first], key=lambda s: s["id"]) + kept[1:]

@@ -78,16 +78,22 @@ def touch_rename_map(version: int = 3) -> dict[str, str]:
     return m
 
 
-def rename_touch_columns(df: DataFrame, version: int = 3) -> DataFrame:
+def rename_touch_columns(
+    df: DataFrame, version: int = 3, keep: list[str] | None = None
+) -> DataFrame:
     """Project the SONATA columns present in ``df`` under their SONATA
     names (P1); absent fields are skipped, so V1 data through a V3 map
-    yields the V1 column set."""
+    yields the V1 column set. ``keep`` names extra passthrough columns
+    (provenance like source_file, partition keys) carried unrenamed."""
     m = touch_rename_map(version)
     out_of = {}  # SONATA name -> first matching raw column present
     for raw, son in m.items():
         if raw in df.columns and son not in out_of:
             out_of[son] = raw
-    return df.select(*[F.col(raw).alias(son) for son, raw in out_of.items()])
+    extra = [F.col(c) for c in (keep or []) if c in df.columns]
+    return df.select(
+        *[F.col(raw).alias(son) for son, raw in out_of.items()], *extra
+    )
 
 
 def with_synapse_id(

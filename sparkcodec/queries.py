@@ -1328,15 +1328,118 @@ GROUP BY version, pre_gid
 """
 
 
+def q_conversion_pipeline(spark, sf_dir):
+    """The reference's full conversion chain as ONE oracled query,
+    closing the seven §2 surfaces that had only pytest coverage:
+    S1–S3 binary fixture scan; R7 deterministic file ordering (per-file
+    provenance survives to the output groups); P5 validation predicate;
+    P1 rename projection; P2 column drop; S10 record-limit export
+    (deterministic: total order first, the reference's rank-0-first
+    semantics); P7 field-metadata routing through a real encode/decode
+    round-trip; T5 progress monitoring (rows_done / completion fraction
+    in the result). Reference analog: the fixture chain
+    tests/CMakeLists.txt:13–19 + .ci/test_circuit1k_touches.sh
+    (touch2parquet → parquet2hdf5 with --exclude / exportN flags)."""
+    import shutil
+
+    from .binsource import read_records
+    from .engine import decode_table, encode_progress, encode_table
+    from .pipeline import drop_columns, export_n, rename_touch_columns, validate_section_range
+
+    base = _records_fixture()
+    raw = read_records(spark, os.path.join(base, "*.bin"), rows_per_slice=131)
+    val = validate_section_range(raw, "pre_section")                    # P5
+    ren = rename_touch_columns(val, version=3,
+                               keep=["version", "source_file"])         # P1
+    drp = drop_columns(
+        ren, ["spine_length", "efferent_section_type",
+              "afferent_section_type", "branch_order"]
+    )                                                                   # P2
+    sort_cols = [
+        "version", "source_node_id", "target_node_id",
+        "efferent_section_id", "efferent_segment_id",
+        "efferent_segment_offset", "afferent_segment_offset",
+        "distance_soma",
+    ]
+    capped = export_n(drp.orderBy(*sort_cols), 1500)                    # S10
+    capped = capped.withColumn(
+        "src_file", F.element_at(F.split(F.col("source_file"), "/"), -1)
+    ).drop("source_file")                                               # R7
+    capped = capped.withMetadata("distance_soma", {"units": "um"})      # P7 in
+    out = _workdir(sf_dir, "convpipe")
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(
+        spark, capped, out,
+        cluster_by=["version"], salt_by=["source_node_id"],
+        sort_by=["version", "source_node_id"],
+        num_parts=4, resume=False,
+    )
+    prog = encode_progress(out)                                         # T5
+    from .engine import snapshot_parts
+
+    # progress must agree with the committed snapshot: every live part
+    # reported done (empty hash partitions never materialize a part, so
+    # the raw done/num_parts fraction is not the completion signal)
+    prog_ok = prog["parts_done"] == len(snapshot_parts(out) or [])
+    dec = decode_table(spark, out)
+    units = dec.schema["distance_soma"].metadata.get("units", "LOST")   # P7 out
+    return (
+        dec.groupBy("version", "src_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("source_node_id").cast("long")).alias("sum_src"),
+            F.max("target_node_id").alias("max_tgt"),
+            F.round(F.sum(F.col("distance_soma").cast("double")), 3).alias("sum_dist"),
+        )
+        .withColumn("units", F.lit(units))
+        .withColumn("rows_done", F.lit(int(prog["rows_done"])).cast("long"))
+        .withColumn("progress_consistent", F.lit(bool(prog_ok)))
+    )
+
+
+SQL_CONVERSION_PIPELINE = f"""
+WITH son AS (
+  SELECT version,
+         'r_v' || CAST(version AS VARCHAR) || '.bin' AS src_file,
+         pre_gid  AS source_node_id,
+         post_gid AS target_node_id,
+         pre_section AS efferent_section_id,
+         pre_segment AS efferent_segment_id,
+         pre_offset  AS efferent_segment_offset,
+         post_offset AS afferent_segment_offset,
+         distance_soma
+  FROM read_parquet('{RECORDS_TWIN}')
+  WHERE pre_section <= 32767
+), capped AS (
+  SELECT * FROM son
+  ORDER BY version, source_node_id, target_node_id, efferent_section_id,
+           efferent_segment_id, efferent_segment_offset,
+           afferent_segment_offset, distance_soma
+  LIMIT 1500
+)
+SELECT version, src_file,
+       count(*) AS n_rows,
+       cast(sum(source_node_id) AS BIGINT) AS sum_src,
+       max(target_node_id) AS max_tgt,
+       round(cast(sum(cast(distance_soma AS DOUBLE)) AS DOUBLE), 3) AS sum_dist,
+       'um' AS units,
+       cast(1500 AS BIGINT) AS rows_done,
+       TRUE AS progress_consistent
+FROM capped GROUP BY version, src_file
+"""
+
+
 QUERIES.update(
     {
         "rollup_orders": q_rollup_orders,
         "pivot_lineitem": q_pivot_lineitem,
         "sessionize_batch": q_sessionize_batch,
         "record_source_roundtrip": q_record_source_roundtrip,
+        "conversion_pipeline": q_conversion_pipeline,
     }
 )
 ORACLES["record_source_roundtrip"] = SQL_RECORD_SOURCE_ROUNDTRIP
+ORACLES["conversion_pipeline"] = SQL_CONVERSION_PIPELINE
 ORACLES.update(
     {
         "rollup_orders": SQL_ROLLUP_ORDERS,

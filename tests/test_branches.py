@@ -248,6 +248,52 @@ def test_branch_survives_expire(spark, tmp_path):
     assert decode_table(spark, out).count() == 325
 
 
+def test_changefeed_after_expire_then_fast_forward(spark, tmp_path):
+    """Regression: expire_snapshots materializes an unmerged branch tip
+    as a tag_only root, which the stream reader skips — so the branch's
+    appended parts MUST be stamped back on that root (append_parts from
+    the pre-squash log) for a later fast_forward to fold into its
+    entry's append_parts. Before the fix, a routine expire between
+    branch appends and the merge made the changefeed silently drop the
+    branch's inserted rows (batch reads were always correct)."""
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import (
+        create_branch,
+        expire_snapshots,
+        fast_forward,
+        snapshots,
+    )
+
+    spark.dataSource.register(SparkcodecDataSource)
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=300)
+    create_branch(out, "dev")
+    _append(spark, out, 300, 60, branch="dev")
+    _append(spark, out, 360, 40, branch="dev")
+
+    def drain(sink, ck):
+        q = (spark.readStream.format("sparkcodec").load(out)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    sink, ck = str(tmp_path / "s"), str(tmp_path / "c")
+    assert drain(sink, ck).count() == 300  # pre-expire: root only
+    expire_snapshots(out, keep_last=1)
+    # the materialized branch root carries its exact appended set
+    by_id = {s["id"]: s for s in snapshots(out)}
+    root = next(s for s in by_id.values() if s.get("branch"))
+    assert root.get("tag_only") and len(root["append_parts"]) > 0
+    ff = fast_forward(out, "dev")
+    assert ff["fast_forwarded"] is True
+    got = drain(sink, ck)
+    # the feed must now deliver the branch's 100 pre-expire inserts
+    assert got.count() == 400
+    assert got.where("id >= 300").count() == 100
+
+
 def test_branch_rollback_refused_and_vacuum_safe(spark, tmp_path):
     """rollback targets main history only; vacuum_orphans never
     reclaims committed branch parts."""

@@ -970,3 +970,24 @@ def test_table_changes_and_cdc_stream(spark, tmp_path):
     got = spark.read.parquet(sink).collect()
     sev = {(r["_snapshot_id"], r["_op"], r["id"]): r["_n"] for r in got}
     assert sev == ev
+
+
+def test_cdc_key_path_has_no_per_row_python():
+    """Structural guard for the input_hint's 'no per-row Python'
+    invariant: the ONLY code that touches decoded key data is
+    _part_key_counts (pyarrow value_counts), which must not call
+    to_pylist; the CDC kernel and stream reader must route all decoding
+    through it (so their remaining to_pylist, if any, can only see
+    O(#parts) plan rows, never data rows)."""
+    import inspect
+
+    from sparkcodec import datasource, engine
+
+    assert "to_pylist" not in inspect.getsource(engine._part_key_counts)
+    ker_src = inspect.getsource(engine._cdc_key_kernel)
+    # the kernel never decodes directly — only via the vectorized helper
+    assert "_decode_part_batches" not in ker_src
+    assert "_part_key_counts" in ker_src
+    rd_src = inspect.getsource(datasource.SparkcodecCDCStreamReader.read)
+    assert "to_pylist" not in rd_src
+    assert "_part_key_counts" in rd_src

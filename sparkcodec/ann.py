@@ -22,13 +22,16 @@ existed when ``v1`` was cut, regardless of rebuilds or retention), and
 the centroid derivation parameters ride the snapshot entry so a reader
 probes with exactly the planes its index version was built with.
 
-Centroids are deterministic LCG hyperplane seeds (the same integer
-recurrence as ``queries._lcg_plane``) rather than trained k-means: the
-point here is the Spark-side index lifecycle — build, persist, pruned
-probe, version — and determinism is what lets the DuckDB oracle verify
-the probed result end to end. A trained quantizer drops in by replacing
-:func:`centroid_dots_expr` / :func:`query_clusters` only; nothing else
-in the lifecycle changes.
+Default centroids are deterministic LCG hyperplane seeds (the same
+integer recurrence as ``queries._lcg_plane``): determinism is what lets
+the DuckDB oracle verify the probed result end to end.
+``build_ann_index(trained=True)`` replaces them with a sampled
+spherical k-means (:func:`train_centroids`) whose centroids PERSIST in
+the index's ``ann`` snapshot block — recall on real embeddings comes
+from the trained path, oracle verification from the LCG path, and the
+lifecycle (build / extend / tags / pruned probe) is byte-for-byte the
+same code for both (``_assign_expr_from_params`` is the single
+dispatch point).
 
 Reference parity note: the reference has no ANN surface — this module
 is part of the beyond-reference LLM-pipeline operator set; its storage
@@ -120,6 +123,108 @@ def query_clusters(vec, k: int, seed_base: int, nprobe: int = 2) -> list[int]:
     return probes
 
 
+def train_centroids(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 65536,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Sampled k-means (the trained quantizer the LCG planes stub for):
+    a DETERMINISTIC hash-sample of at most ``sample_rows`` vectors is
+    collected (bounded driver memory — at 64-dim floats the default cap
+    is ~16 MB regardless of table size; the sample filter runs
+    distributed and Catalyst prunes to two columns), then Lloyd
+    iterations with a k-means++-style seeded init run on the sample in
+    numpy. Vectors and centroids are L2-normalized, so assignment by
+    max inner product (the exact shape :func:`centroid_dots_expr`
+    already uses) IS spherical k-means — the right quantizer for cosine
+    ANN. Deterministic for a fixed (table, k, seed): the sample is
+    hash-selected and id-ordered, never TABLESAMPLE."""
+    import numpy as np
+
+    n = emb.count()
+    mod = max(1, n // sample_rows)
+    rows = (
+        emb.select(id_col, vec_col)
+        .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if len(x) < k:
+        raise ValueError(f"sample of {len(x)} vectors cannot seed k={k}")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on the sample
+    cents = [x[rng.integers(len(x))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [np.sum((x - c) ** 2, axis=1) for c in cents], axis=0
+        )
+        p = d2 / max(d2.sum(), 1e-12)
+        cents.append(x[rng.choice(len(x), p=p)])
+    c = np.stack(cents)
+    for _ in range(iters):
+        # spherical Lloyd: assign by max dot, re-center, re-normalize
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            m = x[assign == j]
+            if len(m):
+                c[j] = m.mean(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return [[round(float(v), 8) for v in row] for row in c]
+
+
+def trained_dots_expr(centroids: list[list[float]], col: str = "embedding"):
+    """Array Column of inner products against TRAINED centroids (plan
+    literals — k*dim doubles ride the plan, no driver data at run
+    time); the trained twin of :func:`centroid_dots_expr`."""
+
+    def dot(cvec):
+        carr = F.array(*[F.lit(float(v)) for v in cvec])
+        return F.aggregate(
+            F.zip_with(col, carr, lambda x, y: x * y),
+            F.lit(0.0).cast("double"), lambda acc, x: acc + x,
+        )
+
+    return F.array(*[dot(cv) for cv in centroids])
+
+
+def _assign_expr_from_params(params: dict, col: str):
+    """Cluster-assignment Column for an index's parameter block —
+    trained centroids when present, LCG planes otherwise (the one
+    dispatch point; build/extend/probe all route through it)."""
+    if params.get("centroids"):
+        ds = trained_dots_expr(params["centroids"], col)
+        return (F.array_position(ds, F.array_max(ds)) - 1).cast("long")
+    return assign_cluster_expr(params["k"], params["seed_base"], col)
+
+
+def _query_clusters_from_params(vec, params: dict, nprobe: int) -> list[int]:
+    """Driver-side probe selection matching :func:`_assign_expr_from_params`."""
+    if params.get("centroids"):
+        ds = []
+        for cvec in params["centroids"]:
+            acc = 0.0
+            for xi, ci in zip(vec, cvec):
+                acc += float(xi) * float(ci)
+            ds.append(acc)
+        probes: list[int] = []
+        masked = list(ds)
+        for _ in range(min(nprobe, len(ds))):
+            best = masked.index(max(masked))
+            probes.append(best)
+            masked[best] = -1e18
+        return probes
+    return query_clusters(vec, params["k"], params["seed_base"], nprobe=nprobe)
+
+
 def build_ann_index(
     spark: SparkSession,
     emb: DataFrame,
@@ -131,6 +236,9 @@ def build_ann_index(
     seed_base: int = 100,
     num_parts: int | None = None,
     tag: str | None = None,
+    trained: bool = False,
+    sample_rows: int = 65536,
+    iters: int = 8,
 ) -> dict:
     """Materialize the IVF postings table at ``index_dir`` (a NEW
     snapshot-logged sparkcodec table; a re-BUILD is a fresh root that
@@ -142,13 +250,26 @@ def build_ann_index(
     id as sort tiebreak, so each coarse cell's ids are contiguous runs
     — dict/RLE-friendly — and a probe prunes to the parts whose exact
     value sets contain a probed cluster id. Index parameters ride the
-    snapshot entry (``ann`` key) for self-describing probes."""
-    postings = emb.select(
-        F.col(id_col).alias("vec_id"),
-        assign_cluster_expr(k, seed_base, vec_col).alias("cluster"),
-    )
+    snapshot entry (``ann`` key) for self-describing probes.
+
+    ``trained=True`` fits a sampled spherical k-means first
+    (:func:`train_centroids`) and persists the centroids IN the ``ann``
+    parameter block, so every later extend/probe of this index version
+    assigns with exactly the planes it was built with; the LCG path
+    stays the default (bit-identical to the DuckDB oracle). Lifecycle
+    (extend / tags / pruned probe) is identical either way."""
     params = {"kind": "ivf", "k": int(k), "seed_base": int(seed_base),
               "id_col": id_col, "vec_col": vec_col}
+    if trained:
+        params["kind"] = "ivf_kmeans"
+        params["centroids"] = train_centroids(
+            spark, emb, k, id_col=id_col, vec_col=vec_col,
+            sample_rows=sample_rows, iters=iters, seed=seed_base,
+        )
+    postings = emb.select(
+        F.col(id_col).alias("vec_id"),
+        _assign_expr_from_params(params, vec_col).alias("cluster"),
+    )
     m = encode_table(
         spark, postings, index_dir,
         cluster_by=["cluster"], salt_by=["vec_id"],
@@ -179,9 +300,7 @@ def extend_ann_index(
     params = ann_index_params(index_dir)
     postings = new_emb.select(
         F.col(params["id_col"]).alias("vec_id"),
-        assign_cluster_expr(
-            params["k"], params["seed_base"], params["vec_col"]
-        ).alias("cluster"),
+        _assign_expr_from_params(params, params["vec_col"]).alias("cluster"),
     )
     m = encode_table(
         spark, postings, index_dir,
@@ -258,9 +377,7 @@ def ann_topk(
     qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
     if qrow is None:
         raise ValueError(f"query id {query_id} not present in the data table")
-    probes = query_clusters(
-        qrow[0], params["k"], params["seed_base"], nprobe=nprobe
-    )
+    probes = _query_clusters_from_params(qrow[0], params, nprobe)
     posts = probe_postings(spark, index_dir, probes, ref=ref)
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qv")

@@ -20,7 +20,8 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 
 
 def run_encode(
-    cores: int, input_path: str, out_dir: str, num_parts: int, reps: int = 4
+    cores: int, input_path: str, out_dir: str, num_parts: int,
+    reps: int = 4, warm: int | None = None,
 ) -> dict:
     """Warmup (JIT + worker imports) then `reps` timed runs; min + median.
 
@@ -31,7 +32,21 @@ def run_encode(
     from sparkcodec.engine import encode_table
     from sparkcodec.session import get_spark
 
-    spark = get_spark(cores=cores, app_name=f"bench-encode-{cores}")
+    # pin the scan split size: Spark otherwise targets
+    # totalBytes/defaultParallelism, handing local[2] two giant
+    # single-wave splits and local[8] eight — the two legs of a scaling
+    # pair would encode DIFFERENT aligned part layouts, each a single
+    # task wave where one jittery task moves the whole wall. With 4 MiB
+    # splits both legs see the same ~1-file splits and many waves, so
+    # host jitter averages out instead of compounding into the ratio.
+    spark = get_spark(
+        cores=cores,
+        app_name=f"bench-encode-{cores}",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(4 << 20),
+            "spark.sql.files.openCostInBytes": str(1 << 20),
+        },
+    )
     df = spark.read.parquet(input_path)
     df.count()
 
@@ -47,7 +62,7 @@ def run_encode(
         return time.time() - t0, metrics
 
     # low-core runs are long and JIT-warm quickly: fewer, longer samples
-    n_warm = 1 if cores <= 4 else 2
+    n_warm = warm if warm is not None else (1 if cores <= 4 else 2)
     n_reps = min(reps, 3) if cores <= 4 else reps
     warms = [round(one()[0], 3) for _ in range(n_warm)]
     walls, m = [], {}
@@ -67,6 +82,9 @@ def run_encode(
         "enc_bytes": m["enc_bytes"],
         "gbps": round(m["raw_bytes"] / best / 1e9, 4),
         "gbps_median": round(m["raw_bytes"] / med / 1e9, 4),
+        # serial driver cost (plan+commit) of the LAST rep: the fixed C
+        # in wall(n) = T/n + C that bounds any strong-scaling pair
+        "phase_sec": m.get("phase_sec"),
     }
 
 
@@ -217,9 +235,13 @@ def main() -> None:
     ap.add_argument("--sf-dir")
     ap.add_argument("--num-parts", type=int, default=4096)
     ap.add_argument("--queries", default="")
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--warm", type=int, default=-1)
     args = ap.parse_args()
     if args.mode == "encode":
-        res = run_encode(args.cores, args.input, args.out, args.num_parts)
+        res = run_encode(args.cores, args.input, args.out, args.num_parts,
+                         reps=args.reps,
+                         warm=None if args.warm < 0 else args.warm)
     elif args.mode == "decode":
         res = run_decode(args.cores, args.input, args.out)
     elif args.mode == "calibrate":

@@ -190,11 +190,35 @@ class SparkcodecReader(DataSourceReader):
                     parts = prune_parts_nulls(
                         self.out_dir, col, kind, parts, part_null_stats(self.out_dir, pm)
                     )
+        # field-id ghosts (name dropped and re-added): computed on the
+        # driver and shipped INSIDE the partition values — the reader
+        # object is serialized before partitions() runs, so a mutated
+        # self attribute would never reach the executors. Tasks decode
+        # ghosted columns as NULL, same rule as engine.decode_table.
+        ghosts: dict = {}
+        from .engine import _ghost_map, snapshot_field_ids, snapshots
+
+        snaps = snapshots(self.out_dir)
+        if any(s.get("drop_column") for s in snaps):
+            sid = self.snapshot_id
+            if sid is None and snaps:
+                from .engine import _tip_entry
+
+                sid = _tip_entry(snaps)["id"]
+            if sid is not None:
+                ghosts = _ghost_map(
+                    self.out_dir, self.columns, parts,
+                    snapshot_field_ids(self.out_dir, sid, snaps=snaps),
+                    snaps=snaps,
+                )
         if not parts:
             return [InputPartition([])]
+        vals = [
+            (int(p), tuple(sorted(ghosts.get(int(p), ())))) for p in parts
+        ]
         n_tasks = self.n_tasks or min(len(parts), _default_tasks())
         size = -(-len(parts) // n_tasks)
-        return [InputPartition(parts[i : i + size]) for i in range(0, len(parts), size)]
+        return [InputPartition(vals[i : i + size]) for i in range(0, len(vals), size)]
 
     def read(self, partition):
         import pyarrow as pa
@@ -211,7 +235,8 @@ class SparkcodecReader(DataSourceReader):
         arrow_schema = pa.schema(
             [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in self.columns]
         )
-        for pid in partition.value:
+        for pid, gh_cols in partition.value:
+            gh = frozenset(gh_cols)
             ranges = None
             pruned = False
             for col, (lo, hi) in self.bounds.items():
@@ -229,12 +254,21 @@ class SparkcodecReader(DataSourceReader):
                 continue
             if not pruned:
                 yield from _decode_part_batches(
-                    self.out_dir, self.columns, arrow_schema, pid
+                    self.out_dir, self.columns, arrow_schema, pid, gh
                 )
                 continue
+            n_kept = sum(e - s for s, e in ranges)
             per_col = {
-                col: _decode_column_ranges(
-                    self.out_dir, col, pid, arrow_schema.field(col).type, ranges
+                col: (
+                    pa.chunked_array(
+                        [pa.nulls(n_kept, type=arrow_schema.field(col).type)],
+                        type=arrow_schema.field(col).type,
+                    )
+                    if col in gh
+                    else _decode_column_ranges(
+                        self.out_dir, col, pid, arrow_schema.field(col).type,
+                        ranges,
+                    )
                 )
                 for col in self.columns
             }
@@ -519,14 +553,27 @@ class SparkcodecWriter(DataSourceArrowWriter):
         arrow = to_arrow_schema(schema)
         self.columns = [f.name for f in arrow]
         self.type_names = {f.name: type_name(f.type) for f in arrow}
+        # field-id identity: tasks stamp each part's {col: id} into its
+        # checkpoint lineage, so the mapping must be resolved up front —
+        # inherited from the table for existing columns, and (for an
+        # evolving write) pre-merged through the same engine helper
+        # commit() will apply, which is pure and deterministic
+        self.field_ids = {c: i + 1 for i, c in enumerate(self.columns)}
         if _exists(_j(self.out_dir, "_table_meta.json")):
             prev = _load_meta(self.out_dir)
             if prev["schema"] != self.type_names:
                 # add-column evolution, same rule as encode_table (shared
                 # engine helper); commit() merges the meta
-                from .engine import check_schema_evolution
+                from .engine import check_schema_evolution, merge_evolved_meta
 
                 check_schema_evolution(prev, self.type_names, self.columns)
+                self.field_ids = merge_evolved_meta(
+                    prev, self.type_names, self.columns
+                )["field_ids"]
+            else:
+                from .engine import _field_ids_of
+
+                self.field_ids = _field_ids_of(prev)[0]
         # single-writer lease held from planning (driver-side __init__)
         # through commit()/abort(); part ids are assigned from a
         # driver-side base, so a concurrent writer would collide
@@ -546,6 +593,7 @@ class SparkcodecWriter(DataSourceArrowWriter):
         r = _encode_one_part(
             pid, batches, self.columns, self.out_dir,
             self.block_rows, self.block_bytes, set(), {},
+            field_ids=self.field_ids,
         )
         return _PartCommit(pid, r["n_rows"], r["raw_bytes"], r["enc_bytes"])
 
@@ -589,6 +637,8 @@ class SparkcodecWriter(DataSourceArrowWriter):
                     "block_rows": self.block_rows,
                     "target_part_rows": None,
                     "field_metadata": {},
+                    "field_ids": self.field_ids,
+                    "next_field_id": max(self.field_ids.values(), default=0) + 1,
                     "engine_version": "0.1.0",
                 }
                 _atomic_write_json(meta_path, meta)
@@ -621,6 +671,7 @@ class SparkcodecWriter(DataSourceArrowWriter):
                 # schema in effect at commit time, engine.snapshot_schema)
                 "columns": cur["columns"],
                 "schema": cur["schema"],
+                "field_ids": self.field_ids,
                 "ts": time.time(),
             }
             _snapshot_log_append(self.out_dir, entry)

@@ -838,6 +838,16 @@ def merge_evolved_meta(
         **(prev.get("field_metadata") or {}),
         **(field_metadata or {}),
     }
+    # field-id identity: added columns get FRESH ids — including a name
+    # that previously existed and was dropped (its retired id is never
+    # reused, so old parts decode the re-added name as NULL, not as the
+    # dead field's historical values)
+    fids, nxt = _field_ids_of(prev)
+    for c in new_cols:
+        fids[c] = nxt
+        nxt += 1
+    out["field_ids"] = fids
+    out["next_field_id"] = nxt
     return out
 
 
@@ -850,6 +860,7 @@ def _encode_one_part(
     block_bytes: int,
     input_files: set[str],
     select_cache: dict | None = None,
+    field_ids: dict | None = None,
 ) -> dict:
     """Encode all columns of one logical partition and commit its files.
 
@@ -938,6 +949,12 @@ def _encode_one_part(
         "nulls": col_nulls,  # per-column null counts (every column)
         "vset": col_vsets,  # exact distinct-value sets (low-card columns)
         "bloom": col_blooms,  # point-lookup blooms (mid-card columns)
+        # field-id column identity: which field each stored column IS
+        # (drop + re-add allocates a fresh id; old parts then decode the
+        # re-added name as NULL instead of resurrecting dead values)
+        "fids": {
+            c: field_ids[c] for c in data_cols if c in (field_ids or {})
+        },
         "symbol_tables": sym_sha,
         "raw_bytes": part_raw,
         "enc_bytes": part_enc,
@@ -972,7 +989,8 @@ def _encode_one_part(
     }
 
 
-def _make_encode_kernel(data_cols, out_dir, block_rows, block_bytes):
+def _make_encode_kernel(data_cols, out_dir, block_rows, block_bytes,
+                        field_ids=None):
     def kernel(batches):
         cur_part = None
         buf: list[pa.RecordBatch] = []
@@ -985,7 +1003,7 @@ def _make_encode_kernel(data_cols, out_dir, block_rows, block_bytes):
                 summaries.append(
                     _encode_one_part(
                         cur_part, buf, data_cols, out_dir, block_rows, block_bytes,
-                        files, select_cache,
+                        files, select_cache, field_ids=field_ids,
                     )
                 )
 
@@ -1205,7 +1223,11 @@ def prune_parts_bloom(
 
 
 MANIFESTDIR = "_manifests"
-_PRUNE_META_KEYS = ("stats", "nulls", "vset", "bloom")
+# "fids" = the part's {column: field_id} at encode time — not a pruning
+# dimension but it rides the same container (checkpoint lineage →
+# manifest → part_meta) so field-id column identity survives manifest
+# consolidation and expire exactly like the zone maps do
+_PRUNE_META_KEYS = ("stats", "nulls", "vset", "bloom", "fids")
 # manifest files are WRITE-ONCE (uuid-named, referenced by exactly one
 # snapshot entry, never rewritten), so parsed contents cache per process
 _MANIFEST_CACHE: dict[str, dict[int, dict]] = {}
@@ -1322,7 +1344,17 @@ def part_meta(
     if snaps is None:
         snaps = snapshots(out_dir)
     out: dict[int, dict] = {}
-    for s in snaps:
+    needed = {int(p) for p in parts} if parts is not None else None
+    # NEWEST-first with early exit: part ids are never reused, and any
+    # id covered by several manifests (a consolidated compaction/expire
+    # manifest re-covering survivors, a rollback re-listing restored
+    # parts) carries IDENTICAL stats in each — merge order is therefore
+    # free, and stopping once the needed set is covered is what makes a
+    # pruned read after a consolidating compaction O(1) manifest opens
+    # instead of O(#snapshots)
+    for s in reversed(snaps):
+        if needed is not None and needed <= out.keys():
+            break
         name = s.get("manifest")
         if name:
             try:
@@ -1331,7 +1363,8 @@ def part_meta(
                 continue  # raced an expire's cleanup: checkpoint fallback
             for pid, d in mf.items():
                 out.setdefault(pid, d)
-    needed = {int(p) for p in parts} if parts is not None else completed_parts(out_dir)
+    if needed is None:
+        needed = completed_parts(out_dir)
     missing = sorted(needed - out.keys())
     if missing:
         d = _j(out_dir, "blocks", f"col={CHECKPOINT_COL}")
@@ -1619,7 +1652,8 @@ def _commit_optimistic_append(
             # would become unreadable at this tip); stamp the merged
             # union instead (same rule as compact's optimistic commit)
             entry = dict(
-                entry, columns=evolved["columns"], schema=evolved["schema"]
+                entry, columns=evolved["columns"], schema=evolved["schema"],
+                field_ids=evolved["field_ids"],
             )
         e = _commit_snapshot_entry(
             out_dir, entry, append=True, evolved_meta=evolved, pm=pm
@@ -1749,6 +1783,7 @@ def encode_table(
     CRASHED optimistic append is not resumable — its orphan parts sit
     protected behind the reservation lease until vacuum reclaims them.
     """
+    _t_enter = time.time()
     if branch is not None:
         if not append:
             raise ValueError(
@@ -1928,6 +1963,11 @@ def encode_table(
         "field_metadata": {
             f.name: f.metadata for f in df.schema.fields if f.metadata
         },
+        # field-id column identity (Iceberg posture): ids assigned at
+        # CREATE in column order; appends inherit the table's mapping
+        # below, evolution allocates fresh ids in merge_evolved_meta
+        "field_ids": {c: i + 1 for i, c in enumerate(cols)},
+        "next_field_id": len(cols) + 1,
         "engine_version": "0.1.0",
     }
     # part ids are only meaningful under the partitioning config that
@@ -1947,6 +1987,10 @@ def encode_table(
     evolved_meta = None
     if append and fs.exists(meta_path):
         prev = _read_json(meta_path)
+        # inherit the TABLE's field-id mapping (never this run's
+        # positional one — column order or past drops would skew it);
+        # evolution below re-merges and allocates for genuinely new cols
+        meta["field_ids"], meta["next_field_id"] = _field_ids_of(prev)
         if prev["schema"] != meta["schema"] or prev["columns"] != cols:
             # schema evolution (Iceberg add-column posture): columns the
             # two schemas share must have identical storage types; columns
@@ -2131,10 +2175,12 @@ def encode_table(
             PART_COL, *sort_by
         )
 
-    kernel = _make_encode_kernel(cols, out_dir, block_rows, block_bytes)
+    kernel = _make_encode_kernel(cols, out_dir, block_rows, block_bytes,
+                                 field_ids=meta["field_ids"])
     t0 = time.time()
     summary = work.mapInArrow(kernel, SUMMARY_SPARK_SCHEMA).collect()
     wall = time.time() - t0
+    _t_job_end = time.time()
 
     rows = [r.asDict() for r in summary]
     if rows:
@@ -2168,6 +2214,7 @@ def encode_table(
             # pre-evolution snapshot reads the schema in effect then
             "columns": meta["columns"],
             "schema": meta["schema"],
+            "field_ids": meta["field_ids"],
             "ts": time.time(),
         }
         if snapshot_extra:
@@ -2208,6 +2255,16 @@ def encode_table(
         "raw_bytes": sum(r["raw_bytes"] for r in rows),
         "enc_bytes": sum(r["enc_bytes"] for r in rows),
         "wall_sec": wall,
+        # driver-phase attribution: plan (listing/exchange planning before
+        # the job launches), job (the distributed encode), commit (log
+        # append + manifest). plan+commit are the FIXED serial cost C that
+        # bounds strong scaling — wall(n) = T/n + C — so the bench reads
+        # these to see whether a scaling miss is engine overhead or host
+        "phase_sec": {
+            "plan": round(t0 - _t_enter, 3),
+            "job": round(wall, 3),
+            "commit": round(time.time() - _t_job_end, 3),
+        },
     }
     if not commit:
         result["pending_commit"] = (
@@ -2341,6 +2398,71 @@ def snapshot_schema(
             return cur.get("columns") or list(cur["schema"]), cur["schema"]
         cur = by_id.get(cur["parent"])
     return None
+
+
+def _field_ids_of(meta: dict) -> tuple[dict[str, int], int]:
+    """(field_ids, next_field_id) of a table meta, synthesizing the
+    identity mapping {col: position+1} for tables written before field
+    ids existed — the legacy contract IS name-identity, so the synthetic
+    ids must be deterministic from column order alone."""
+    fids = meta.get("field_ids")
+    if fids is None:
+        fids = {c: i + 1 for i, c in enumerate(meta["columns"])}
+    nxt = meta.get("next_field_id")
+    if nxt is None:
+        nxt = (max(fids.values()) + 1) if fids else 1
+    return dict(fids), int(nxt)
+
+
+def snapshot_field_ids(
+    out_dir: str, snapshot_id: int, snaps: list[dict] | None = None
+) -> dict[str, int] | None:
+    """The {column: field_id} mapping in effect AT a snapshot (walks the
+    parent chain like :func:`snapshot_schema`); None for chains written
+    before field-id stamping — those read under name identity."""
+    if snaps is None:
+        snaps = snapshots(out_dir)
+    by_id = {s["id"]: s for s in snaps}
+    cur = by_id.get(snapshot_id)
+    while cur:
+        if "field_ids" in cur:
+            return cur["field_ids"]
+        cur = by_id.get(cur["parent"])
+    return None
+
+
+def _ghost_map(
+    out_dir: str,
+    columns,
+    parts,
+    want_ids: dict[str, int] | None,
+    snaps: list[dict] | None = None,
+    pm: dict | None = None,
+) -> dict[int, frozenset]:
+    """{part_id: columns that must decode as NULL} under field-id column
+    identity: a part whose recorded field id for a name differs from the
+    id the read schema wants holds a RETIRED field's bytes — the name was
+    dropped and re-added (Iceberg field-id semantics), so the dead
+    values must not resurrect. Per-part ids ride the prune-meta
+    container ("fids" in checkpoint lineage → manifests → part_meta), so
+    they survive expire's manifest consolidation. Parts or chains
+    without ids (legacy) read under name identity — never ghosted.
+    Callers gate on a drop_column entry existing in the log: without a
+    drop, no id is ever retired and this is skipped entirely."""
+    if not want_ids:
+        return {}
+    if pm is None:
+        pm = part_meta(out_dir, parts=parts, snaps=snaps)
+    out: dict[int, frozenset] = {}
+    for p in parts:
+        fids = (pm.get(int(p)) or {}).get("fids") or {}
+        g = frozenset(
+            c for c in columns
+            if c in fids and c in want_ids and fids[c] != want_ids[c]
+        )
+        if g:
+            out[int(p)] = g
+    return out
 
 
 def _resolve_snapshot_meta(
@@ -2670,16 +2792,23 @@ def _part_row_count(out_dir: str, pid: int) -> int:
     return int(t.column("n_rows")[0].as_py())
 
 
-def _decode_part_batches(out_dir: str, columns, arrow_schema: pa.Schema, pid: int):
+def _decode_part_batches(
+    out_dir: str, columns, arrow_schema: pa.Schema, pid: int,
+    ghost_cols: frozenset = frozenset(),
+):
     """Decode one part's requested columns into Arrow batches (the shared
     unpruned path: engine decode kernel, DataSource batch/stream readers,
     and compaction all route through here). A column with no block file
-    for this part predates a schema evolution — it decodes as nulls."""
+    for this part predates a schema evolution — it decodes as nulls.
+    ``ghost_cols`` are columns whose block files exist but belong to a
+    RETIRED field id (the name was dropped and re-added; see
+    :func:`_ghost_map`) — they decode as nulls too, never as the dead
+    field's historical values."""
     per_col = {}
     for col in columns:
         target = arrow_schema.field(col).type
         path = _part_file(out_dir, col, pid)
-        if not _exists(path):
+        if col in ghost_cols or not _exists(path):
             n = _part_row_count(out_dir, pid)
             per_col[col] = pa.chunked_array([pa.nulls(n, type=target)], type=target)
             continue
@@ -2700,22 +2829,35 @@ def _decode_part_batches(out_dir: str, columns, arrow_schema: pa.Schema, pid: in
 
 
 def _decode_part_batches_ranged(
-    out_dir: str, columns, arrow_schema: pa.Schema, pid: int, ranges
+    out_dir: str, columns, arrow_schema: pa.Schema, pid: int, ranges,
+    ghost_cols: frozenset = frozenset(),
 ):
     """Decode one part restricted to the given row ranges (None = all
     rows, [] = nothing). Block grids are per column (the byte cap can
     split a wide column finer than a narrow one), so each column
     reassembles independently as a chunked array — zero-copy concat —
     and Arrow re-slices aligned output batches. Shared by the engine
-    decode kernel and the DataSource stream reader's predicate option."""
+    decode kernel and the DataSource stream reader's predicate option.
+    ``ghost_cols`` decode as nulls (retired field id, see
+    :func:`_ghost_map`)."""
     if ranges is not None and not ranges:
         return  # every block of this part pruned
     if ranges is None:
-        yield from _decode_part_batches(out_dir, columns, arrow_schema, pid)
+        yield from _decode_part_batches(
+            out_dir, columns, arrow_schema, pid, ghost_cols
+        )
         return
+    n_kept = sum(e - s for s, e in ranges)
     per_col = {
-        col: _decode_column_ranges(
-            out_dir, col, pid, arrow_schema.field(col).type, ranges
+        col: (
+            pa.chunked_array(
+                [pa.nulls(n_kept, type=arrow_schema.field(col).type)],
+                type=arrow_schema.field(col).type,
+            )
+            if col in ghost_cols
+            else _decode_column_ranges(
+                out_dir, col, pid, arrow_schema.field(col).type, ranges
+            )
         )
         for col in columns
     }
@@ -2731,6 +2873,7 @@ def _make_decode_kernel(
     arrow_schema: pa.Schema,
     wheres: list[tuple] | None = None,
     wheres_any: list[list[tuple]] | None = None,
+    ghosts: dict[int, frozenset] | None = None,
 ):
     def kernel(batches):
         for batch in batches:
@@ -2741,7 +2884,8 @@ def _make_decode_kernel(
                     else None
                 )
                 yield from _decode_part_batches_ranged(
-                    out_dir, columns, arrow_schema, pid, ranges
+                    out_dir, columns, arrow_schema, pid, ranges,
+                    (ghosts or {}).get(pid, frozenset()),
                 )
 
     return kernel
@@ -2880,18 +3024,29 @@ def decode_table(
             parts = sorted(completed_parts(out_dir))
     wheres = _normalize_where(where)
     wheres_any = [_normalize_where(w) for w in (where_any or [])]
-    if wheres or wheres_any:
-        # one manifest-backed read feeds every pruning dimension —
-        # O(#snapshots) metadata files, not O(#parts) checkpoint opens
+    # field-id ghosts exist only after a drop_column somewhere in the
+    # log (no drop → no retired id → skip the metadata load entirely)
+    need_ghosts = any(s.get("drop_column") for s in snaps or [])
+    pm = None
+    if wheres or wheres_any or need_ghosts:
+        # one manifest-backed read feeds every pruning dimension AND the
+        # ghost map — O(#snapshots) metadata files, not O(#parts) opens
         pm = part_meta(out_dir, parts=parts, snaps=snaps)
-        if wheres:
-            parts = _prune_parts_conj(out_dir, wheres, parts, pm)
-        if wheres_any:
-            # DNF: a part survives if ANY disjunct keeps it
-            keep: set = set()
-            for conj in wheres_any:
-                keep |= set(_prune_parts_conj(out_dir, conj, parts, pm))
-            parts = sorted(keep)
+    if wheres:
+        parts = _prune_parts_conj(out_dir, wheres, parts, pm)
+    if wheres_any:
+        # DNF: a part survives if ANY disjunct keeps it
+        keep: set = set()
+        for conj in wheres_any:
+            keep |= set(_prune_parts_conj(out_dir, conj, parts, pm))
+        parts = sorted(keep)
+    ghosts = None
+    if need_ghosts and sid is not None:
+        ghosts = _ghost_map(
+            out_dir, columns, parts,
+            snapshot_field_ids(out_dir, sid, snaps=snaps),
+            snaps=snaps, pm=pm,
+        ) or None
     # several parts per task: decode parallelism needs only ~4x the slots,
     # and per-task Python handoff dominates with hundreds of tiny tasks
     n_tasks = max(1, min(len(parts), 4 * spark.sparkContext.defaultParallelism))
@@ -2900,7 +3055,8 @@ def decode_table(
         f"`{c}` {_SPARK_TYPE_OF[meta['schema'][c]]}" for c in columns
     )
     out = parts_df.mapInArrow(
-        _make_decode_kernel(out_dir, columns, arrow_schema, wheres, wheres_any or None),
+        _make_decode_kernel(out_dir, columns, arrow_schema, wheres,
+                            wheres_any or None, ghosts=ghosts),
         spark_fields,
     )
     for c, md in (meta.get("field_metadata") or {}).items():
@@ -3112,6 +3268,16 @@ def compact_table(
         [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
     )
     block_rows = meta.get("block_rows") or 65536
+    # field-id identity through the rewrite: a dropped-and-re-added
+    # column's old parts decode as NULL here too (never resurrected into
+    # the merged copy), and the merged parts carry the CURRENT ids
+    cur_fids, _ = _field_ids_of(meta)
+    snaps_g = snapshots(out_dir)
+    ghosts = (
+        _ghost_map(out_dir, columns, [p for g in groups for p in g],
+                   cur_fids, snaps=snaps_g)
+        if any(s.get("drop_column") for s in snaps_g) else {}
+    )
     plan = [(base + i, json.dumps(g)) for i, g in enumerate(groups)]
     plan_df = spark.createDataFrame(plan, "new_pid int, grp string").repartition(
         max(1, min(len(plan), 4 * spark.sparkContext.defaultParallelism))
@@ -3125,10 +3291,14 @@ def compact_table(
                 merged = []
                 for pid in json.loads(grp):
                     merged.extend(
-                        _decode_part_batches(out_dir, columns, arrow_schema, pid)
+                        _decode_part_batches(
+                            out_dir, columns, arrow_schema, pid,
+                            ghosts.get(int(pid), frozenset()),
+                        )
                     )
                 r = _encode_one_part(
-                    new_pid, merged, columns, out_dir, block_rows, 32 << 20, set(), {}
+                    new_pid, merged, columns, out_dir, block_rows, 32 << 20,
+                    set(), {}, field_ids=cur_fids,
                 )
                 yield pa.RecordBatch.from_pylist(
                     [{k: r[k] for k in ("part_id", "n_rows", "raw_bytes", "enc_bytes")}],
@@ -3151,18 +3321,29 @@ def compact_table(
         "layout": meta.get("layout", "clustered"),
         "columns": meta["columns"],
         "schema": meta["schema"],
+        "field_ids": cur_fids,
         "compaction": True,
         "ts": time.time(),
     }
     if not optimistic:
-        # merged parts' pruning metadata folds here (O(created) reads);
-        # the exclusive path holds the writer lease, so vacuum/expire
+        # CONSOLIDATED manifest: cover the full post-compaction live set
+        # (survivors folded from the older manifests + the merged parts
+        # from their fresh checkpoints), so part_meta's newest-first
+        # early exit satisfies any later pruned read from THIS one file —
+        # a 10k-commit table stops paying a 10k-manifest cold-driver read
+        # at its next compaction (the Iceberg rewrite_manifests idiom).
+        # The exclusive path holds the writer lease, so vacuum/expire
         # (also lease holders) cannot sweep the not-yet-referenced file.
         # The OPTIMISTIC path defers this into its critical section
         # below: written lock-free it would sit unreferenced while a
         # concurrent vacuum runs, get swept, and every future pruned
         # read of this entry would fall back to O(parts) checkpoints.
-        body["manifest"] = write_manifest(out_dir, created)
+        survivors = sorted(set(live) - set(removed))
+        body["manifest"] = write_manifest(
+            out_dir,
+            survivors + created,
+            pm=part_meta(out_dir, parts=survivors),
+        )
     if optimistic:
         if _pre_commit_hook is not None:
             _pre_commit_hook()
@@ -3189,15 +3370,23 @@ def compact_table(
             # entry with the CURRENT meta, not the planning-time one
             cur_meta = _read_json(_j(out_dir, "_table_meta.json"))
             snaps = snapshots(out_dir)
+            # consolidated like the exclusive path, but against the
+            # CURRENT tip's survivors (concurrent appends since planning
+            # are covered too — their stats fold from their own fresh
+            # manifests); written INSIDE the lease: vacuum/expire also
+            # hold it, so the file can never sit unreferenced in front
+            # of a concurrent sweep (it becomes referenced by the log
+            # append below, atomically w.r.t. them)
+            cur_survivors = sorted(cur_live - set(removed))
             entry = dict(
                 body,
                 columns=cur_meta["columns"],
                 schema=cur_meta["schema"],
-                # manifest written INSIDE the lease: vacuum/expire also
-                # hold it, so the file can never sit unreferenced in
-                # front of a concurrent sweep (it becomes referenced by
-                # the log append two lines down, atomically w.r.t. them)
-                manifest=write_manifest(out_dir, created),
+                manifest=write_manifest(
+                    out_dir,
+                    cur_survivors + created,
+                    pm=part_meta(out_dir, parts=cur_survivors, snaps=snaps),
+                ),
                 id=snaps[-1]["id"] + 1,
                 parent=_tip_entry(snaps)["id"],
             )
@@ -3409,6 +3598,14 @@ def _copy_on_write_delete(
         [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in columns]
     )
     block_rows = meta.get("block_rows") or 65536
+    # field-id identity through the rewrite (same rule as compaction):
+    # ghosted columns decode NULL, survivors re-encode under current ids
+    cur_fids, _ = _field_ids_of(meta)
+    snaps_g = snapshots(out_dir)
+    ghosts = (
+        _ghost_map(out_dir, columns, list(affected), cur_fids, snaps=snaps_g)
+        if any(s.get("drop_column") for s in snaps_g) else {}
+    )
     plan = [(base + i, int(p)) for i, p in enumerate(affected)]
     plan_df = spark.createDataFrame(plan, "new_pid int, old_pid int").repartition(
         max(1, min(len(plan), 4 * spark.sparkContext.defaultParallelism))
@@ -3422,7 +3619,10 @@ def _copy_on_write_delete(
                 batch.column("new_pid").to_pylist(), batch.column("old_pid").to_pylist()
             ):
                 tbl = pa.Table.from_batches(
-                    list(_decode_part_batches(out_dir, columns, arrow_schema, old_pid)),
+                    list(_decode_part_batches(
+                        out_dir, columns, arrow_schema, old_pid,
+                        ghosts.get(int(old_pid), frozenset()),
+                    )),
                     schema=arrow_schema,
                 )
                 keep = tbl.filter(pc.invert(mask_fn(tbl)))
@@ -3432,6 +3632,7 @@ def _copy_on_write_delete(
                     _encode_one_part(
                         new_pid, keep.to_batches(max_chunksize=65536), columns,
                         out_dir, block_rows, 32 << 20, set(), {},
+                        field_ids=cur_fids,
                     )
                     wrote = new_pid
                 yield pa.RecordBatch.from_pylist(
@@ -3466,6 +3667,7 @@ def _copy_on_write_delete(
         "layout": meta.get("layout", "clustered"),
         "columns": meta["columns"],
         "schema": meta["schema"],
+        "field_ids": cur_fids,
         "delete": tag,
         "ts": time.time(),
     }
@@ -3614,6 +3816,13 @@ def _rewrite_parts_dropping_matched_keys(
     key_spark = _SPARK_TYPE_OF[meta["schema"][key_col]]
     key_schema = pa.schema([(key_col, key_arrow)])
     block_rows = meta.get("block_rows") or 65536
+    # field-id identity through the merge rewrite (same rule as compaction)
+    cur_fids, _ = _field_ids_of(meta)
+    snaps_g = snapshots(out_dir)
+    ghosts = (
+        _ghost_map(out_dir, columns, list(affected), cur_fids, snaps=snaps_g)
+        if any(s.get("drop_column") for s in snaps_g) else {}
+    )
 
     plan_df = spark.createDataFrame(
         [(int(p),) for p in affected], "old_pid int"
@@ -3648,7 +3857,10 @@ def _rewrite_parts_dropping_matched_keys(
         old_pid = int(pdf["old_pid"].iloc[0])
         keys = pa.Array.from_pandas(pdf["__k"]).cast(key_arrow)
         tbl = pa.Table.from_batches(
-            list(_decode_part_batches(out_dir, columns, arrow_schema, old_pid)),
+            list(_decode_part_batches(
+                out_dir, columns, arrow_schema, old_pid,
+                ghosts.get(int(old_pid), frozenset()),
+            )),
             schema=arrow_schema,
         )
         v = tbl.column(key_col)
@@ -3660,6 +3872,7 @@ def _rewrite_parts_dropping_matched_keys(
             _encode_one_part(
                 mapping[old_pid], keep.to_batches(max_chunksize=65536), columns,
                 out_dir, block_rows, 32 << 20, set(), {},
+                field_ids=cur_fids,
             )
             wrote = mapping[old_pid]
         return pd.DataFrame(
@@ -3824,6 +4037,7 @@ def _upsert_rows_inner(
         "layout": (meta or {}).get("layout", "clustered"),
         "columns": meta["columns"],
         "schema": meta["schema"],
+        "field_ids": _field_ids_of(meta)[0],
     }
     # start from the append's prepared entry so caller-scoped identity
     # keys (snapshot_extra, e.g. a stream replay tag) survive into the
@@ -3836,6 +4050,10 @@ def _upsert_rows_inner(
         "append_parts": sorted(append_parts),
         "n_rows": base_entry["n_rows"] - pending_del["rows_deleted"],
         "merge": merge_id,
+        # the merge's logical identity (key column) rides the entry so a
+        # row-level rebase can REPLAY the upsert on a new fork: the
+        # upserted rows themselves are the append_parts' contents
+        "merge_key": key_col,
         "ts": time.time(),
     })
     _commit_snapshot_entry(
@@ -3861,12 +4079,13 @@ def drop_column(out_dir: str, col: str) -> dict:
     travel (id / timestamp / tag) to any pre-drop snapshot still
     reconstructs it (schema is versioned per snapshot). The table meta
     narrows too, so future appends are validated against the post-drop
-    shape — and an append that re-introduces the name is ADD-COLUMN
-    evolution, which resurrects the column's HISTORICAL values in old
-    parts (their block files still exist; this engine keys columns by
-    name, not by Iceberg-style field id). The dropped bytes are
-    reclaimed only when the pre-drop snapshots expire and a compaction
-    or optimize rewrites the old parts."""
+    shape. Columns are identified by Iceberg-style FIELD ID, not name:
+    the drop retires the column's id, and an append that re-introduces
+    the name is ADD-COLUMN evolution under a FRESH id — old parts decode
+    the re-added name as NULL (their block files hold the retired
+    field's bytes, which never resurrect; see :func:`_ghost_map`). The
+    dropped bytes are reclaimed only when the pre-drop snapshots expire
+    and a compaction or optimize rewrites the old parts."""
     meta = _read_json(_j(out_dir, "_table_meta.json"))
     if col not in meta["columns"]:
         raise ValueError(f"unknown column {col!r}; table has {meta['columns']}")
@@ -3885,6 +4104,13 @@ def drop_column(out_dir: str, col: str) -> dict:
     fm = dict(meta.get("field_metadata") or {})
     fm.pop(col, None)
     new_meta["field_metadata"] = fm
+    # RETIRE the field id: it leaves the mapping and is never reused
+    # (next_field_id only grows), so re-adding the name later allocates
+    # a fresh id and old parts decode it as NULL — no resurrection
+    fids, nxt = _field_ids_of(meta)
+    fids.pop(col, None)
+    new_meta["field_ids"] = fids
+    new_meta["next_field_id"] = nxt
     entry = {
         "new_parts": [],
         "removed_parts": [],
@@ -3894,6 +4120,7 @@ def drop_column(out_dir: str, col: str) -> dict:
         "drop_column": col,
         "columns": new_meta["columns"],
         "schema": new_meta["schema"],
+        "field_ids": fids,
         "ts": time.time(),
     }
     e = _commit_snapshot_entry(
@@ -3960,6 +4187,9 @@ def rollback_table(out_dir: str, snapshot_id: int) -> dict:
         "schema": ss[1],
         "ts": time.time(),
     }
+    rf = snapshot_field_ids(out_dir, snapshot_id, snaps=snaps)
+    if rf is not None:
+        entry["field_ids"] = rf  # restored state reads under ITS mapping
     # pm already covers every restored part — the rollback entry's
     # manifest writes without re-reading a single checkpoint
     e = _commit_snapshot_entry(out_dir, entry, append=True, pm=pm)
@@ -4511,25 +4741,141 @@ def fast_forward(out_dir: str, name: str) -> dict:
         "schema": ss[1],
         "ts": time.time(),
     }
+    bf = snapshot_field_ids(out_dir, btip, snaps=snaps)
+    if bf is not None:
+        entry["field_ids"] = bf  # the branch's mapping becomes main's
     e = _commit_snapshot_entry(out_dir, entry, append=True, pm=pm)
     return {"fast_forwarded": True, "snapshot_id": e["id"],
             "branch_tip": btip, "parts_added": len(added),
             "parts_removed": len(removed)}
 
 
-def merge_branch(out_dir: str, name: str) -> dict:
+def merge_branch(
+    out_dir: str, name: str, spark: SparkSession | None = None
+) -> dict:
     """Merge a branch into main: :func:`rebase_branch` when it diverged
     (part-granular three-way merge; genuine conflicts still refuse),
     then :func:`fast_forward`. The two steps commit separately — a crash
     between them leaves the branch rebased and main untouched, and
-    re-running merge_branch completes the publish."""
-    reb = rebase_branch(out_dir, name)
+    re-running merge_branch completes the publish. Pass ``spark`` to
+    enable ROW-LEVEL replay when both sides rewrote a part (see
+    :func:`rebase_branch`)."""
+    reb = rebase_branch(out_dir, name, spark=spark)
     ff = fast_forward(out_dir, name)
     return {"rebased": reb.get("rebased", False), **ff}
 
 
+def _rebase_replay(
+    spark: SparkSession, out_dir: str, name: str, walked: list[dict],
+    main_id: int,
+) -> dict:
+    """Row-level rebase: re-apply the branch's recorded logical ops
+    (oldest first) onto a throwaway branch forked at the current main
+    tip, then atomically move ``name``'s ref to the result. Runs under
+    the rebase writer lock (the op functions re-enter it — the lease is
+    thread-reentrant). A failure mid-replay leaves the ORIGINAL branch
+    ref untouched; the throwaway chain's commits become unreachable
+    bystanders reclaimed by expire."""
+    ops: list[tuple] = []
+    for e in reversed(walked):  # oldest branch commit first
+        if e.get("tag_only"):
+            raise ValueError(
+                f"branch {name!r} cannot replay: an expire materialized "
+                f"its root, squashing the per-commit op history the "
+                f"replay needs — re-apply the branch's changes on a "
+                f"fresh branch of the current tip"
+            )
+        if e.get("compaction"):
+            continue  # pure rearrangement: nothing logical to replay
+        if e.get("rollback_of") or e.get("fast_forward_of") or e.get("rebase_of"):
+            raise ValueError(
+                f"branch {name!r} cannot replay: commit {e['id']} is a "
+                f"rollback/fast-forward/rebase entry, which has no "
+                f"row-level interpretation on a different base"
+            )
+        if e.get("drop_column"):
+            raise ValueError(
+                f"branch {name!r} cannot replay: commit {e['id']} drops "
+                f"column {e['drop_column']!r}; schema changes must be "
+                f"re-applied on main first"
+            )
+        if e.get("merge"):
+            key = e.get("merge_key")
+            if not key:
+                raise ValueError(
+                    f"branch {name!r} cannot replay: merge commit "
+                    f"{e['id']} predates merge_key recording"
+                )
+            ops.append(("upsert", e["id"], key, e.get("append_parts") or []))
+        elif e.get("delete") is not None:
+            ops.append(("delete", e["id"], e["delete"]))
+        elif e.get("removed_parts"):
+            raise ValueError(
+                f"branch {name!r} cannot replay: commit {e['id']} is an "
+                f"unrecognized rewrite kind"
+            )
+        else:
+            app = (
+                e["append_parts"] if e.get("append_parts") is not None
+                else e["new_parts"]
+            )
+            ops.append(("append", e["id"], app))
+    meta = _read_json(_j(out_dir, "_table_meta.json"))
+    enc_kw = dict(
+        cluster_by=meta.get("cluster_by"), salt_by=meta.get("salt_by"),
+    )
+    tmp = f"__rebase_{uuid.uuid4().hex[:8]}"
+    if not _write_ref(out_dir, tmp, main_id, kind="branch", force=False):
+        raise RuntimeError(f"throwaway rebase ref {tmp} already exists")
+    fs = _get_fs(out_dir)
+    try:
+        for op in ops:
+            if op[0] == "append":
+                _, sid, parts = op
+                if not parts:
+                    continue
+                df = decode_table(
+                    spark, out_dir, snapshot_id=sid, _parts=list(parts)
+                )
+                encode_table(
+                    spark, df, out_dir, append=True, branch=tmp,
+                    num_parts=max(1, len(parts)), resume=False, **enc_kw,
+                )
+            elif op[0] == "delete":
+                _, sid, preds = op
+                delete_rows(
+                    spark, out_dir, [tuple(w) for w in preds], branch=tmp
+                )
+            else:
+                _, sid, key, parts = op
+                if not parts:
+                    continue
+                df = decode_table(
+                    spark, out_dir, snapshot_id=sid, _parts=list(parts)
+                )
+                upsert_rows(
+                    spark, df, out_dir, key, branch=tmp,
+                    num_parts=max(1, len(parts)), **enc_kw,
+                )
+        new_tip = _branch_tip(out_dir, tmp, snapshots(out_dir))
+    except Exception:
+        fs.remove(_j(out_dir, REFDIR, f"{tmp}.json"))
+        raise
+    # atomic publish: the real ref adopts the replayed chain; until this
+    # line the original branch is fully intact
+    _write_ref(out_dir, name, new_tip, kind="branch", force=True)
+    fs.remove(_j(out_dir, REFDIR, f"{tmp}.json"))
+    return {
+        "rebased": True,
+        "snapshot_id": new_tip,
+        "replayed_ops": len(ops),
+        "conflicts": [],
+        "row_level": True,
+    }
+
+
 @_with_writer_lock("rebase")
-def rebase_branch(out_dir: str, name: str) -> dict:
+def rebase_branch(out_dir: str, name: str, spark: SparkSession | None = None) -> dict:
     """Re-fork a DIVERGED branch onto the current main tip — the step
     that makes ``rebase_branch`` + :func:`fast_forward` a full merge
     workflow. The branch's net diff against its OLD fork (parts it
@@ -4541,11 +4887,21 @@ def rebase_branch(out_dir: str, name: str) -> dict:
       (they simply stay in the rebased live set);
     - parts only the BRANCH touched: the branch's version wins
       (its removals and additions apply on top of main);
-    - parts BOTH sides rewrote or removed: refused with the part list —
-      the branch's rewrite was computed against rows main has since
-      changed, and replaying it would resurrect or double-delete them.
-      Re-apply the branch's logical change (the delete predicate / the
-      merge batch) on a fresh branch instead.
+    - parts BOTH sides rewrote or removed: a part-level merge would
+      resurrect or double-delete rows main has since changed, so the
+      branch's RECORDED LOGICAL OPS replay row-by-row on a fresh fork
+      of the current tip instead (git-rebase semantics): each walked
+      branch commit re-applies — appends re-encode their appended
+      rows, deletes re-run their recorded predicate, merges re-upsert
+      their appended rows by the recorded ``merge_key`` — as new
+      branch commits, via a throwaway ref that moves onto ``name``
+      only when every op lands (a crash leaves the original branch
+      untouched plus vacuumable orphans). Requires ``spark`` (the
+      replay runs real rewrite jobs); without a session the conflict
+      still refuses with the part list. Replay refuses only when an
+      op's inputs are truly gone: the branch history was squashed by
+      expire, a merge entry predates ``merge_key`` recording, or the
+      commit kind is not replayable (rollback / nested rebase).
 
     A branch with no commits just moves its ref to the main tip. No
     part file moves in any case; a not-diverged branch is a no-op
@@ -4587,12 +4943,15 @@ def rebase_branch(out_dir: str, name: str) -> dict:
     removed = sorted(live_fork - live_b)
     conflicts = sorted(set(removed) - live_main)
     if conflicts:
+        if spark is not None:
+            return _rebase_replay(spark, out_dir, name, walked, main["id"])
         raise ValueError(
             f"branch {name!r} cannot rebase onto main tip {main['id']}: "
             f"parts {conflicts[:8]}{'...' if len(conflicts) > 8 else ''} "
             f"were rewritten or removed by BOTH the branch and main "
-            f"since the fork — re-apply the branch's changes on a fresh "
-            f"branch of the current tip"
+            f"since the fork — pass spark= to replay the branch's "
+            f"recorded logical ops row-by-row on the current tip, or "
+            f"re-apply them on a fresh branch manually"
         )
     appended = _branch_appended(walked, live_b, added)
     pm = part_meta(out_dir, parts=sorted(set(added) | set(removed)),
@@ -4614,6 +4973,9 @@ def rebase_branch(out_dir: str, name: str) -> dict:
         "schema": ss[1],
         "ts": time.time(),
     }
+    bf = snapshot_field_ids(out_dir, btip, snaps=snaps)
+    if bf is not None:
+        entry["field_ids"] = bf  # rebased chain keeps the branch's mapping
     e = _commit_snapshot_entry(
         out_dir, entry, append=True, pm=pm,
         branch=name, branch_parent=main["id"],

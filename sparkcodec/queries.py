@@ -1429,6 +1429,108 @@ FROM capped GROUP BY version, src_file
 """
 
 
+def q_field_id_reread(spark, sf_dir):
+    """Field-id column identity (Iceberg semantics): drop a column, then
+    re-add the NAME with different values — the tip must read the old
+    parts' column as NULL (the retired field id never resurrects its
+    historical bytes), while time travel to the pre-drop snapshot still
+    shows the original values. One row of aggregates over both reads:
+    sum_tip/nn_tip count ONLY the re-added rows' values (a resurrection
+    bug would inflate them with the old n_chars and fail the hash)."""
+    import shutil
+
+    from .engine import decode_table, drop_column, encode_table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = _workdir(sf_dir, "fieldid")
+    shutil.rmtree(out, ignore_errors=True)
+    kw = dict(cluster_by=["lang"], salt_by=["doc_id"],
+              sort_by=["lang", "doc_id"], num_parts=4)
+    encode_table(spark, d, out, resume=False, **kw)          # snapshot 1
+    drop_column(out, "n_chars")                              # snapshot 2
+    re_added = d.select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "lang"
+    ).withColumn("n_chars", (F.col("doc_id") % 7).cast("long"))
+    encode_table(spark, re_added, out, append=True, **kw)    # snapshot 3
+    tip = decode_table(spark, out).agg(
+        F.count(F.lit(1)).alias("n_rows_tip"),
+        F.sum("n_chars").alias("sum_tip"),
+        F.count("n_chars").alias("nn_tip"),
+    )
+    pre = decode_table(spark, out, snapshot_id=1).agg(
+        F.sum("n_chars").alias("sum_pre"),
+        F.count(F.lit(1)).alias("n_pre"),
+    )
+    return tip.crossJoin(F.broadcast(pre))
+
+
+SQL_FIELD_ID_REREAD = """
+WITH base AS (SELECT doc_id, n_chars FROM documents),
+     added AS (SELECT doc_id + 5000000 AS doc_id,
+                      (doc_id + 5000000) % 7 AS n_chars
+               FROM documents)
+SELECT (SELECT count(*) * 2 FROM base) AS n_rows_tip,
+       (SELECT cast(sum(n_chars) AS BIGINT) FROM added) AS sum_tip,
+       (SELECT count(*) FROM added) AS nn_tip,
+       (SELECT cast(sum(n_chars) AS BIGINT) FROM base) AS sum_pre,
+       (SELECT count(*) FROM base) AS n_pre
+"""
+
+
+def q_diverged_merge(spark, sf_dir):
+    """Row-level rebase (git-rebase semantics for a DIVERGED branch):
+    main deletes a doc_id range AFTER the branch forked, the branch
+    upserts keys overlapping that range — a part-level merge must
+    refuse (both sides rewrote the same parts), so merge_branch replays
+    the branch's recorded upsert on the post-delete tip and then
+    fast-forwards. Final state = main's delete AND the branch's upsert
+    both applied: docs 100–199 gone except the multiples of 10 the
+    upsert re-inserted with n_chars = -1."""
+    import shutil
+
+    from .engine import (
+        create_branch,
+        decode_table,
+        delete_rows,
+        encode_table,
+        merge_branch,
+        upsert_rows,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = _workdir(sf_dir, "divmerge")
+    shutil.rmtree(out, ignore_errors=True)
+    kw = dict(cluster_by=["lang"], salt_by=["doc_id"],
+              sort_by=["lang", "doc_id"], num_parts=4)
+    encode_table(spark, d, out, resume=False, **kw)
+    create_branch(out, "fix")
+    up = d.where(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.lit(-1).cast("long")
+    )
+    upsert_rows(spark, up, out, "doc_id", branch="fix", **kw)
+    delete_rows(spark, out, ("doc_id", 100, 199))  # main moves: diverged
+    merge_branch(out, "fix", spark=spark)          # replay + fast-forward
+    return decode_table(spark, out).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.when(F.col("n_chars") == -1, 1).otherwise(0)).alias("n_upserted"),
+    )
+
+
+SQL_DIVERGED_MERGE = """
+WITH up AS (SELECT doc_id, lang, CAST(-1 AS BIGINT) AS n_chars
+            FROM documents WHERE doc_id % 10 = 0),
+     kept AS (SELECT doc_id, lang, n_chars FROM documents
+              WHERE doc_id % 10 <> 0
+                AND NOT (doc_id BETWEEN 100 AND 199)),
+     final AS (SELECT * FROM kept UNION ALL SELECT * FROM up)
+SELECT lang, count(*) AS n_rows,
+       cast(sum(n_chars) AS BIGINT) AS sum_chars,
+       cast(sum(CASE WHEN n_chars = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_upserted
+FROM final GROUP BY lang
+"""
+
+
 QUERIES.update(
     {
         "rollup_orders": q_rollup_orders,
@@ -1436,8 +1538,12 @@ QUERIES.update(
         "sessionize_batch": q_sessionize_batch,
         "record_source_roundtrip": q_record_source_roundtrip,
         "conversion_pipeline": q_conversion_pipeline,
+        "field_id_reread": q_field_id_reread,
+        "diverged_merge": q_diverged_merge,
     }
 )
+ORACLES["field_id_reread"] = SQL_FIELD_ID_REREAD
+ORACLES["diverged_merge"] = SQL_DIVERGED_MERGE
 ORACLES["record_source_roundtrip"] = SQL_RECORD_SOURCE_ROUNDTRIP
 ORACLES["conversion_pipeline"] = SQL_CONVERSION_PIPELINE
 ORACLES.update(

@@ -116,3 +116,54 @@ def test_params_required(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="ann"):
         ann_index_params(out)
+
+
+def test_trained_quantizer_recall_gate(spark, emb, tmp_path):
+    """build_ann_index(trained=True): sampled spherical k-means
+    centroids persist in the ann snapshot block, the whole lifecycle
+    (extend, probe) runs through the same code, and — the point of
+    training — on CLUSTERED data (deterministic gaussian blobs; the
+    regime real embeddings live in) recall@10 against the brute-force
+    cosine top-10 beats the untrained LCG planes at the same probe
+    budget."""
+    import numpy as np
+
+    from sparkcodec.ann import ann_index_params, ann_topk, build_ann_index
+
+    rng = np.random.default_rng(7)
+    k, dim, per = 8, 16, 250
+    means = rng.normal(size=(k, dim)) * 4.0
+    x = np.concatenate([
+        means[j] + rng.normal(size=(per, dim)) for j in range(k)
+    ])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    truth = set(
+        np.argsort(-(xn @ xn[0]))[1:11].tolist()
+    )  # brute-force cosine top-10 of vec 0 (excluding itself)
+    blobs = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    )
+
+    def recall(idx_dir):
+        got = {r["vec_id"] for r in
+               ann_topk(spark, blobs, idx_dir, query_id=0, nprobe=2).collect()}
+        return len(got & truth) / len(truth)
+
+    lcg_idx, km_idx = str(tmp_path / "lcg"), str(tmp_path / "km")
+    build_ann_index(spark, blobs, lcg_idx, k=k, seed_base=100)
+    build_ann_index(spark, blobs, km_idx, k=k, seed_base=100, trained=True,
+                    sample_rows=1024, iters=10)
+    params = ann_index_params(km_idx)
+    assert params["kind"] == "ivf_kmeans"
+    assert len(params["centroids"]) == k
+    r_lcg, r_km = recall(lcg_idx), recall(km_idx)
+    assert r_km >= r_lcg, (r_km, r_lcg)
+    assert r_km >= 0.9  # trained cells isolate the query's true blob
+
+    # the trained index extends like any other: same centroids, append
+    from sparkcodec.ann import extend_ann_index
+
+    more = blobs.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    extend_ann_index(spark, more, km_idx)
+    assert ann_index_params(km_idx)["centroids"] == params["centroids"]

@@ -437,6 +437,65 @@ def test_rebase_conflict_refused(spark, tmp_path):
         rebase_branch(out, "dev")
 
 
+def test_rebase_conflict_row_level_replay(spark, tmp_path):
+    """With a SparkSession the conflict case no longer refuses: the
+    branch's recorded logical ops (delete predicate, upsert batch)
+    replay row-by-row on a fresh fork of the current tip — both sides'
+    changes land (git-rebase semantics), and merge_branch publishes."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        create_branch,
+        decode_table,
+        merge_branch,
+        delete_rows,
+        upsert_rows,
+    )
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=200, parts=1)
+    create_branch(out, "dev")
+    delete_rows(spark, out, ("id", 0, 9), branch="dev")   # rewrites part 1
+    up = spark.createDataFrame([(150, 0, -5), (900, 0, -5)],
+                               "id long, g long, v long")
+    upsert_rows(spark, up, out, "id", branch="dev",
+                cluster_by=["g"], salt_by=["id"], num_parts=1)
+    delete_rows(spark, out, ("id", 100, 109))             # main rewrites too
+    r = merge_branch(out, "dev", spark=spark)
+    assert r["fast_forwarded"] is True
+    d = decode_table(spark, out)
+    # main's delete AND both branch ops applied
+    assert d.where("id < 10").count() == 0
+    assert d.where("id BETWEEN 100 AND 109").count() == 0
+    assert d.where("v = -5").count() == 2
+    assert d.count() == 200 - 10 - 10 + 1  # id=900 is a new key
+    # the throwaway replay ref is gone; only 'dev' remains
+    from sparkcodec.engine import list_branches
+
+    assert set(list_branches(out)) == {"dev"}
+
+
+def test_rebase_replay_refuses_squashed_history(spark, tmp_path):
+    """Replay needs the branch's per-commit op history: after an expire
+    materialized the branch root (ops squashed away), a conflicting
+    rebase must refuse loudly even with a session."""
+    from sparkcodec.engine import (
+        create_branch,
+        delete_rows,
+        expire_snapshots,
+        rebase_branch,
+    )
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=200, parts=1)
+    create_branch(out, "dev")
+    delete_rows(spark, out, ("id", 0, 9), branch="dev")
+    expire_snapshots(out, keep_last=1)  # branch tip -> tag_only root
+    delete_rows(spark, out, ("id", 100, 109))  # main rewrites the root part
+    with pytest.raises(ValueError, match="squash|fresh branch"):
+        rebase_branch(out, "dev", spark=spark)
+
+
 def test_rebase_empty_branch_moves_ref(spark, tmp_path):
     from sparkcodec.engine import create_branch, list_branches, rebase_branch
 

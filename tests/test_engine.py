@@ -2877,6 +2877,76 @@ def test_manifest_pruned_planning_opens_o1_metadata(spark, tmp_path, monkeypatch
     assert {p: pm_mani[p] for p in probe} == {p: pm_ckpt[p] for p in probe}
 
 
+def test_compaction_consolidates_manifests(spark, tmp_path, monkeypatch):
+    """A long-lived table accumulates one manifest per commit, so a cold
+    driver's pruned read pays O(#snapshots) metadata opens. compact_table
+    now writes a CONSOLIDATED manifest covering its full post-compaction
+    live set (survivors folded from older manifests), and part_meta walks
+    manifests newest-first with early exit — so after the compaction the
+    same cold pruned read opens ≤ 2 metadata files regardless of how many
+    commits preceded it (the Iceberg rewrite_manifests posture)."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec import engine
+
+    out = str(tmp_path / "consol")
+    df = spark.range(200).select(F.col("id"), (F.col("id") % 4).alias("g"))
+    engine.encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                        num_parts=2, target_part_rows=100, resume=False)
+    n_appends = 24
+    for i in range(n_appends):
+        lo = 200 + 50 * i
+        engine.encode_table(
+            spark,
+            spark.range(lo, lo + 50).select(
+                F.col("id"), (F.col("id") % 4).alias("g")
+            ),
+            out, append=True, cluster_by=["g"], salt_by=["id"],
+            num_parts=1, target_part_rows=100,
+        )
+
+    calls = {"ckpt": 0, "mani": 0}
+    orig_c, orig_m = engine._checkpoint_prune_meta, engine._read_manifest
+
+    def count_c(*a):
+        calls["ckpt"] += 1
+        return orig_c(*a)
+
+    def count_m(*a):
+        calls["mani"] += 1
+        return orig_m(*a)
+
+    monkeypatch.setattr(engine, "_checkpoint_prune_meta", count_c)
+    monkeypatch.setattr(engine, "_read_manifest", count_m)
+
+    def cold_pruned_read():
+        calls["ckpt"] = calls["mani"] = 0
+        engine._MANIFEST_CACHE.clear()
+        # pruning is conservative (kept parts may hold non-matching
+        # rows) — compose with the exact filter, as decode_table documents
+        return (
+            engine.decode_table(spark, out, where=("id", 0, 99))
+            .where("id <= 99").count()
+        )
+
+    n_before = cold_pruned_read()
+    opens_before = calls["mani"] + calls["ckpt"]
+    assert opens_before > n_appends  # one manifest per commit, all read
+
+    r = engine.compact_table(spark, out, target_part_rows=100_000)
+    assert r["parts_created"] >= 1
+    n_after = cold_pruned_read()
+    opens_after = calls["mani"] + calls["ckpt"]
+    assert n_after == n_before == 100
+    assert opens_after <= 2, f"cold pruned read opened {opens_after} files"
+    # full (unpruned) metadata is intact after consolidation
+    live = engine.snapshot_parts(out)
+    pm = engine.part_meta(out, parts=live)
+    assert set(pm) >= set(live)
+    assert sum(d["n_rows"] for p, d in pm.items() if p in set(live)) \
+        == 200 + 50 * n_appends
+
+
 def test_manifest_lifecycle_expire_and_vacuum(spark, tmp_path):
     """Manifests follow their entries through the table lifecycle: every
     commit kind carries one; expire consolidates the squashed root's and
@@ -3254,8 +3324,9 @@ def test_drop_column_metadata_only(spark, tmp_path):
     """drop_column narrows the tip schema without touching part files:
     tip reads lose the column, time travel to the pre-drop snapshot
     still reconstructs it, appends validate against the narrowed shape,
-    and re-adding the name resurrects historical values (documented
-    name-keyed trade)."""
+    and re-adding the name allocates a FRESH field id — pre-drop parts
+    decode the re-added name as NULL, never as the retired field's
+    historical values (Iceberg field-id identity)."""
     import pytest as _pytest
     from pyspark.sql import functions as F
 
@@ -3283,8 +3354,67 @@ def test_drop_column_metadata_only(spark, tmp_path):
                  salt_by=["id"], num_parts=1)
     back = decode_table(spark, out)
     assert "v" in back.columns
-    # name-keyed resurrection: snapshot-1 parts decode their old v values
-    assert back.where("id < 200 AND v = id * 2").count() >= 200
+    # field-id identity: snapshot-1 parts hold the RETIRED field's bytes;
+    # the tip decodes them as NULL (only the re-added rows carry values)
+    assert back.where("v IS NOT NULL").count() == 200
+    assert back.where("v = id * 2 AND v IS NOT NULL").count() == 200
+    # 400 rows were written before the re-add (snap 1 + column-less
+    # append): all of them read NULL v at the tip
+    assert back.where("v IS NULL").count() == 400
+    # pre-drop time travel still shows the original values
+    assert decode_table(spark, out, snapshot_id=1) \
+        .where("v = id * 2").count() == 200
+
+
+def test_field_id_identity_survives_rewrites_and_expire(spark, tmp_path):
+    """Drop + re-add, then push the table through compaction and expire:
+    the retired field's values must never resurrect — the rewrite decodes
+    ghosted columns as NULL and stamps current ids on merged parts, and
+    the per-part ids ride the prune-meta container through manifest
+    consolidation. A range delete after the re-add must also not revive
+    ghost values in its rewrite survivors."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        compact_table,
+        decode_table,
+        delete_rows,
+        drop_column,
+        encode_table,
+        expire_snapshots,
+    )
+
+    out = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v"),
+    )
+    kw = dict(cluster_by=["g"], salt_by=["id"], num_parts=3)
+    encode_table(spark, df, out, resume=False, **kw)
+    drop_column(out, "v")
+    re_add = spark.range(300, 400).select(
+        F.col("id"), (F.col("id") % 3).alias("g"),
+        (F.col("id") + 7).alias("v"),
+    )
+    encode_table(spark, re_add, out, append=True, **kw)
+
+    def check(tag):
+        d = decode_table(spark, out)
+        assert d.where("v IS NOT NULL").count() == 100, tag
+        assert d.where("v = id + 7").count() == 100, tag
+        assert d.where("id < 300 AND v IS NOT NULL").count() == 0, tag
+
+    check("after re-add")
+    compact_table(spark, out, target_part_rows=100_000)
+    check("after compaction")  # rewrite must not revive ghost bytes
+    delete_rows(spark, out, ("id", 0, 49))
+    d = decode_table(spark, out)
+    assert d.count() == 350
+    assert d.where("id < 300 AND v IS NOT NULL").count() == 0
+    expire_snapshots(out, keep_last=1)
+    d = decode_table(spark, out)
+    assert d.count() == 350
+    assert d.where("v IS NOT NULL").count() == 100
+    assert d.where("id < 300 AND v IS NOT NULL").count() == 0
 
 
 def test_delete_rows_conjunction_and_in(spark, tmp_path):

@@ -190,32 +190,37 @@ class SparkcodecReader(DataSourceReader):
                     parts = prune_parts_nulls(
                         self.out_dir, col, kind, parts, part_null_stats(self.out_dir, pm)
                     )
-        # field-id ghosts (name dropped and re-added): computed on the
-        # driver and shipped INSIDE the partition values — the reader
-        # object is serialized before partitions() runs, so a mutated
-        # self attribute would never reach the executors. Tasks decode
-        # ghosted columns as NULL, same rule as engine.decode_table.
-        ghosts: dict = {}
-        from .engine import _ghost_map, snapshot_field_ids, snapshots
+        # field-id resolution (ghosts for dropped-and-re-added names,
+        # aliases for renamed columns): computed on the driver and
+        # shipped INSIDE the partition values — the reader object is
+        # serialized before partitions() runs, so a mutated self
+        # attribute would never reach the executors. Tasks decode
+        # ghosted columns as NULL and renamed columns from their storage
+        # names, same rule as engine.decode_table.
+        remap: dict = {}
+        from .engine import _column_remap, _needs_remap, snapshot_field_ids, snapshots
 
         snaps = snapshots(self.out_dir)
-        if any(s.get("drop_column") for s in snaps):
+        if _needs_remap(snaps):
             sid = self.snapshot_id
             if sid is None and snaps:
                 from .engine import _tip_entry
 
                 sid = _tip_entry(snaps)["id"]
             if sid is not None:
-                ghosts = _ghost_map(
+                remap = _column_remap(
                     self.out_dir, self.columns, parts,
                     snapshot_field_ids(self.out_dir, sid, snaps=snaps),
                     snaps=snaps,
                 )
         if not parts:
             return [InputPartition([])]
-        vals = [
-            (int(p), tuple(sorted(ghosts.get(int(p), ())))) for p in parts
-        ]
+
+        def val(p):
+            gh, al = remap.get(int(p), (frozenset(), {}))
+            return (int(p), tuple(sorted(gh)), tuple(sorted(al.items())))
+
+        vals = [val(p) for p in parts]
         n_tasks = self.n_tasks or min(len(parts), _default_tasks())
         size = -(-len(parts) // n_tasks)
         return [InputPartition(vals[i : i + size]) for i in range(0, len(vals), size)]
@@ -235,18 +240,33 @@ class SparkcodecReader(DataSourceReader):
         arrow_schema = pa.schema(
             [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in self.columns]
         )
-        for pid, gh_cols in partition.value:
+        for pid, gh_cols, al_items in partition.value:
             gh = frozenset(gh_cols)
+            al = dict(al_items)
             ranges = None
             pruned = False
+            # a GHOST column is all-NULL at this snapshot, so its stored
+            # (dead) block stats must not drive pruning: a range or
+            # NOT NULL predicate matches nothing (drop the part), and
+            # IS NULL matches everything (skip pruning on it)
+            if any(c in gh for c in self.bounds) or any(
+                c in gh and "notnull" in ks for c, ks in self.nulls.items()
+            ):
+                continue
             for col, (lo, hi) in self.bounds.items():
-                r = _keep_row_ranges(self.out_dir, pid, (col, lo, hi))
+                r = _keep_row_ranges(
+                    self.out_dir, pid, (al.get(col, col), lo, hi)
+                )
                 if r is not None:
                     pruned = True
                     ranges = r if ranges is None else _intersect_ranges(ranges, r)
             for col, kinds in self.nulls.items():
                 for kind in kinds:
-                    r = _keep_row_ranges_nulls(self.out_dir, pid, col, kind)
+                    if col in gh:
+                        continue  # isnull on a ghost: keeps every row
+                    r = _keep_row_ranges_nulls(
+                        self.out_dir, pid, al.get(col, col), kind
+                    )
                     if r is not None:
                         pruned = True
                         ranges = r if ranges is None else _intersect_ranges(ranges, r)
@@ -254,7 +274,7 @@ class SparkcodecReader(DataSourceReader):
                 continue
             if not pruned:
                 yield from _decode_part_batches(
-                    self.out_dir, self.columns, arrow_schema, pid, gh
+                    self.out_dir, self.columns, arrow_schema, pid, gh, al
                 )
                 continue
             n_kept = sum(e - s for s, e in ranges)
@@ -266,8 +286,8 @@ class SparkcodecReader(DataSourceReader):
                     )
                     if col in gh
                     else _decode_column_ranges(
-                        self.out_dir, col, pid, arrow_schema.field(col).type,
-                        ranges,
+                        self.out_dir, al.get(col, col), pid,
+                        arrow_schema.field(col).type, ranges,
                     )
                 )
                 for col in self.columns
@@ -379,9 +399,35 @@ class SparkcodecStreamReader(DataSourceStreamReader):
                 parts = sorted(keep)
         if not parts:
             return [InputPartition([])]
-        n_tasks = min(len(parts), _default_tasks())
-        size = -(-len(parts) // n_tasks)
-        return [InputPartition(parts[i : i + size]) for i in range(0, len(parts), size)]
+        # field-id resolution shipped inside the values (same reason as
+        # the batch reader: the reader serializes before partitions())
+        from .engine import (
+            _column_remap,
+            _needs_remap,
+            _tip_entry,
+            snapshot_field_ids,
+            snapshots,
+        )
+
+        snaps = snapshots(self.out_dir)
+        remap: dict = {}
+        if _needs_remap(snaps) and snaps:
+            remap = _column_remap(
+                self.out_dir, self.columns, parts,
+                snapshot_field_ids(
+                    self.out_dir, _tip_entry(snaps)["id"], snaps=snaps
+                ),
+                snaps=snaps,
+            )
+
+        def val(p):
+            gh, al = remap.get(int(p), (frozenset(), {}))
+            return (int(p), tuple(sorted(gh)), tuple(sorted(al.items())))
+
+        vals = [val(p) for p in parts]
+        n_tasks = min(len(vals), _default_tasks())
+        size = -(-len(vals) // n_tasks)
+        return [InputPartition(vals[i : i + size]) for i in range(0, len(vals), size)]
 
     def read(self, partition):
         import pyarrow as pa
@@ -396,16 +442,17 @@ class SparkcodecStreamReader(DataSourceStreamReader):
         arrow_schema = pa.schema(
             [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in self.columns]
         )
-        for pid in partition.value:
+        for pid, gh_cols, al_items in partition.value:
+            gh, al = frozenset(gh_cols), dict(al_items)
             ranges = (
                 _keep_row_ranges_dnf(
-                    self.out_dir, pid, self.wheres or [], self.wheres_any
+                    self.out_dir, pid, self.wheres or [], self.wheres_any, al
                 )
                 if (self.wheres or self.wheres_any)
                 else None
             )
             yield from _decode_part_batches_ranged(
-                self.out_dir, self.columns, arrow_schema, pid, ranges
+                self.out_dir, self.columns, arrow_schema, pid, ranges, gh, al
             )
 
     def commit(self, end):
@@ -445,14 +492,33 @@ class SparkcodecCDCStreamReader(DataSourceStreamReader):
         return {"snapshot": snaps[-1]["id"] if snaps else 0}
 
     def partitions(self, start, end):
-        from .engine import _cdc_plan, snapshots
-
-        plan = _cdc_plan(
-            snapshots(self.out_dir), start["snapshot"], end["snapshot"]
+        from .engine import (
+            _cdc_plan,
+            _column_remap,
+            _needs_remap,
+            _tip_entry,
+            snapshot_field_ids,
+            snapshots,
         )
+
+        snaps = snapshots(self.out_dir)
+        plan = _cdc_plan(snaps, start["snapshot"], end["snapshot"])
+        # field-id resolution for the key column rides each plan row
+        remap: dict = {}
+        if plan and _needs_remap(snaps):
+            remap = _column_remap(
+                self.out_dir, [self.key_col], sorted({p[1] for p in plan}),
+                snapshot_field_ids(
+                    self.out_dir, _tip_entry(snaps)["id"], snaps=snaps
+                ),
+                snaps=snaps,
+            )
         by_sid: dict[int, list] = {}
-        for row in plan:
-            by_sid.setdefault(row[0], []).append(row)
+        for sid, pid, w, ch in plan:
+            gh, al = remap.get(int(pid), (frozenset(), {}))
+            by_sid.setdefault(sid, []).append(
+                (sid, pid, w, ch, tuple(sorted(gh)), tuple(sorted(al.items())))
+            )
         if not by_sid:
             return [InputPartition([])]
         return [InputPartition(rows) for _sid, rows in sorted(by_sid.items())]
@@ -477,8 +543,11 @@ class SparkcodecCDCStreamReader(DataSourceStreamReader):
         # per-part vectorized value_counts, then one Arrow group-by sum
         # per channel — no per-row Python anywhere on the key path
         per_ch: dict[str, list] = {"insert": [], "delete": []}
-        for _sid, pid, w, ch in partition.value:
-            res = _part_key_counts(self.out_dir, self.key_col, key_schema, pid)
+        for _sid, pid, w, ch, gh_cols, al_items in partition.value:
+            res = _part_key_counts(
+                self.out_dir, self.key_col, key_schema, pid,
+                frozenset(gh_cols), dict(al_items),
+            )
             if res is None:
                 continue
             values, counts = res

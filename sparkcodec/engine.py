@@ -2431,37 +2431,64 @@ def snapshot_field_ids(
     return None
 
 
-def _ghost_map(
+def _needs_remap(snaps) -> bool:
+    """Field-id resolution is needed only after a drop_column (retired
+    ids → ghosts) or rename_column (moved names → aliases) somewhere in
+    the log; plain tables skip the metadata load entirely."""
+    return any(
+        s.get("drop_column") or s.get("rename_column") for s in snaps or []
+    )
+
+
+def _column_remap(
     out_dir: str,
     columns,
     parts,
     want_ids: dict[str, int] | None,
     snaps: list[dict] | None = None,
     pm: dict | None = None,
-) -> dict[int, frozenset]:
-    """{part_id: columns that must decode as NULL} under field-id column
-    identity: a part whose recorded field id for a name differs from the
-    id the read schema wants holds a RETIRED field's bytes — the name was
-    dropped and re-added (Iceberg field-id semantics), so the dead
-    values must not resurrect. Per-part ids ride the prune-meta
-    container ("fids" in checkpoint lineage → manifests → part_meta), so
-    they survive expire's manifest consolidation. Parts or chains
-    without ids (legacy) read under name identity — never ghosted.
-    Callers gate on a drop_column entry existing in the log: without a
-    drop, no id is ever retired and this is skipped entirely."""
+) -> dict[int, tuple[frozenset, dict]]:
+    """Per-part column resolution under field-id identity:
+    ``{part_id: (ghost_columns, alias_map)}`` where
+
+    - a GHOST column must decode as NULL — the part stores the name
+      with a RETIRED field id (dropped and re-added; the dead values
+      must not resurrect), and
+    - an ALIAS maps a requested name to the STORAGE name under which
+      this part holds that field id (the column was renamed after the
+      part was written; rename is metadata-only, so old parts keep
+      their old block-file names).
+
+    Per-part ids ride the prune-meta container ("fids" in checkpoint
+    lineage → manifests → part_meta), so resolution survives expire's
+    manifest consolidation. Parts or chains without ids (legacy) read
+    under name identity — never remapped. Callers gate on
+    :func:`_needs_remap`."""
     if not want_ids:
         return {}
     if pm is None:
         pm = part_meta(out_dir, parts=parts, snaps=snaps)
-    out: dict[int, frozenset] = {}
+    out: dict[int, tuple[frozenset, dict]] = {}
     for p in parts:
         fids = (pm.get(int(p)) or {}).get("fids") or {}
-        g = frozenset(
-            c for c in columns
-            if c in fids and c in want_ids and fids[c] != want_ids[c]
-        )
-        if g:
-            out[int(p)] = g
+        if not fids:
+            continue
+        by_id = {v: k for k, v in fids.items()}
+        ghosts: set = set()
+        aliases: dict = {}
+        for c in columns:
+            w = want_ids.get(c)
+            if w is None:
+                continue
+            stored = by_id.get(w)
+            if stored == c:
+                continue  # stored under the requested name: normal
+            if stored is not None:
+                aliases[c] = stored  # renamed: stored under the old name
+            elif c in fids:
+                ghosts.add(c)  # same name, different (retired) field
+        if ghosts or aliases:
+            out[int(p)] = (frozenset(ghosts), aliases)
     return out
 
 
@@ -2569,17 +2596,24 @@ def _normalize_where(where) -> list[tuple]:
     return [one(w) for w in where]
 
 
-def _keep_row_ranges_multi(out_dir: str, pid: int, wheres: list[tuple]):
+def _keep_row_ranges_multi(
+    out_dir: str, pid: int, wheres: list[tuple], aliases: dict | None = None
+):
     """Block-level row ranges of one part surviving ALL predicates
     (conjunction): per-column ranges intersect, exactly like the
-    DataSource reader's multi-bound path. None = nothing pruned."""
+    DataSource reader's multi-bound path. None = nothing pruned.
+    ``aliases`` resolve predicate columns a rename moved to their
+    storage names in this part — WITHOUT it a predicate on a renamed
+    column would find no block file and wrongly prune every row."""
     ranges = None
     pruned = False
+    al = aliases or {}
     for w in wheres:
+        c = al.get(w[0], w[0])
         r = (
-            _keep_row_ranges_in(out_dir, pid, w[0], w[1])
+            _keep_row_ranges_in(out_dir, pid, c, w[1])
             if len(w) == 2
-            else _keep_row_ranges(out_dir, pid, w)
+            else _keep_row_ranges(out_dir, pid, (c,) + tuple(w[1:]))
         )
         if r is not None:
             pruned = True
@@ -2590,18 +2624,23 @@ def _keep_row_ranges_multi(out_dir: str, pid: int, wheres: list[tuple]):
 
 
 def _keep_row_ranges_dnf(
-    out_dir: str, pid: int, wheres: list[tuple], wheres_any: list[list[tuple]]
+    out_dir: str, pid: int, wheres: list[tuple], wheres_any: list[list[tuple]],
+    aliases: dict | None = None,
 ):
     """Block ranges surviving ``wheres`` (conjunction) AND the
     disjunction of ``wheres_any``'s conjunctions: each disjunct's ranges
     UNION (a row matching any disjunct must be read), the result
-    intersects the conjunctive side. None = nothing pruned."""
-    ranges = _keep_row_ranges_multi(out_dir, pid, wheres) if wheres else None
+    intersects the conjunctive side. None = nothing pruned. ``aliases``
+    resolve renamed predicate columns (see _keep_row_ranges_multi)."""
+    ranges = (
+        _keep_row_ranges_multi(out_dir, pid, wheres, aliases)
+        if wheres else None
+    )
     if wheres_any:
         u = None
         unpruned = False
         for conj in wheres_any:
-            r = _keep_row_ranges_multi(out_dir, pid, conj)
+            r = _keep_row_ranges_multi(out_dir, pid, conj, aliases)
             if r is None:
                 unpruned = True  # this disjunct keeps everything
                 break
@@ -2795,6 +2834,7 @@ def _part_row_count(out_dir: str, pid: int) -> int:
 def _decode_part_batches(
     out_dir: str, columns, arrow_schema: pa.Schema, pid: int,
     ghost_cols: frozenset = frozenset(),
+    aliases: dict | None = None,
 ):
     """Decode one part's requested columns into Arrow batches (the shared
     unpruned path: engine decode kernel, DataSource batch/stream readers,
@@ -2802,12 +2842,14 @@ def _decode_part_batches(
     for this part predates a schema evolution — it decodes as nulls.
     ``ghost_cols`` are columns whose block files exist but belong to a
     RETIRED field id (the name was dropped and re-added; see
-    :func:`_ghost_map`) — they decode as nulls too, never as the dead
-    field's historical values."""
+    :func:`_column_remap`) — they decode as nulls too, never as the dead
+    field's historical values. ``aliases`` maps a requested name to the
+    STORAGE name this part holds the field under (rename_column is
+    metadata-only; old parts keep their old block-file names)."""
     per_col = {}
     for col in columns:
         target = arrow_schema.field(col).type
-        path = _part_file(out_dir, col, pid)
+        path = _part_file(out_dir, (aliases or {}).get(col, col), pid)
         if col in ghost_cols or not _exists(path):
             n = _part_row_count(out_dir, pid)
             per_col[col] = pa.chunked_array([pa.nulls(n, type=target)], type=target)
@@ -2831,6 +2873,7 @@ def _decode_part_batches(
 def _decode_part_batches_ranged(
     out_dir: str, columns, arrow_schema: pa.Schema, pid: int, ranges,
     ghost_cols: frozenset = frozenset(),
+    aliases: dict | None = None,
 ):
     """Decode one part restricted to the given row ranges (None = all
     rows, [] = nothing). Block grids are per column (the byte cap can
@@ -2838,13 +2881,13 @@ def _decode_part_batches_ranged(
     reassembles independently as a chunked array — zero-copy concat —
     and Arrow re-slices aligned output batches. Shared by the engine
     decode kernel and the DataSource stream reader's predicate option.
-    ``ghost_cols`` decode as nulls (retired field id, see
-    :func:`_ghost_map`)."""
+    ``ghost_cols`` decode as nulls, ``aliases`` resolve renamed columns
+    to their storage names (see :func:`_column_remap`)."""
     if ranges is not None and not ranges:
         return  # every block of this part pruned
     if ranges is None:
         yield from _decode_part_batches(
-            out_dir, columns, arrow_schema, pid, ghost_cols
+            out_dir, columns, arrow_schema, pid, ghost_cols, aliases
         )
         return
     n_kept = sum(e - s for s, e in ranges)
@@ -2856,7 +2899,8 @@ def _decode_part_batches_ranged(
             )
             if col in ghost_cols
             else _decode_column_ranges(
-                out_dir, col, pid, arrow_schema.field(col).type, ranges
+                out_dir, (aliases or {}).get(col, col), pid,
+                arrow_schema.field(col).type, ranges,
             )
         )
         for col in columns
@@ -2873,19 +2917,22 @@ def _make_decode_kernel(
     arrow_schema: pa.Schema,
     wheres: list[tuple] | None = None,
     wheres_any: list[list[tuple]] | None = None,
-    ghosts: dict[int, frozenset] | None = None,
+    remap: dict[int, tuple[frozenset, dict]] | None = None,
 ):
     def kernel(batches):
         for batch in batches:
             for pid in batch.column("part_id").to_pylist():
+                ghosts, aliases = (remap or {}).get(pid, (frozenset(), {}))
                 ranges = (
-                    _keep_row_ranges_dnf(out_dir, pid, wheres or [], wheres_any)
+                    _keep_row_ranges_dnf(
+                        out_dir, pid, wheres or [], wheres_any, aliases
+                    )
                     if (wheres or wheres_any)
                     else None
                 )
                 yield from _decode_part_batches_ranged(
                     out_dir, columns, arrow_schema, pid, ranges,
-                    (ghosts or {}).get(pid, frozenset()),
+                    ghosts, aliases,
                 )
 
     return kernel
@@ -3024,13 +3071,13 @@ def decode_table(
             parts = sorted(completed_parts(out_dir))
     wheres = _normalize_where(where)
     wheres_any = [_normalize_where(w) for w in (where_any or [])]
-    # field-id ghosts exist only after a drop_column somewhere in the
-    # log (no drop → no retired id → skip the metadata load entirely)
-    need_ghosts = any(s.get("drop_column") for s in snaps or [])
+    # field-id resolution (ghosts + rename aliases) exists only after a
+    # drop_column / rename_column somewhere in the log
+    need_remap = _needs_remap(snaps)
     pm = None
-    if wheres or wheres_any or need_ghosts:
+    if wheres or wheres_any or need_remap:
         # one manifest-backed read feeds every pruning dimension AND the
-        # ghost map — O(#snapshots) metadata files, not O(#parts) opens
+        # remap — O(#snapshots) metadata files, not O(#parts) opens
         pm = part_meta(out_dir, parts=parts, snaps=snaps)
     if wheres:
         parts = _prune_parts_conj(out_dir, wheres, parts, pm)
@@ -3040,9 +3087,9 @@ def decode_table(
         for conj in wheres_any:
             keep |= set(_prune_parts_conj(out_dir, conj, parts, pm))
         parts = sorted(keep)
-    ghosts = None
-    if need_ghosts and sid is not None:
-        ghosts = _ghost_map(
+    remap = None
+    if need_remap and sid is not None:
+        remap = _column_remap(
             out_dir, columns, parts,
             snapshot_field_ids(out_dir, sid, snaps=snaps),
             snaps=snaps, pm=pm,
@@ -3056,7 +3103,7 @@ def decode_table(
     )
     out = parts_df.mapInArrow(
         _make_decode_kernel(out_dir, columns, arrow_schema, wheres,
-                            wheres_any or None, ghosts=ghosts),
+                            wheres_any or None, remap=remap),
         spark_fields,
     )
     for c, md in (meta.get("field_metadata") or {}).items():
@@ -3270,13 +3317,14 @@ def compact_table(
     block_rows = meta.get("block_rows") or 65536
     # field-id identity through the rewrite: a dropped-and-re-added
     # column's old parts decode as NULL here too (never resurrected into
-    # the merged copy), and the merged parts carry the CURRENT ids
+    # the merged copy), renamed columns resolve to their storage names,
+    # and the merged parts carry the CURRENT ids under the CURRENT names
     cur_fids, _ = _field_ids_of(meta)
     snaps_g = snapshots(out_dir)
-    ghosts = (
-        _ghost_map(out_dir, columns, [p for g in groups for p in g],
-                   cur_fids, snaps=snaps_g)
-        if any(s.get("drop_column") for s in snaps_g) else {}
+    remap = (
+        _column_remap(out_dir, columns, [p for g in groups for p in g],
+                      cur_fids, snaps=snaps_g)
+        if _needs_remap(snaps_g) else {}
     )
     plan = [(base + i, json.dumps(g)) for i, g in enumerate(groups)]
     plan_df = spark.createDataFrame(plan, "new_pid int, grp string").repartition(
@@ -3290,10 +3338,10 @@ def compact_table(
             ):
                 merged = []
                 for pid in json.loads(grp):
+                    gh, al = remap.get(int(pid), (frozenset(), {}))
                     merged.extend(
                         _decode_part_batches(
-                            out_dir, columns, arrow_schema, pid,
-                            ghosts.get(int(pid), frozenset()),
+                            out_dir, columns, arrow_schema, pid, gh, al,
                         )
                     )
                 r = _encode_one_part(
@@ -3532,6 +3580,15 @@ def optimize_table(
                      "partial": where is not None},
         "ts": time.time(),
     })
+    if where is not None:
+        # partial rewrite: consolidate the manifest over survivors too
+        # (same rule as compact_table), so the entry alone satisfies any
+        # later cold pruned read via part_meta's newest-first early exit
+        survivors = sorted(set(live) - set(affected))
+        entry["manifest"] = write_manifest(
+            out_dir, survivors + entry["new_parts"],
+            pm={**part_meta(out_dir, parts=survivors), **(pend.get("pm") or {})},
+        )
     # table meta tracks the NEW clustering (informational + resume
     # identity) — but only for a FULL rewrite: a partial optimize leaves
     # a mixed layout, so the table-level clustering claim must not change
@@ -3599,12 +3656,14 @@ def _copy_on_write_delete(
     )
     block_rows = meta.get("block_rows") or 65536
     # field-id identity through the rewrite (same rule as compaction):
-    # ghosted columns decode NULL, survivors re-encode under current ids
+    # ghosted columns decode NULL, renamed columns resolve to their
+    # storage names, survivors re-encode under current ids and names
     cur_fids, _ = _field_ids_of(meta)
     snaps_g = snapshots(out_dir)
-    ghosts = (
-        _ghost_map(out_dir, columns, list(affected), cur_fids, snaps=snaps_g)
-        if any(s.get("drop_column") for s in snaps_g) else {}
+    remap = (
+        _column_remap(out_dir, columns, list(affected), cur_fids,
+                      snaps=snaps_g)
+        if _needs_remap(snaps_g) else {}
     )
     plan = [(base + i, int(p)) for i, p in enumerate(affected)]
     plan_df = spark.createDataFrame(plan, "new_pid int, old_pid int").repartition(
@@ -3618,10 +3677,10 @@ def _copy_on_write_delete(
             for new_pid, old_pid in zip(
                 batch.column("new_pid").to_pylist(), batch.column("old_pid").to_pylist()
             ):
+                gh, al = remap.get(int(old_pid), (frozenset(), {}))
                 tbl = pa.Table.from_batches(
                     list(_decode_part_batches(
-                        out_dir, columns, arrow_schema, old_pid,
-                        ghosts.get(int(old_pid), frozenset()),
+                        out_dir, columns, arrow_schema, old_pid, gh, al,
                     )),
                     schema=arrow_schema,
                 )
@@ -3819,9 +3878,10 @@ def _rewrite_parts_dropping_matched_keys(
     # field-id identity through the merge rewrite (same rule as compaction)
     cur_fids, _ = _field_ids_of(meta)
     snaps_g = snapshots(out_dir)
-    ghosts = (
-        _ghost_map(out_dir, columns, list(affected), cur_fids, snaps=snaps_g)
-        if any(s.get("drop_column") for s in snaps_g) else {}
+    remap = (
+        _column_remap(out_dir, columns, list(affected), cur_fids,
+                      snaps=snaps_g)
+        if _needs_remap(snaps_g) else {}
     )
 
     plan_df = spark.createDataFrame(
@@ -3831,7 +3891,10 @@ def _rewrite_parts_dropping_matched_keys(
     def key_kernel(batches):
         for batch in batches:
             for pid in batch.column("old_pid").to_pylist():
-                for b in _decode_part_batches(out_dir, [key_col], key_schema, pid):
+                gh, al = remap.get(int(pid), (frozenset(), {}))
+                for b in _decode_part_batches(
+                    out_dir, [key_col], key_schema, pid, gh, al
+                ):
                     yield pa.RecordBatch.from_arrays(
                         [
                             pa.array([pid] * b.num_rows, type=pa.int32()),
@@ -3856,10 +3919,10 @@ def _rewrite_parts_dropping_matched_keys(
 
         old_pid = int(pdf["old_pid"].iloc[0])
         keys = pa.Array.from_pandas(pdf["__k"]).cast(key_arrow)
+        gh, al = remap.get(int(old_pid), (frozenset(), {}))
         tbl = pa.Table.from_batches(
             list(_decode_part_batches(
-                out_dir, columns, arrow_schema, old_pid,
-                ghosts.get(int(old_pid), frozenset()),
+                out_dir, columns, arrow_schema, old_pid, gh, al,
             )),
             schema=arrow_schema,
         )
@@ -4083,7 +4146,7 @@ def drop_column(out_dir: str, col: str) -> dict:
     the drop retires the column's id, and an append that re-introduces
     the name is ADD-COLUMN evolution under a FRESH id — old parts decode
     the re-added name as NULL (their block files hold the retired
-    field's bytes, which never resurrect; see :func:`_ghost_map`). The
+    field's bytes, which never resurrect; see :func:`_column_remap`). The
     dropped bytes are reclaimed only when the pre-drop snapshots expire
     and a compaction or optimize rewrites the old parts."""
     meta = _read_json(_j(out_dir, "_table_meta.json"))
@@ -4127,6 +4190,67 @@ def drop_column(out_dir: str, col: str) -> dict:
         out_dir, entry, append=True, evolved_meta=new_meta
     )
     return {"snapshot_id": e["id"], "dropped": col,
+            "columns": new_meta["columns"]}
+
+
+@_with_writer_lock("evolve")
+def rename_column(out_dir: str, old: str, new: str) -> dict:
+    """RENAME COLUMN as a metadata-only snapshot (Iceberg field-id
+    semantics): the field id stays, only the name changes — no part file
+    is touched. Old parts keep their block files under the old name;
+    reads resolve the new name to each part's storage name through the
+    per-part field ids (:func:`_column_remap`), block-level pruning
+    follows the same aliases, and any rewrite (compaction, optimize,
+    delete, merge) re-encodes survivors under the NEW name, so the alias
+    set shrinks as the table churns. Time travel to a pre-rename
+    snapshot reads the old name (schema is versioned per snapshot).
+    Refuses a name already in the schema; renaming onto a previously
+    DROPPED name is fine (that name's id was retired, this one's id
+    moves with the rename)."""
+    meta = _read_json(_j(out_dir, "_table_meta.json"))
+    if old not in meta["columns"]:
+        raise ValueError(f"unknown column {old!r}; table has {meta['columns']}")
+    if new in meta["columns"]:
+        raise ValueError(f"column {new!r} already exists; drop it first")
+    if old == new:
+        raise ValueError("old and new names are identical")
+    snaps = snapshots(out_dir)
+    live = snapshot_parts(out_dir, snaps=snaps)
+    if live is None:
+        live = sorted(completed_parts(out_dir))
+    _ensure_snapshot_root(out_dir, live, meta)
+    new_meta = dict(meta)
+    new_meta["columns"] = [new if c == old else c for c in meta["columns"]]
+    new_meta["schema"] = {
+        (new if c == old else c): t for c, t in meta["schema"].items()
+    }
+    fm = dict(meta.get("field_metadata") or {})
+    if old in fm:
+        fm[new] = fm.pop(old)
+    new_meta["field_metadata"] = fm
+    fids, nxt = _field_ids_of(meta)
+    fids[new] = fids.pop(old)  # the ID is the identity; the name moves
+    new_meta["field_ids"] = fids
+    new_meta["next_field_id"] = nxt
+    for k in ("cluster_by", "salt_by", "sort_by", "zorder_by"):
+        if new_meta.get(k):
+            new_meta[k] = [new if c == old else c for c in new_meta[k]]
+    entry = {
+        "new_parts": [],
+        "removed_parts": [],
+        "n_rows": 0,
+        "enc_bytes": 0,
+        "layout": meta.get("layout", "clustered"),
+        "rename_column": [old, new],
+        "columns": new_meta["columns"],
+        "schema": new_meta["schema"],
+        "field_ids": fids,
+        "ts": time.time(),
+    }
+    e = _commit_snapshot_entry(
+        out_dir, entry, append=True, evolved_meta=new_meta
+    )
+    return {"snapshot_id": e["id"], "renamed": [old, new],
             "columns": new_meta["columns"]}
 
 
@@ -4243,18 +4367,24 @@ def _cdc_plan(snaps: list[dict], start: int, end: int | None) -> list[tuple]:
     return plan
 
 
-def _part_key_counts(out_dir: str, key_col: str, key_schema, pid: int):
+def _part_key_counts(
+    out_dir: str, key_col: str, key_schema, pid: int,
+    ghost_cols: frozenset = frozenset(), aliases: dict | None = None,
+):
     """Distinct-key counts of ONE part's key column, fully vectorized:
     decode only the key column, one ``pyarrow.compute.value_counts``
     over the part's batches — NO per-row Python (a null key counts as a
     distinct value, matching the SQL oracle's GROUP BY). Returns
     ``(values: pa.Array, counts: pa.Int64Array)`` or ``None`` for an
-    empty part."""
+    empty part. ``ghost_cols``/``aliases`` apply field-id resolution
+    (a renamed key column reads from its storage name in old parts)."""
     import pyarrow.compute as pc
 
     chunks = [
         b.column(0)
-        for b in _decode_part_batches(out_dir, [key_col], key_schema, pid)
+        for b in _decode_part_batches(
+            out_dir, [key_col], key_schema, pid, ghost_cols, aliases
+        )
     ]
     if not chunks:
         return None
@@ -4264,13 +4394,14 @@ def _part_key_counts(out_dir: str, key_col: str, key_schema, pid: int):
     return vc.field("values"), vc.field("counts").cast(pa.int64())
 
 
-def _cdc_key_kernel(out_dir: str, key_col: str, key_arrow):
+def _cdc_key_kernel(out_dir: str, key_col: str, key_arrow, remap=None):
     """mapInArrow kernel: (sid, pid, w, ch) plan rows -> per-part
     PRE-AGGREGATED (snapshot_id, key, ch, n) counts (map-side combine:
     the shuffle ships one row per distinct key per part, never raw
     rows). Decodes ONLY the key column; the key path is vectorized
     (``_part_key_counts`` — the only Python loop here is over plan rows,
-    i.e. O(#changed parts), never over data rows)."""
+    i.e. O(#changed parts), never over data rows). ``remap`` carries
+    field-id resolution for a renamed/re-added key column."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -4283,7 +4414,10 @@ def _cdc_key_kernel(out_dir: str, key_col: str, key_arrow):
     def kernel(batches):
         for batch in batches:
             for row in batch.to_pylist():  # O(#plan rows) = parts
-                res = _part_key_counts(out_dir, key_col, key_schema, row["pid"])
+                gh, al = (remap or {}).get(int(row["pid"]), (frozenset(), {}))
+                res = _part_key_counts(
+                    out_dir, key_col, key_schema, row["pid"], gh, al
+                )
                 if res is None:
                     continue
                 values, counts = res
@@ -4327,7 +4461,8 @@ def table_changes(
         raise ValueError(
             f"unknown key column {key_col!r}; table has {meta['columns']}"
         )
-    plan = _cdc_plan(snapshots(out_dir), start_snapshot, end_snapshot)
+    snaps = snapshots(out_dir)
+    plan = _cdc_plan(snaps, start_snapshot, end_snapshot)
     key_arrow = _DECODE_ARROW_OF[meta["schema"][key_col]]
     key_spark = _SPARK_TYPE_OF[meta["schema"][key_col]]
     out_fields = (
@@ -4335,13 +4470,24 @@ def table_changes(
     )
     if not plan:
         return spark.createDataFrame([], out_fields)
+    # field-id resolution for the key column: a renamed key reads from
+    # its storage name in pre-rename parts; a dropped-and-re-added key
+    # diffs as NULL there (the dead field's keys never resurrect)
+    remap = (
+        _column_remap(
+            out_dir, [key_col], sorted({p[1] for p in plan}),
+            snapshot_field_ids(out_dir, _tip_entry(snaps)["id"], snaps=snaps),
+            snaps=snaps,
+        )
+        if _needs_remap(snaps) else None
+    )
     plan_df = spark.createDataFrame(
         plan, "sid long, pid int, w int, ch string"
     ).repartition(
         max(1, min(len(plan), 4 * spark.sparkContext.defaultParallelism))
     )
     per_part = plan_df.mapInArrow(
-        _cdc_key_kernel(out_dir, key_col, key_arrow),
+        _cdc_key_kernel(out_dir, key_col, key_arrow, remap=remap),
         f"snapshot_id long, __k {key_spark}, ch string, n long",
     )
     agg = per_part.groupBy("snapshot_id", "__k", "ch").agg(

@@ -1531,6 +1531,54 @@ FROM final GROUP BY lang
 """
 
 
+def q_rename_column_read(spark, sf_dir):
+    """RENAME COLUMN as metadata only (field-id identity): rename
+    n_chars -> length, append new rows under the NEW name, then read
+    everything back through the renamed schema WITH a pushdown
+    predicate on the renamed column — old parts resolve the new name to
+    their old block files via per-part field ids (no rewrite, no data
+    movement), and block pruning follows the same alias."""
+    import shutil
+
+    from .engine import decode_table, encode_table, rename_column
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = _workdir(sf_dir, "rencol")
+    shutil.rmtree(out, ignore_errors=True)
+    kw = dict(cluster_by=["lang"], salt_by=["doc_id"],
+              sort_by=["lang", "doc_id"], num_parts=4)
+    encode_table(spark, d, out, resume=False, **kw)
+    rename_column(out, "n_chars", "length")
+    more = d.select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "lang",
+        (F.col("n_chars") + 1).alias("length"),
+    )
+    encode_table(spark, more, out, append=True, **kw)
+    dec = decode_table(spark, out, where=("length", 100, None))
+    return (
+        dec.where("length >= 100")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("length").alias("sum_len"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+SQL_RENAME_COLUMN_READ = """
+WITH unioned AS (
+  SELECT doc_id, lang, n_chars AS length FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, lang, n_chars + 1 FROM documents
+)
+SELECT lang, count(*) AS n_rows,
+       cast(sum(length) AS BIGINT) AS sum_len,
+       max(doc_id) AS max_doc
+FROM unioned WHERE length >= 100 GROUP BY lang
+"""
+
+
 QUERIES.update(
     {
         "rollup_orders": q_rollup_orders,
@@ -1540,10 +1588,12 @@ QUERIES.update(
         "conversion_pipeline": q_conversion_pipeline,
         "field_id_reread": q_field_id_reread,
         "diverged_merge": q_diverged_merge,
+        "rename_column_read": q_rename_column_read,
     }
 )
 ORACLES["field_id_reread"] = SQL_FIELD_ID_REREAD
 ORACLES["diverged_merge"] = SQL_DIVERGED_MERGE
+ORACLES["rename_column_read"] = SQL_RENAME_COLUMN_READ
 ORACLES["record_source_roundtrip"] = SQL_RECORD_SOURCE_ROUNDTRIP
 ORACLES["conversion_pipeline"] = SQL_CONVERSION_PIPELINE
 ORACLES.update(

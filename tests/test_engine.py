@@ -3449,3 +3449,96 @@ def test_delete_rows_conjunction_and_in(spark, tmp_path):
     after = decode_table(spark, out)
     assert after.where("v IS NULL").count() == before_nulls
     assert after.where("v IS NOT NULL").count() == 0
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """rename_column moves the NAME, not the field id: old parts keep
+    their block files, reads resolve the new name through per-part field
+    ids (engine decode AND pushdown block pruning), time travel reads
+    the old name, appends write under the new name, and a compaction
+    makes the rename physical."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        compact_table,
+        decode_table,
+        encode_table,
+        rename_column,
+        snapshots,
+    )
+
+    out = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v"),
+    )
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=3, resume=False)
+    r = rename_column(out, "v", "val")
+    assert r["renamed"] == ["v", "val"]
+    tip = decode_table(spark, out)
+    assert "val" in tip.columns and "v" not in tip.columns
+    # values survive the rename — resolved from the old block files
+    assert tip.where("val = id * 2").count() == 300
+    # block-level pruning follows the alias (predicate on the new name)
+    pruned = decode_table(spark, out, where=("val", 0, 98)).where("val <= 98")
+    assert pruned.count() == 50
+    # time travel: pre-rename snapshot still reads the old name
+    pre = decode_table(spark, out, snapshot_id=1)
+    assert "v" in pre.columns and pre.where("v = id * 2").count() == 300
+    with _pytest.raises(ValueError, match="already exists"):
+        rename_column(out, "id", "val")
+    with _pytest.raises(ValueError, match="unknown column"):
+        rename_column(out, "nope", "x")
+    # appends write under the NEW name with the SAME field id
+    encode_table(
+        spark,
+        spark.range(300, 400).select(
+            F.col("id"), (F.col("id") % 3).alias("g"),
+            (F.col("id") * 2).alias("val"),
+        ),
+        out, append=True, cluster_by=["g"], salt_by=["id"], num_parts=1,
+    )
+    assert decode_table(spark, out).where("val = id * 2").count() == 400
+    # a rewrite makes the rename physical: no aliases needed afterwards
+    compact_table(spark, out, target_part_rows=1_000_000)
+    assert decode_table(spark, out).where("val = id * 2").count() == 400
+    pm_fids = {
+        s.get("rename_column")[0] if s.get("rename_column") else None
+        for s in snapshots(out)
+    }
+    assert "v" in pm_fids  # the rename entry is in the log
+
+
+def test_rename_column_datasource_and_cdc(spark, tmp_path):
+    """The rename resolves through the DataSource batch reader (with
+    filter pushdown on the renamed column) and through CDC key decoding
+    — a renamed key column still diffs the old parts' keys."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import (
+        delete_rows,
+        encode_table,
+        rename_column,
+        table_changes,
+    )
+
+    spark.dataSource.register(SparkcodecDataSource)
+    out = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v"),
+    )
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=2, resume=False)
+    rename_column(out, "id", "doc")
+    ds = spark.read.format("sparkcodec").load(out)
+    assert ds.columns == ["doc", "g", "v"]
+    assert ds.where("doc < 50").count() == 50  # pushdown via the alias
+    assert ds.where("v = doc * 2").count() == 200
+    # CDC on the renamed key: the delete's preimage keys resolve from
+    # the old block files
+    delete_rows(spark, out, ("doc", 0, 9))
+    ch = table_changes(spark, out, "doc")
+    dels = sorted(r["doc"] for r in ch.where("op = 'delete'").collect())
+    assert dels == list(range(10))

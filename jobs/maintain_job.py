@@ -156,7 +156,21 @@ def main() -> int:
     ap.add_argument(
         "--drop-column", default=None, metavar="COL",
         help="metadata-only DROP COLUMN snapshot: tip reads stop "
-             "decoding it, pre-drop snapshots still time-travel to it",
+             "decoding it, pre-drop snapshots still time-travel to it; "
+             "the column's field id is retired — re-adding the name "
+             "reads old parts as NULL, never the dead values",
+    )
+    ap.add_argument(
+        "--rename-column", default=None, metavar="OLD:NEW",
+        help="metadata-only RENAME COLUMN snapshot (the field id stays, "
+             "only the name moves): old parts resolve through per-part "
+             "aliases, no data rewrite",
+    )
+    ap.add_argument(
+        "--merge-branch", default=None, metavar="NAME",
+        help="full merge: rebase (row-level replay when both sides "
+             "rewrote a part — starts a local Spark session) then "
+             "fast-forward, in one command",
     )
     ap.add_argument(
         "--delete", action="append", default=None,
@@ -193,6 +207,11 @@ def main() -> int:
                     f"--create-branch snapshot id must be an integer, "
                     f"got {bsid_s!r}"
                 )
+    ren_old = ren_new = None
+    if args.rename_column:
+        ren_old, _, ren_new = args.rename_column.partition(":")
+        if not ren_old or not ren_new:
+            ap.error("--rename-column needs OLD:NEW")
     tag_name = tag_sid = None
     if args.tag:
         tag_name, _, sid_s = args.tag.partition(":")
@@ -285,10 +304,22 @@ def main() -> int:
         from sparkcodec.engine import list_branches
 
         out["branches"] = list_branches(args.table)
+    if args.merge_branch:
+        from pyspark.sql import SparkSession
+
+        from sparkcodec.engine import merge_branch
+
+        spark = SparkSession.builder.appName("sparkcodec-maintain").getOrCreate()
+        out["merge_branch"] = merge_branch(args.table, args.merge_branch,
+                                           spark=spark)
     if args.drop_column:
         from sparkcodec.engine import drop_column
 
         out["drop_column"] = drop_column(args.table, args.drop_column)
+    if args.rename_column:
+        from sparkcodec.engine import rename_column
+
+        out["rename_column"] = rename_column(args.table, ren_old, ren_new)
     if args.rollback is not None:
         from sparkcodec.engine import rollback_table
 

@@ -1591,6 +1591,51 @@ QUERIES.update(
         "rename_column_read": q_rename_column_read,
     }
 )
+def q_repetition_stats(spark, sf_dir):
+    """Repetition-based quality filter (the classic degenerate-text
+    screen in training-data pipelines): per-document word-repetition
+    ratio = 1 - distinct_words/words, fully JVM-side (split +
+    array_distinct — no UDF), aggregated per lang with the count of
+    documents over the usual 0.2 rejection threshold. At 100 TB this is
+    a pure map-side projection + one small agg — the text never
+    shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "\\s+"), lambda w: w != ""
+    )
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    rep = F.when(
+        n_words > 0, 1.0 - n_distinct.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    return d.select("lang", rep.alias("rep")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("rep"), 4).alias("avg_rep"),
+        F.sum((F.col("rep") > 0.2).cast("long")).alias("n_repetitive"),
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH w AS (
+  SELECT lang,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+), r AS (
+  SELECT lang,
+         CASE WHEN len(words) > 0
+              THEN 1.0 - len(list_distinct(words)) * 1.0 / len(words)
+              ELSE 0.0 END AS rep
+  FROM w
+)
+SELECT lang, count(*) AS n_docs, round(avg(rep), 4) AS avg_rep,
+       cast(sum(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+FROM r GROUP BY lang
+"""
+
+
+QUERIES["repetition_stats"] = q_repetition_stats
+ORACLES["repetition_stats"] = SQL_REPETITION_STATS
 ORACLES["field_id_reread"] = SQL_FIELD_ID_REREAD
 ORACLES["diverged_merge"] = SQL_DIVERGED_MERGE
 ORACLES["rename_column_read"] = SQL_RENAME_COLUMN_READ

@@ -340,6 +340,17 @@ def test_branch_cli_surface(spark, tmp_path, monkeypatch, capsys):
     assert r["fast_forward"]["fast_forwarded"] is False
     r = run("--delete-branch", "dev", "--branches")
     assert r["delete_branch"] is True and r["branches"] == {}
+    # merge-branch + rename-column CLI twins (merge reuses the session)
+    from sparkcodec.engine import decode_table
+
+    run("--create-branch", "dev2")
+    _append(spark, out, 100, 20, branch="dev2")
+    r = run("--merge-branch", "dev2")
+    assert r["merge_branch"]["fast_forwarded"] is True
+    assert decode_table(spark, out).count() == 120
+    r = run("--rename-column", "v:val")
+    assert r["rename_column"]["renamed"] == ["v", "val"]
+    assert decode_table(spark, out).where("val = id * 2").count() == 120
 
 
 def test_branch_datasource_read_and_schema_evolution(spark, tmp_path):

@@ -1566,6 +1566,24 @@ def _keep_row_ranges_nulls(out_dir: str, pid: int, col: str, kind: str):
     return ranges if pruned_any else None
 
 
+# commits between automatic full-coverage manifests (the metadata-read
+# bound for cold pruned reads of never-compacted tables)
+_CONSOLIDATE_EVERY = 64
+
+
+def _manifests_since_full(snaps: list[dict]) -> int:
+    """Main-chain manifests committed since the last FULL-coverage one
+    (compaction/expire consolidations and auto-consolidated appends all
+    count as full)."""
+    n = 0
+    for s in reversed(snaps):
+        if s.get("manifest_full") or s.get("compaction") or s.get("tag_only"):
+            break
+        if s.get("manifest"):
+            n += 1
+    return n
+
+
 def _commit_snapshot_entry(
     out_dir: str,
     entry: dict,
@@ -1586,13 +1604,39 @@ def _commit_snapshot_entry(
     window where a failed or refused append permanently widened the
     schema. ``pm`` forwards already-in-hand per-part metadata to
     :func:`write_manifest` so the encode hot path never re-reads its own
-    checkpoints."""
+    checkpoints.
+
+    AUTO-CONSOLIDATION: once every :data:`_CONSOLIDATE_EVERY` main-chain
+    commits since the last full-coverage manifest, the entry's manifest
+    covers the FULL post-commit live set instead of just its new parts
+    (flagged ``manifest_full``) — so part_meta's newest-first early exit
+    bounds a cold pruned read at ≤ _CONSOLIDATE_EVERY manifest opens on
+    a pure-append table that never compacts (compaction/expire
+    consolidate eagerly anyway). Amortized cost: one O(#live) metadata
+    fold per _CONSOLIDATE_EVERY commits, read from the manifests
+    already in hand."""
     if evolved_meta is not None:
         _atomic_write_json(_j(out_dir, "_table_meta.json"), evolved_meta)
     e = dict(entry)
+    snaps = snapshots(out_dir)
+    if (
+        e.get("new_parts") and not e.get("manifest")
+        and branch is None and append and snaps
+        and _manifests_since_full(snaps) + 1 >= _CONSOLIDATE_EVERY
+    ):
+        prior = snapshot_parts(out_dir, _tip_entry(snaps)["id"], snaps=snaps)
+        survivors = sorted(
+            set(prior or []) - set(e.get("removed_parts") or [])
+        )
+        full = sorted(set(survivors) | set(e["new_parts"]))
+        e["manifest"] = write_manifest(
+            out_dir, full,
+            pm={**part_meta(out_dir, parts=survivors, snaps=snaps),
+                **(pm or {})},
+        )
+        e["manifest_full"] = True
     if e.get("new_parts") and not e.get("manifest"):
         e["manifest"] = write_manifest(out_dir, e["new_parts"], pm=pm)
-    snaps = snapshots(out_dir)
     # ids are log-sequence (unique across ALL chains); the parent is
     # chain-specific: the named branch's ref tip, else the main tip —
     # a trailing branch commit must never become a main parent
@@ -2274,6 +2318,10 @@ def encode_table(
     return result
 
 
+# (path -> ((size, mtime_ns), parsed entries)) — see snapshots()
+_SNAPLOG_CACHE: dict[str, tuple] = {}
+
+
 def snapshots(out_dir: str) -> list[dict]:
     """Committed snapshot entries, oldest first.
 
@@ -2288,8 +2336,23 @@ def snapshots(out_dir: str) -> list[dict]:
     if fs.native_paths:
         if not fs.exists(path):
             return []
+        # stat-keyed parse cache: driver-side maintenance walks call this
+        # many times per operation, and a 10k-commit log is a 10k-line
+        # JSON parse each time. Appends grow the size and os.replace
+        # (expire's squash) changes (size, mtime_ns), so any committed
+        # change — same-process or a concurrent writer's — invalidates.
+        # Entries are treated as immutable by every caller.
+        st = os.stat(path)
+        key = (st.st_size, st.st_mtime_ns)
+        cached = _SNAPLOG_CACHE.get(path)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         with open(path) as fh:
-            return [json.loads(line) for line in fh if line.strip()]
+            out = [json.loads(line) for line in fh if line.strip()]
+        if len(_SNAPLOG_CACHE) > 256:  # bound driver memory
+            _SNAPLOG_CACHE.clear()
+        _SNAPLOG_CACHE[path] = (key, out)
+        return out
     # LIST-then-GET race with a concurrent expire (readers take no lock):
     # an object listed here may be deleted before we read it — but every
     # deleter (expire, fresh-run reset) FIRST publishes a squash object
@@ -3392,6 +3455,7 @@ def compact_table(
             survivors + created,
             pm=part_meta(out_dir, parts=survivors),
         )
+        body["manifest_full"] = True
     if optimistic:
         if _pre_commit_hook is not None:
             _pre_commit_hook()
@@ -3435,6 +3499,7 @@ def compact_table(
                     cur_survivors + created,
                     pm=part_meta(out_dir, parts=cur_survivors, snaps=snaps),
                 ),
+                manifest_full=True,
                 id=snaps[-1]["id"] + 1,
                 parent=_tip_entry(snaps)["id"],
             )
@@ -3589,6 +3654,7 @@ def optimize_table(
             out_dir, survivors + entry["new_parts"],
             pm={**part_meta(out_dir, parts=survivors), **(pend.get("pm") or {})},
         )
+        entry["manifest_full"] = True
     # table meta tracks the NEW clustering (informational + resume
     # identity) — but only for a FULL rewrite: a partial optimize leaves
     # a mixed layout, so the table-level clustering claim must not change
@@ -5283,6 +5349,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     first.pop("drop_column", None)  # the root's schema already reflects it
     first["parent"] = 0
     first["manifest"] = write_manifest(out_dir, first["new_parts"], pm=pm_all)
+    first["manifest_full"] = True
     # tagged snapshots outside the window: materialized as standalone
     # roots, flagged so the changefeed never replays them (a fresh
     # consumer gets the retained root's rows; tagged roots overlap it)

@@ -3596,3 +3596,53 @@ def test_objectstore_field_id_and_rename_lifecycle(spark, tmp_path):
     assert d.where("id < 5").count() == 0
     assert d.where("w = -1").count() == 2
     assert d.count() == 450 - 5 + 1  # 450 rows, minus delete 0-4, plus id 9000
+
+
+def test_auto_manifest_consolidation_bounds_cold_reads(spark, tmp_path, monkeypatch):
+    """A pure-append table that NEVER compacts still keeps cold pruned
+    reads bounded: every _CONSOLIDATE_EVERY main-chain commits, the
+    commit's manifest covers the full live set (manifest_full), so
+    part_meta's newest-first early exit stops within one consolidation
+    window regardless of total commit count."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec import engine
+
+    monkeypatch.setattr(engine, "_CONSOLIDATE_EVERY", 6)
+    out = str(tmp_path / "auto")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 4).alias("g"))
+    engine.encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                        num_parts=2, target_part_rows=100, resume=False)
+    for i in range(16):
+        lo = 100 + 50 * i
+        engine.encode_table(
+            spark,
+            spark.range(lo, lo + 50).select(
+                F.col("id"), (F.col("id") % 4).alias("g")
+            ),
+            out, append=True, cluster_by=["g"], salt_by=["id"],
+            num_parts=1, target_part_rows=100,
+        )
+    snaps = engine.snapshots(out)
+    fulls = [s["id"] for s in snaps if s.get("manifest_full")]
+    assert fulls, "no auto-consolidated manifest committed"
+
+    calls = {"n": 0}
+    orig = engine._read_manifest
+
+    def count(*a):
+        calls["n"] += 1
+        return orig(*a)
+
+    monkeypatch.setattr(engine, "_read_manifest", count)
+    engine._MANIFEST_CACHE.clear()
+    n = (engine.decode_table(spark, out, where=("id", 0, 99))
+         .where("id <= 99").count())
+    assert n == 100
+    # bound: commits since the newest full manifest, plus the full one
+    since = len([s for s in snaps if s["id"] > max(fulls) and s.get("manifest")])
+    assert calls["n"] <= since + 1 <= engine._CONSOLIDATE_EVERY + 1
+    # metadata correctness after consolidation: rows account exactly
+    live = engine.snapshot_parts(out)
+    pm = engine.part_meta(out, parts=live)
+    assert sum(pm[p]["n_rows"] for p in live) == 100 + 16 * 50

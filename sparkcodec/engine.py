@@ -4598,6 +4598,19 @@ def table_column_stats(out_dir: str, snapshot_id: int | None = None) -> dict:
     if parts is None:
         parts = sorted(completed_parts(out_dir))
     pm = part_meta(out_dir, parts=parts, snaps=snaps)
+    # field-id resolution, same rule as decode: a renamed column's stats
+    # live under its STORAGE name in old parts; a dropped-and-re-added
+    # column's old parts are all-NULL at this snapshot — without this
+    # the stats would read the dead field's values and claim exactness
+    remap = (
+        _column_remap(
+            out_dir, meta["columns"], parts,
+            snapshot_field_ids(out_dir, _sid, snaps=snaps)
+            if _sid is not None else None,
+            snaps=snaps, pm=pm,
+        )
+        if _needs_remap(snaps) else {}
+    )
     out: dict = {}
     for col in meta["columns"]:
         mn = mx = None
@@ -4616,8 +4629,12 @@ def table_column_stats(out_dir: str, snapshot_id: int | None = None) -> dict:
             n = d["n_rows"]
             if rows is not None:
                 rows += n
-            if col in d["nulls"]:
-                nc = d["nulls"][col]
+            gh, al = remap.get(p, (frozenset(), {}))
+            c = al.get(col, col)
+            if col in gh:
+                nc = n  # retired field: this part reads all-NULL
+            elif c in d["nulls"]:
+                nc = d["nulls"][c]
             elif d["nulls"]:
                 # null accounting present but column absent: the part
                 # predates an add-column evolution — every row is NULL
@@ -4629,7 +4646,7 @@ def table_column_stats(out_dir: str, snapshot_id: int | None = None) -> dict:
                 nulls = None
             elif nulls is not None:
                 nulls += nc
-            st = d["stats"].get(col)
+            st = None if col in gh else d["stats"].get(c)
             if st is not None:
                 mn = st[0] if mn is None or st[0] < mn else mn
                 mx = st[1] if mx is None or st[1] > mx else mx

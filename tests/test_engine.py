@@ -3646,3 +3646,52 @@ def test_auto_manifest_consolidation_bounds_cold_reads(spark, tmp_path, monkeypa
     live = engine.snapshot_parts(out)
     pm = engine.part_meta(out, parts=live)
     assert sum(pm[p]["n_rows"] for p in live) == 100 + 16 * 50
+
+
+def test_table_column_stats_after_rename_and_readd(spark, tmp_path):
+    """Metadata-only stats stay EXACT through field-id evolution: a
+    renamed column folds old parts' stats from their storage name, and
+    a dropped-and-re-added column's old parts count as all-NULL —
+    before the fix the rename silently treated old parts as all-NULL
+    (wrong nulls) and the re-add read the dead field's min/max, both
+    flagged exact."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        drop_column,
+        encode_table,
+        rename_column,
+        table_column_stats,
+    )
+
+    out = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v"),
+    )
+    kw = dict(cluster_by=["g"], salt_by=["id"], num_parts=2)
+    encode_table(spark, df, out, resume=False, **kw)
+    rename_column(out, "v", "val")
+    encode_table(
+        spark,
+        spark.range(200, 250).select(
+            F.col("id"), (F.col("id") % 3).alias("g"),
+            (F.col("id") * 2).alias("val"),
+        ),
+        out, append=True, **kw,
+    )
+    st = table_column_stats(out)["val"]
+    assert st == {"min": 0, "max": 498, "nulls": 0, "rows": 250, "exact": True}
+
+    # drop + re-add: old parts all-NULL, stats come from the new field only
+    drop_column(out, "val")
+    encode_table(
+        spark,
+        spark.range(250, 300).select(
+            F.col("id"), (F.col("id") % 3).alias("g"),
+            (F.col("id") + 1000).alias("val"),
+        ),
+        out, append=True, **kw,
+    )
+    st = table_column_stats(out)["val"]
+    assert st["min"] == 1250 and st["max"] == 1299
+    assert st["nulls"] == 250 and st["rows"] == 300 and st["exact"] is True

@@ -4773,11 +4773,14 @@ def list_tags(out_dir: str) -> dict[str, int]:
 
 
 def list_branches(out_dir: str) -> dict[str, int]:
-    """{branch name: tip snapshot id} of every BRANCH ref."""
+    """{branch name: tip snapshot id} of every user BRANCH ref
+    (``__rebase_*`` throwaway refs a row-level replay is using — or a
+    crashed one abandoned — are internal and hidden; expire still
+    protects them via _read_refs until they are reaped)."""
     return {
         n: int(o["snapshot_id"])
         for n, o in _read_refs(out_dir).items()
-        if o["kind"] == "branch"
+        if o["kind"] == "branch" and not n.startswith("__rebase_")
     }
 
 
@@ -5053,10 +5056,17 @@ def _rebase_replay(
     enc_kw = dict(
         cluster_by=meta.get("cluster_by"), salt_by=meta.get("salt_by"),
     )
+    fs = _get_fs(out_dir)
+    # reap throwaway refs a CRASHED replay left behind: they are only
+    # ever created under the rebase writer lock (held here), so any
+    # existing one is dead — left in place, expire would protect its
+    # chain as a live branch tip forever
+    for stale in list(_read_refs(out_dir)):
+        if stale.startswith("__rebase_"):
+            fs.remove(_j(out_dir, REFDIR, f"{stale}.json"))
     tmp = f"__rebase_{uuid.uuid4().hex[:8]}"
     if not _write_ref(out_dir, tmp, main_id, kind="branch", force=False):
         raise RuntimeError(f"throwaway rebase ref {tmp} already exists")
-    fs = _get_fs(out_dir)
     try:
         for op in ops:
             if op[0] == "append":
@@ -5315,6 +5325,13 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
     chain = [s for s in snaps if s["id"] in chain_ids]
     kept = chain[-keep_last:]
     kept_ids = {s["id"] for s in kept}
+    # reap throwaway __rebase_* refs (created and consumed under the
+    # writer lock this function holds, so any visible one belongs to a
+    # CRASHED replay): without this, a dead ref would sit pointing at
+    # soon-to-be-unknown history forever
+    for stale in list(_read_refs(out_dir)):
+        if stale.startswith("__rebase_"):
+            _get_fs(out_dir).remove(_j(out_dir, REFDIR, f"{stale}.json"))
     # pinned off-chain snapshots: tags AND branch tips (a branch's
     # intermediate commits expire like main history; its TIP must stay
     # readable and committable-onto)

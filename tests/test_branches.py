@@ -598,3 +598,23 @@ def test_merge_branch_convenience(spark, tmp_path):
     r2 = merge_branch(out, "dev")
     assert r2["rebased"] is False and r2["fast_forwarded"] is True
     assert decode_table(spark, out).count() == 410
+
+
+def test_crashed_replay_ref_reaped_and_hidden(spark, tmp_path):
+    """A crashed row-level replay leaves its throwaway __rebase_* ref
+    behind; it must be invisible to list_branches and reaped by the
+    next replay or expire — never pinning garbage history forever."""
+    from sparkcodec.engine import (
+        _read_refs,
+        _write_ref,
+        expire_snapshots,
+        list_branches,
+    )
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=100)
+    _write_ref(out, "__rebase_dead1", 1, kind="branch", force=False)
+    assert "__rebase_dead1" not in list_branches(out)
+    assert "__rebase_dead1" in _read_refs(out)
+    expire_snapshots(out, keep_last=1)
+    assert "__rebase_dead1" not in _read_refs(out)

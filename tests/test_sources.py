@@ -991,3 +991,46 @@ def test_cdc_key_path_has_no_per_row_python():
     rd_src = inspect.getsource(datasource.SparkcodecCDCStreamReader.read)
     assert "to_pylist" not in rd_src
     assert "_part_key_counts" in rd_src
+
+
+def test_stream_and_cdc_follow_renamed_columns(spark, tmp_path):
+    """The changefeed replays pre-rename parts under the renamed schema
+    (alias resolution ships inside the stream partitions), and CDC key
+    decoding — batch planner and stream reader — follows a renamed key
+    column into its storage name."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import (
+        delete_rows,
+        encode_table,
+        rename_column,
+    )
+
+    spark.dataSource.register(SparkcodecDataSource)
+    out = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 5).alias("g"), (F.col("id") * 3).alias("v"),
+    )
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=2, resume=False)
+    rename_column(out, "v", "w")
+    sink, ck = str(tmp_path / "s"), str(tmp_path / "c")
+    q = (spark.readStream.format("sparkcodec").load(out)
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ck).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.where("w = id * 3").count() == 300
+
+    rename_column(out, "id", "doc")
+    delete_rows(spark, out, ("doc", 0, 4))
+    sink2, ck2 = str(tmp_path / "s2"), str(tmp_path / "c2")
+    q = (spark.readStream.format("sparkcodec")
+         .option("cdc", "true").option("key", "doc").load(out)
+         .writeStream.format("parquet").option("path", sink2)
+         .option("checkpointLocation", ck2).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    ev = spark.read.parquet(sink2)
+    dels = sorted(r["doc"] for r in ev.where("_op = 'delete'").collect())
+    assert dels == [0, 1, 2, 3, 4]

@@ -122,12 +122,24 @@ def main() -> None:
             "--out", out, "--reps", str(reps), "--warm", str(warm),
         ])
 
+    # aligned legs run 2 MiB splits (64 one-wave-per-8-slots tasks →
+    # eight waves at local[8]): the sandbox VM steals whole cores for
+    # seconds at a time, and with only 4 waves one stolen task re-walled
+    # the leg — at 8 waves the steal amortizes (measured: same degraded
+    # host window, 4 MiB → 0.775, 2 MiB → 0.929). Clustered legs keep
+    # 4 MiB: their granularity is the shuffle's, and finer scan splits
+    # only add map-side stream overhead there.
     os.environ["SPARKCODEC_BENCH_LAYOUT"] = "aligned"
-    encA2a = enc(2, scale_path, outN + "_a2", 2)
-    encA8a = enc(8, scale_path, outN + "_a8", 2)
-    encA8b = enc(8, scale_path, outN + "_a8", 2)
-    encA2b = enc(2, scale_path, outN + "_a2", 2)
+    os.environ["SPARKCODEC_BENCH_SPLIT"] = str(2 << 20)
+    # 3 reps per invocation (best-of-6 per leg): the host's delivered
+    # parallel capacity oscillates on a ~minute scale, so a pair needs
+    # enough samples for both legs to catch a healthy window
+    encA2a = enc(2, scale_path, outN + "_a2", 3)
+    encA8a = enc(8, scale_path, outN + "_a8", 3)
+    encA8b = enc(8, scale_path, outN + "_a8", 3)
+    encA2b = enc(2, scale_path, outN + "_a2", 3)
     del os.environ["SPARKCODEC_BENCH_LAYOUT"]
+    del os.environ["SPARKCODEC_BENCH_SPLIT"]
     encA2, encA8 = merge_enc(encA2a, encA2b), merge_enc(encA8a, encA8b)
     enc2a = enc(2, scale_path, out8 + "_c2", 2)
     enc8a = enc(8, scale_path, out8, 2)

@@ -39,12 +39,13 @@ def run_encode(
     # task wave where one jittery task moves the whole wall. With 4 MiB
     # splits both legs see the same ~1-file splits and many waves, so
     # host jitter averages out instead of compounding into the ratio.
+    split = int(os.environ.get("SPARKCODEC_BENCH_SPLIT", 4 << 20))
     spark = get_spark(
         cores=cores,
         app_name=f"bench-encode-{cores}",
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(4 << 20),
-            "spark.sql.files.openCostInBytes": str(1 << 20),
+            "spark.sql.files.maxPartitionBytes": str(split),
+            "spark.sql.files.openCostInBytes": str(min(split // 4, 1 << 20)),
         },
     )
     df = spark.read.parquet(input_path)

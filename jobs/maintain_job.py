@@ -167,6 +167,12 @@ def main() -> int:
              "aliases, no data rewrite",
     )
     ap.add_argument(
+        "--add-column", default=None, metavar="COL:TYPE[:DEFAULT]",
+        help="metadata-only ADD COLUMN snapshot with an optional initial "
+             "DEFAULT (pre-add rows read it; numeric-looking defaults "
+             "coerce to numbers, quote '...' to force a string)",
+    )
+    ap.add_argument(
         "--merge-branch", default=None, metavar="NAME",
         help="full merge: rebase (row-level replay when both sides "
              "rewrote a part — starts a local Spark session) then "
@@ -212,6 +218,14 @@ def main() -> int:
         ren_old, _, ren_new = args.rename_column.partition(":")
         if not ren_old or not ren_new:
             ap.error("--rename-column needs OLD:NEW")
+    add_col = add_type = add_default = None
+    if args.add_column:
+        bits = args.add_column.split(":", 2)
+        if len(bits) < 2 or not bits[0] or not bits[1]:
+            ap.error("--add-column needs COL:TYPE[:DEFAULT]")
+        add_col, add_type = bits[0], bits[1]
+        if len(bits) == 3:
+            add_default = _coerce_bound(bits[2])
     tag_name = tag_sid = None
     if args.tag:
         tag_name, _, sid_s = args.tag.partition(":")
@@ -320,6 +334,12 @@ def main() -> int:
         from sparkcodec.engine import rename_column
 
         out["rename_column"] = rename_column(args.table, ren_old, ren_new)
+    if args.add_column:
+        from sparkcodec.engine import add_column
+
+        out["add_column"] = add_column(
+            args.table, add_col, add_type, default=add_default
+        )
     if args.rollback is not None:
         from sparkcodec.engine import rollback_table
 

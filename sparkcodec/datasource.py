@@ -112,9 +112,18 @@ class SparkcodecReader(DataSourceReader):
         self.eqs: dict[str, list] = {}  # col -> probe values (=, IN)
 
     def pushFilters(self, filters):
+        # add_column initial defaults: pre-add parts carry no stats or
+        # block files for the column yet their rows READ as the default,
+        # so pruning structures would misjudge them — never record
+        # pushdown predicates on defaulted columns (Spark re-evaluates
+        # every filter after this reader regardless)
+        try:
+            defaulted = set((_load_meta(self.out_dir).get("defaults") or {}))
+        except Exception:
+            defaulted = set()
         for f in filters:
             col = ".".join(f.attribute) if hasattr(f, "attribute") else None
-            if col is None:
+            if col is None or col in defaulted:
                 continue
             val = getattr(f, "value", None)
             if isinstance(f, IsNotNull):
@@ -240,6 +249,10 @@ class SparkcodecReader(DataSourceReader):
         arrow_schema = pa.schema(
             [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in self.columns]
         )
+        fill = {
+            c: v for c, v in (meta.get("defaults") or {}).items()
+            if c in self.columns
+        } or None
         for pid, gh_cols, al_items in partition.value:
             gh = frozenset(gh_cols)
             al = dict(al_items)
@@ -274,17 +287,27 @@ class SparkcodecReader(DataSourceReader):
                 continue
             if not pruned:
                 yield from _decode_part_batches(
-                    self.out_dir, self.columns, arrow_schema, pid, gh, al
+                    self.out_dir, self.columns, arrow_schema, pid, gh, al,
+                    fill,
                 )
                 continue
             n_kept = sum(e - s for s, e in ranges)
+            def _absent(col):
+                t = arrow_schema.field(col).type
+                dv = (fill or {}).get(col)
+                arr = (
+                    pa.nulls(n_kept, type=t) if dv is None
+                    else pa.array([dv] * n_kept, type=t)
+                )
+                return pa.chunked_array([arr], type=t)
+
+            from .engine import _exists as _ex, _part_file as _pf
+
             per_col = {
                 col: (
-                    pa.chunked_array(
-                        [pa.nulls(n_kept, type=arrow_schema.field(col).type)],
-                        type=arrow_schema.field(col).type,
-                    )
+                    _absent(col)
                     if col in gh
+                    or not _ex(_pf(self.out_dir, al.get(col, col), pid))
                     else _decode_column_ranges(
                         self.out_dir, al.get(col, col), pid,
                         arrow_schema.field(col).type, ranges,
@@ -442,6 +465,10 @@ class SparkcodecStreamReader(DataSourceStreamReader):
         arrow_schema = pa.schema(
             [(c, _DECODE_ARROW_OF[meta["schema"][c]]) for c in self.columns]
         )
+        fill = {
+            c: v for c, v in (meta.get("defaults") or {}).items()
+            if c in self.columns
+        } or None
         for pid, gh_cols, al_items in partition.value:
             gh, al = frozenset(gh_cols), dict(al_items)
             ranges = (

@@ -2659,6 +2659,34 @@ def _normalize_where(where) -> list[tuple]:
     return [one(w) for w in where]
 
 
+def _prunable_preds(wheres, defaults):
+    """Predicates safe to PRUNE with when ``defaults`` (add_column
+    initial defaults) exist: a defaulted column's pre-add parts carry no
+    stats and no block file, yet their rows READ as the default — every
+    pruning structure would misjudge them (a missing block file prunes
+    to nothing, NOT NULL stats say all-NULL), so predicates on such
+    columns are dropped from the pruning set (pruning is conservative;
+    exactness always comes from the composed filter)."""
+    if not defaults:
+        return wheres
+    return [w for w in wheres if w[0] not in defaults]
+
+
+def _prunable_dnf(wheres_any, defaults):
+    """DNF twin of :func:`_prunable_preds`: dropping a predicate widens
+    its disjunct (conservative); a disjunct that becomes EMPTY keeps
+    everything, making the whole disjunction unprunable (None)."""
+    if not defaults or not wheres_any:
+        return wheres_any
+    out = []
+    for conj in wheres_any:
+        kept = [w for w in (conj or []) if w[0] not in defaults]
+        if not kept:
+            return None  # this disjunct matches anything: no pruning
+        out.append(kept)
+    return out
+
+
 def _keep_row_ranges_multi(
     out_dir: str, pid: int, wheres: list[tuple], aliases: dict | None = None
 ):
@@ -2898,6 +2926,7 @@ def _decode_part_batches(
     out_dir: str, columns, arrow_schema: pa.Schema, pid: int,
     ghost_cols: frozenset = frozenset(),
     aliases: dict | None = None,
+    fill: dict | None = None,
 ):
     """Decode one part's requested columns into Arrow batches (the shared
     unpruned path: engine decode kernel, DataSource batch/stream readers,
@@ -2908,14 +2937,22 @@ def _decode_part_batches(
     :func:`_column_remap`) — they decode as nulls too, never as the dead
     field's historical values. ``aliases`` maps a requested name to the
     STORAGE name this part holds the field under (rename_column is
-    metadata-only; old parts keep their old block-file names)."""
+    metadata-only; old parts keep their old block-file names). ``fill``
+    carries add_column initial DEFAULTS: they apply exactly where the
+    absent/ghosted column would otherwise yield NULL — rows written
+    after the add keep their stored values, including stored NULLs."""
     per_col = {}
     for col in columns:
         target = arrow_schema.field(col).type
         path = _part_file(out_dir, (aliases or {}).get(col, col), pid)
         if col in ghost_cols or not _exists(path):
             n = _part_row_count(out_dir, pid)
-            per_col[col] = pa.chunked_array([pa.nulls(n, type=target)], type=target)
+            dv = (fill or {}).get(col)
+            arr = (
+                pa.nulls(n, type=target) if dv is None
+                else pa.array([dv] * n, type=target)
+            )
+            per_col[col] = pa.chunked_array([arr], type=target)
             continue
         t = _pq_read(path).sort_by("block_id")
         chunks = [
@@ -2937,6 +2974,7 @@ def _decode_part_batches_ranged(
     out_dir: str, columns, arrow_schema: pa.Schema, pid: int, ranges,
     ghost_cols: frozenset = frozenset(),
     aliases: dict | None = None,
+    fill: dict | None = None,
 ):
     """Decode one part restricted to the given row ranges (None = all
     rows, [] = nothing). Block grids are per column (the byte cap can
@@ -2945,22 +2983,32 @@ def _decode_part_batches_ranged(
     and Arrow re-slices aligned output batches. Shared by the engine
     decode kernel and the DataSource stream reader's predicate option.
     ``ghost_cols`` decode as nulls, ``aliases`` resolve renamed columns
-    to their storage names (see :func:`_column_remap`)."""
+    to their storage names, ``fill`` applies add_column defaults (see
+    :func:`_decode_part_batches`)."""
     if ranges is not None and not ranges:
         return  # every block of this part pruned
     if ranges is None:
         yield from _decode_part_batches(
-            out_dir, columns, arrow_schema, pid, ghost_cols, aliases
+            out_dir, columns, arrow_schema, pid, ghost_cols, aliases, fill
         )
         return
     n_kept = sum(e - s for s, e in ranges)
+
+    def absent(col):
+        t = arrow_schema.field(col).type
+        dv = (fill or {}).get(col)
+        arr = (
+            pa.nulls(n_kept, type=t) if dv is None
+            else pa.array([dv] * n_kept, type=t)
+        )
+        return pa.chunked_array([arr], type=t)
+
     per_col = {
         col: (
-            pa.chunked_array(
-                [pa.nulls(n_kept, type=arrow_schema.field(col).type)],
-                type=arrow_schema.field(col).type,
+            absent(col)
+            if col in ghost_cols or not _exists(
+                _part_file(out_dir, (aliases or {}).get(col, col), pid)
             )
-            if col in ghost_cols
             else _decode_column_ranges(
                 out_dir, (aliases or {}).get(col, col), pid,
                 arrow_schema.field(col).type, ranges,
@@ -2981,6 +3029,7 @@ def _make_decode_kernel(
     wheres: list[tuple] | None = None,
     wheres_any: list[list[tuple]] | None = None,
     remap: dict[int, tuple[frozenset, dict]] | None = None,
+    fill: dict | None = None,
 ):
     def kernel(batches):
         for batch in batches:
@@ -2995,7 +3044,7 @@ def _make_decode_kernel(
                 )
                 yield from _decode_part_batches_ranged(
                     out_dir, columns, arrow_schema, pid, ranges,
-                    ghosts, aliases,
+                    ghosts, aliases, fill,
                 )
 
     return kernel
@@ -3134,20 +3183,29 @@ def decode_table(
             parts = sorted(completed_parts(out_dir))
     wheres = _normalize_where(where)
     wheres_any = [_normalize_where(w) for w in (where_any or [])]
+    # add_column initial defaults: filled in the kernel where an absent
+    # column would yield NULL; predicates on defaulted columns are
+    # removed from the PRUNING sets (their pre-add parts carry no stats
+    # or block files, so every pruning structure would misjudge them)
+    defaults = {
+        c: v for c, v in (meta.get("defaults") or {}).items() if c in columns
+    }
+    p_wheres = _prunable_preds(wheres, defaults)
+    p_any = _prunable_dnf(wheres_any, defaults)
     # field-id resolution (ghosts + rename aliases) exists only after a
     # drop_column / rename_column somewhere in the log
     need_remap = _needs_remap(snaps)
     pm = None
-    if wheres or wheres_any or need_remap:
+    if p_wheres or p_any or need_remap:
         # one manifest-backed read feeds every pruning dimension AND the
         # remap — O(#snapshots) metadata files, not O(#parts) opens
         pm = part_meta(out_dir, parts=parts, snaps=snaps)
-    if wheres:
-        parts = _prune_parts_conj(out_dir, wheres, parts, pm)
-    if wheres_any:
+    if p_wheres:
+        parts = _prune_parts_conj(out_dir, p_wheres, parts, pm)
+    if p_any:
         # DNF: a part survives if ANY disjunct keeps it
         keep: set = set()
-        for conj in wheres_any:
+        for conj in p_any:
             keep |= set(_prune_parts_conj(out_dir, conj, parts, pm))
         parts = sorted(keep)
     remap = None
@@ -3165,8 +3223,9 @@ def decode_table(
         f"`{c}` {_SPARK_TYPE_OF[meta['schema'][c]]}" for c in columns
     )
     out = parts_df.mapInArrow(
-        _make_decode_kernel(out_dir, columns, arrow_schema, wheres,
-                            wheres_any or None, remap=remap),
+        _make_decode_kernel(out_dir, columns, arrow_schema, p_wheres,
+                            p_any or None, remap=remap,
+                            fill=defaults or None),
         spark_fields,
     )
     for c, md in (meta.get("field_metadata") or {}).items():
@@ -3383,6 +3442,7 @@ def compact_table(
     # the merged copy), renamed columns resolve to their storage names,
     # and the merged parts carry the CURRENT ids under the CURRENT names
     cur_fids, _ = _field_ids_of(meta)
+    fill_d = meta.get("defaults") or None  # rewrites materialize defaults
     snaps_g = snapshots(out_dir)
     remap = (
         _column_remap(out_dir, columns, [p for g in groups for p in g],
@@ -3405,6 +3465,7 @@ def compact_table(
                     merged.extend(
                         _decode_part_batches(
                             out_dir, columns, arrow_schema, pid, gh, al,
+                            fill_d,
                         )
                     )
                 r = _encode_one_part(
@@ -3725,6 +3786,7 @@ def _copy_on_write_delete(
     # ghosted columns decode NULL, renamed columns resolve to their
     # storage names, survivors re-encode under current ids and names
     cur_fids, _ = _field_ids_of(meta)
+    fill_d = meta.get("defaults") or None  # rewrites materialize defaults
     snaps_g = snapshots(out_dir)
     remap = (
         _column_remap(out_dir, columns, list(affected), cur_fids,
@@ -3747,6 +3809,7 @@ def _copy_on_write_delete(
                 tbl = pa.Table.from_batches(
                     list(_decode_part_batches(
                         out_dir, columns, arrow_schema, old_pid, gh, al,
+                        fill_d,
                     )),
                     schema=arrow_schema,
                 )
@@ -3943,6 +4006,7 @@ def _rewrite_parts_dropping_matched_keys(
     block_rows = meta.get("block_rows") or 65536
     # field-id identity through the merge rewrite (same rule as compaction)
     cur_fids, _ = _field_ids_of(meta)
+    fill_d = meta.get("defaults") or None  # rewrites materialize defaults
     snaps_g = snapshots(out_dir)
     remap = (
         _column_remap(out_dir, columns, list(affected), cur_fids,
@@ -3989,6 +4053,7 @@ def _rewrite_parts_dropping_matched_keys(
         tbl = pa.Table.from_batches(
             list(_decode_part_batches(
                 out_dir, columns, arrow_schema, old_pid, gh, al,
+                fill_d,
             )),
             schema=arrow_schema,
         )
@@ -4240,6 +4305,10 @@ def drop_column(out_dir: str, col: str) -> dict:
     fids.pop(col, None)
     new_meta["field_ids"] = fids
     new_meta["next_field_id"] = nxt
+    if (meta.get("defaults") or {}).get(col) is not None:
+        d = dict(meta["defaults"])
+        d.pop(col, None)
+        new_meta["defaults"] = d
     entry = {
         "new_parts": [],
         "removed_parts": [],
@@ -4257,6 +4326,67 @@ def drop_column(out_dir: str, col: str) -> dict:
     )
     return {"snapshot_id": e["id"], "dropped": col,
             "columns": new_meta["columns"]}
+
+
+@_with_writer_lock("evolve")
+def add_column(
+    out_dir: str, col: str, storage_type: str, default=None
+) -> dict:
+    """ADD COLUMN as a metadata-only snapshot, with an optional Iceberg
+    initial DEFAULT: rows written BEFORE the column existed read
+    ``default`` (filled in the decode kernel exactly where the absent
+    block file would yield NULL — rows written after the add with a
+    stored NULL stay NULL, the distinction SQL DEFAULT semantics
+    require and a DataFrame-level coalesce cannot make). The column gets
+    a fresh field id; appends may then include it, and a rewrite
+    (compaction/optimize) materializes the default physically. A plain
+    evolving append (a wider DataFrame) remains the implicit add with
+    NULL backfill — this is the explicit form for when a real default
+    is wanted."""
+    meta = _read_json(_j(out_dir, "_table_meta.json"))
+    if col in meta["columns"]:
+        raise ValueError(f"column {col!r} already exists")
+    if storage_type not in _DECODE_ARROW_OF:
+        raise ValueError(
+            f"unknown storage type {storage_type!r}; have "
+            f"{sorted(_DECODE_ARROW_OF)}"
+        )
+    if default is not None:
+        # validate NOW: a bad default must fail the DDL, not every read
+        pa.scalar(default, type=_DECODE_ARROW_OF[storage_type])
+    snaps = snapshots(out_dir)
+    live = snapshot_parts(out_dir, snaps=snaps)
+    if live is None:
+        live = sorted(completed_parts(out_dir))
+    _ensure_snapshot_root(out_dir, live, meta)
+    new_meta = dict(meta)
+    new_meta["columns"] = meta["columns"] + [col]
+    new_meta["schema"] = {**meta["schema"], col: storage_type}
+    fids, nxt = _field_ids_of(meta)
+    fids[col] = nxt
+    new_meta["field_ids"] = fids
+    new_meta["next_field_id"] = nxt + 1
+    defaults = dict(meta.get("defaults") or {})
+    if default is not None:
+        defaults[col] = default
+        new_meta["defaults"] = defaults
+    entry = {
+        "new_parts": [],
+        "removed_parts": [],
+        "n_rows": 0,
+        "enc_bytes": 0,
+        "layout": meta.get("layout", "clustered"),
+        "add_column": [col, storage_type],
+        "columns": new_meta["columns"],
+        "schema": new_meta["schema"],
+        "field_ids": fids,
+        "ts": time.time(),
+    }
+    e = _commit_snapshot_entry(
+        out_dir, entry, append=True, evolved_meta=new_meta
+    )
+    return {"snapshot_id": e["id"], "added": col,
+            "type": storage_type, "default": default}
 
 
 @_with_writer_lock("evolve")
@@ -4298,6 +4428,10 @@ def rename_column(out_dir: str, old: str, new: str) -> dict:
     fids[new] = fids.pop(old)  # the ID is the identity; the name moves
     new_meta["field_ids"] = fids
     new_meta["next_field_id"] = nxt
+    if (meta.get("defaults") or {}).get(old) is not None:
+        d = dict(meta["defaults"])
+        d[new] = d.pop(old)
+        new_meta["defaults"] = d
     for k in ("cluster_by", "salt_by", "sort_by", "zorder_by"):
         if new_meta.get(k):
             new_meta[k] = [new if c == old else c for c in new_meta[k]]

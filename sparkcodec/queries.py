@@ -1634,8 +1634,59 @@ FROM r GROUP BY lang
 """
 
 
+def q_add_column_default(spark, sf_dir):
+    """ADD COLUMN with an Iceberg initial DEFAULT: pre-add rows read the
+    default, post-add rows keep stored values including stored NULLs
+    (the distinction a DataFrame-level coalesce cannot make), and a
+    pruned read on the defaulted column must still return the default
+    rows (predicates on defaulted columns skip pruning)."""
+    import shutil
+
+    from .engine import add_column, decode_table, encode_table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = _workdir(sf_dir, "addcol")
+    shutil.rmtree(out, ignore_errors=True)
+    kw = dict(cluster_by=["lang"], salt_by=["doc_id"],
+              sort_by=["lang", "doc_id"], num_parts=4)
+    encode_table(spark, d, out, resume=False, **kw)
+    add_column(out, "score", "i64", default=7)
+    more = d.select((F.col("doc_id") + 5_000_000).alias("doc_id"), "lang")
+    more = more.withColumn(
+        "score",
+        F.when(F.col("doc_id") % 11 == 0, None)
+        .otherwise(F.col("doc_id") % 5).cast("long"),
+    )
+    encode_table(spark, more, out, append=True, **kw)
+    dec = decode_table(spark, out, where=("score", 5, None))
+    return (
+        dec.where("score >= 5")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("score").alias("sum_score"),
+        )
+    )
+
+
+SQL_ADD_COLUMN_DEFAULT = """
+WITH unioned AS (
+  SELECT doc_id, lang, 7 AS score FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, lang,
+         CASE WHEN (doc_id + 5000000) % 11 = 0 THEN NULL
+              ELSE (doc_id + 5000000) % 5 END
+  FROM documents
+)
+SELECT lang, count(*) AS n_rows, cast(sum(score) AS BIGINT) AS sum_score
+FROM unioned WHERE score >= 5 GROUP BY lang
+"""
+
+
 QUERIES["repetition_stats"] = q_repetition_stats
 ORACLES["repetition_stats"] = SQL_REPETITION_STATS
+QUERIES["add_column_default"] = q_add_column_default
+ORACLES["add_column_default"] = SQL_ADD_COLUMN_DEFAULT
 ORACLES["field_id_reread"] = SQL_FIELD_ID_REREAD
 ORACLES["diverged_merge"] = SQL_DIVERGED_MERGE
 ORACLES["rename_column_read"] = SQL_RENAME_COLUMN_READ

@@ -3695,3 +3695,59 @@ def test_table_column_stats_after_rename_and_readd(spark, tmp_path):
     st = table_column_stats(out)["val"]
     assert st["min"] == 1250 and st["max"] == 1299
     assert st["nulls"] == 250 and st["rows"] == 300 and st["exact"] is True
+
+
+def test_add_column_with_default(spark, tmp_path):
+    """add_column(default=): rows written BEFORE the add read the
+    default; rows written after keep stored values INCLUDING stored
+    NULLs (a coalesce could not make that distinction); predicates on
+    the defaulted column skip pruning (pre-add parts have no stats or
+    block files, so every pruning structure would misjudge them); a
+    compaction materializes the default physically; the DataSource
+    reader fills identically."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import add_column, compact_table, decode_table, encode_table
+
+    spark.dataSource.register(SparkcodecDataSource)
+    out = str(tmp_path / "t")
+    df = spark.range(200).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    kw = dict(cluster_by=["g"], salt_by=["id"], num_parts=2)
+    encode_table(spark, df, out, resume=False, **kw)
+    with _pytest.raises(ValueError, match="already exists"):
+        add_column(out, "id", "i64")
+    with _pytest.raises(Exception):
+        add_column(out, "score", "i64", default="not-an-int")
+    r = add_column(out, "score", "i64", default=7)
+    assert r["default"] == 7
+    encode_table(
+        spark,
+        spark.range(200, 300).select(
+            F.col("id"), (F.col("id") % 3).alias("g"),
+            F.when(F.col("id") % 11 == 0, None)
+            .otherwise(F.col("id") % 5).alias("score"),
+        ),
+        out, append=True, **kw,
+    )
+
+    def check(d, tag):
+        assert d.where("id < 200 AND score = 7").count() == 200, tag
+        n_null = sum(1 for i in range(200, 300) if i % 11 == 0)
+        assert d.where("score IS NULL").count() == n_null, tag
+        assert d.where("id >= 200 AND score = id % 5").count() == 100 - n_null, tag
+        # pruned read on the defaulted column still returns default rows
+        p = decode_table(spark, out, where=("score", 7, 7)) if tag != "ds" else d
+        assert p.where("score = 7").count() == 200, tag
+
+    check(decode_table(spark, out), "engine")
+    check(spark.read.format("sparkcodec").load(out), "ds")
+    # DS pushdown on the defaulted column must not prune default rows
+    ds = spark.read.format("sparkcodec").load(out)
+    assert ds.filter("score = 7").count() == 200
+    compact_table(spark, out, target_part_rows=1_000_000)
+    check(decode_table(spark, out), "post-compact")
+    # after materialization, time travel pre-add still has no column
+    pre = decode_table(spark, out, snapshot_id=1)
+    assert "score" not in pre.columns

@@ -54,10 +54,12 @@ class SymbolTable:
         "lit_code",
         "sha",
         "tab12",
-        "hkeys",
-        "hcodes",
-        "hprobe",
+        "hsym",
+        "hlen",
+        "hcode",
         "max_len",
+        "symlen_u8",
+        "sym_cols",
     )
 
     def __init__(self, symbols: list[bytes]):
@@ -92,41 +94,61 @@ class SymbolTable:
         # gather answers every question the hot loop asks:
         #   bits 0..7   code of the best 1/2-byte match (escape default)
         #   bits 8..9   its length (1 or 2)
-        #   bits 10..15 per-length gate: bit 10+L-3 set iff some L-byte
-        #               symbol (L=3..8) starts with this 2-byte prefix
+        #   bit  10     gate: some >=3-byte symbol starts with this prefix
         t12 = (lit.astype(np.int32) | (1 << 8))[np.tile(np.arange(256), 256)]
         self.tab12 = np.ascontiguousarray(t12)
         if self.keys[2].size:
             self.tab12[self.keys[2].astype(np.int64)] = self.codes[2].astype(np.int32) | (2 << 8)
-        # per-length open-addressing hash tables for >=3-byte symbols
-        hbits = 11
-        hsize = 1 << hbits
-        self.hkeys = [None] * (MAX_SYM_LEN + 1)
-        self.hcodes = [None] * (MAX_SYM_LEN + 1)
-        self.hprobe = [0] * (MAX_SYM_LEN + 1)
         self.max_len = 1
         for L in range(2, MAX_SYM_LEN + 1):
             if self.keys[L].size:
                 self.max_len = L
-        for L in range(3, MAX_SYM_LEN + 1):
-            if not self.keys[L].size:
-                continue
-            pref2 = (self.keys[L] & np.uint64(0xFFFF)).astype(np.int64)
-            self.tab12[pref2] |= np.int32(1 << (10 + L - 3))
-            hk = np.full(hsize, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
-            hc = np.zeros(hsize, dtype=np.int64)
-            maxp = 1
-            for key, code in zip(self.keys[L], self.codes[L]):
-                h = int((int(key) * 0x9E3779B97F4A7C15) % (1 << 64)) >> (64 - hbits)
-                p = 0
-                while hk[(h + p) & (hsize - 1)] != np.uint64(0xFFFFFFFFFFFFFFFF):
-                    p += 1
-                hk[(h + p) & (hsize - 1)] = key
-                hc[(h + p) & (hsize - 1)] = code
-                maxp = max(maxp, p + 1)
-            self.hkeys[L] = hk
-            self.hcodes[L] = hc
-            self.hprobe[L] = maxp
+        # single-candidate hash tables for >=3-byte symbols (the FSST-paper
+        # encode structure, doubled): slot 0 of `hsym`/`hlen`/`hcode` pairs
+        # is keyed by the 5-byte prefix (long symbols), slot 1 by the
+        # 3-byte prefix (the fallback for short symbols and long symbols
+        # whose 5-prefix slot was taken). Each slot holds the full
+        # zero-padded symbol word, its length and code, so a position pays
+        # exactly one probe per table:
+        #   match iff (word_at_pos & mask[hlen[slot]]) == hsym[slot].
+        # Symbols are inserted longest-first (code order breaks ties); a
+        # symbol colliding in both tables simply goes unused by the
+        # encoder — a tiny ratio cost, never a correctness one (decode
+        # reads the table by code, not by hash).
+        hbits = 12
+        hsize = 1 << hbits
+        hs = [np.full(hsize, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64) for _ in range(2)]
+        hl = [np.zeros(hsize, dtype=np.uint8) for _ in range(2)]
+        hc = [np.zeros(hsize, dtype=np.uint8) for _ in range(2)]
+        long_syms = sorted(
+            ((code, s) for code, s in enumerate(symbols) if len(s) >= 3),
+            key=lambda cs: (-len(cs[1]), cs[0]),
+        )
+        for code, s in long_syms:
+            pref2 = int.from_bytes(s[:2], "little")
+            self.tab12[pref2] |= np.int32(1 << 10)
+            word = int.from_bytes(s.ljust(8, b"\x00"), "little")
+            for ti, klen in ((0, 5), (1, 3)):
+                if len(s) < klen:
+                    continue
+                key = int.from_bytes(s[:klen], "little")
+                slot = (key * 0x9E3779B97F4A7C15 % (1 << 64)) >> (64 - hbits)
+                if hl[ti][slot] == 0:
+                    hs[ti][slot] = word
+                    hl[ti][slot] = len(s)
+                    hc[ti][slot] = code
+                    break
+        self.hsym = hs
+        self.hlen = hl
+        self.hcode = hc
+        # decode-side column-major symbol bytes: sym_cols[j][code] is byte j
+        # of the symbol (zero beyond its length) — the per-length scatter
+        # decode gathers one column at a time, no repeat/arange index build
+        sym2d = np.zeros((256, MAX_SYM_LEN), dtype=np.uint8)
+        for code, s in enumerate(symbols):
+            sym2d[code, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        self.sym_cols = [np.ascontiguousarray(sym2d[:, j]) for j in range(MAX_SYM_LEN)]
+        self.symlen_u8 = self.symlen.astype(np.uint8)
         self.sha = hashlib.sha256(
             b"\x00".join(symbols) + len(symbols).to_bytes(2, "little")
         ).hexdigest()
@@ -297,25 +319,16 @@ def encode_with_table(
     pad = np.zeros(n_bytes + MAX_SYM_LEN, dtype=np.uint8)
     pad[:n_bytes] = blob
     # 2-byte little-endian prefix at every position, built in one streaming
-    # pass: the hot loop then needs a single gather per cursor instead of
-    # two byte gathers plus shift/or passes
+    # pass: each position's match lookup is then a single gather
     w16 = pad[:-1].astype(np.uint16)
     w16 |= pad[1:].astype(np.uint16) << np.uint16(8)
-    # one output code per token and tokens consume >=1 byte, so each
-    # segment's region [seg_start, seg_end) can never overflow; escaped raw
-    # bytes live in the parallel `exc` buffer at the same positions
-    out = np.empty(n_bytes, dtype=np.uint8)
-    exc = np.empty(n_bytes, dtype=np.uint8)
-    final_ptr = seg_start.copy()
-    out_base = seg_start
 
     tab12 = table.tab12
-    hkeys, hcodes, hprobe = table.hkeys, table.hcodes, table.hprobe
-    any_long = any(k is not None for k in hkeys)
+    hsym, hlen, hcode = table.hsym, table.hlen, table.hcode
+    any_long = bool(hlen[0].any() or hlen[1].any())
     GATE = np.int32(1 << 10)
-    hmask = np.int64((1 << 11) - 1)
     hmul = np.uint64(0x9E3779B97F4A7C15)
-    hshift = np.uint64(64 - 11)
+    hshift = np.uint64(64 - 12)
     shifts = [np.uint64(8 * j) for j in range(MAX_SYM_LEN)]
     # unaligned uint64 view over pad: w64[i] = 8 little-endian bytes at i,
     # so long-symbol word assembly is ONE gather instead of seven (x86 and
@@ -326,6 +339,99 @@ def encode_with_table(
         if little and n_bytes
         else None
     )
+
+    def _words_at(pos: np.ndarray) -> np.ndarray:
+        if w64 is not None:
+            return w64[pos]
+        wc = pad[pos].astype(np.uint64)
+        for j in range(1, MAX_SYM_LEN):
+            wc |= pad[pos + j].astype(np.uint64) << shifts[j]
+        return wc
+
+    def _probe_long(w: np.ndarray, rem: np.ndarray | None):
+        """Best >=3-byte symbol match for each word: one probe per table
+        (5-byte-prefix table first, 3-byte-prefix fallback), longest wins.
+        Returns (code, length) with length 0 where nothing matched (or
+        nothing matched within ``rem``)."""
+        ln = np.zeros(len(w), dtype=np.uint8)
+        code = np.zeros(len(w), dtype=np.uint8)
+        for ti, klen in ((1, 3), (0, 5)):  # probe 3-table first; 5-table
+            slot = (((w & _MASKS[klen]) * hmul) >> hshift).astype(np.int64)
+            sl = hlen[ti][slot]
+            ok = (w & _MASKS[sl]) == hsym[ti][slot]
+            if rem is not None:
+                ok &= sl <= rem
+            # overwrites the 3-table result only with a >= length match,
+            # so the longest candidate wins and ties prefer the 5-table
+            upd = np.flatnonzero(ok & (sl >= ln))
+            if upd.size:
+                ln[upd] = sl[upd]
+                code[upd] = hcode[ti][slot[upd]]
+        return code, ln
+
+    # ---- phase 1: longest match (code, len) at EVERY byte position, in a
+    # handful of full-width vectorized passes (the parse loop then touches
+    # each cursor with two gathers instead of re-running the match search
+    # per wavefront iteration). Longer lengths overwrite shorter ones, so
+    # the result is the greedy longest match, same as the per-cursor search.
+    t = tab12[w16[:n_bytes]]
+    best_code = (t & 0xFF).astype(np.uint8)
+    best_len = ((t >> 8) & 0x3).astype(np.uint8)
+    if any_long:
+        cand_all = np.flatnonzero(t >= GATE)
+        if cand_all.size:
+            lcode, llen = _probe_long(_words_at(cand_all), None)
+            hit = np.flatnonzero(llen)
+            if hit.size:
+                tgt = cand_all[hit]
+                best_code[tgt] = lcode[hit]
+                best_len[tgt] = llen[hit]
+
+    # ---- phase 2: clamp matches that would cross a segment boundary.
+    # Only the last <=7 positions of each segment can overshoot; refit
+    # those to the longest symbol that FITS (identical to the rem-gated
+    # search the wavefront used to run per cursor).
+    win_lo = np.maximum(seg_start, seg_end - (MAX_SYM_LEN - 1))
+    wlens = seg_end - win_lo
+    wtot = int(wlens.sum())
+    if wtot:
+        woff = np.zeros(total_segs, dtype=np.int64)
+        np.cumsum(wlens[:-1], out=woff[1:])
+        tail_idx = np.repeat(win_lo, wlens) + (
+            np.arange(wtot, dtype=np.int64) - np.repeat(woff, wlens)
+        )
+        rem_t = np.repeat(seg_end, wlens) - tail_idx
+        bad = np.flatnonzero(best_len[tail_idx] > rem_t)
+        if bad.size:
+            p = tail_idx[bad]
+            rem = rem_t[bad]
+            t_f = t[p]
+            code = (t_f & 0xFF).astype(np.uint8)
+            ln = ((t_f >> 8) & 0x3).astype(np.uint8)
+            two_bad = np.flatnonzero((ln == 2) & (rem < 2))
+            if two_bad.size:
+                pb = p[two_bad]
+                code[two_bad] = table.lit_code[blob[pb]].astype(np.uint8)
+                ln[two_bad] = 1
+            if any_long:
+                lcode, llen = _probe_long(_words_at(p), rem)
+                hit = np.flatnonzero(llen)
+                if hit.size:
+                    code[hit] = lcode[hit]
+                    ln[hit] = llen[hit]
+            best_code[p] = code
+            best_len[p] = ln
+
+    # ---- phase 3: wavefront parse. One cursor per segment advancing in
+    # lockstep; every iteration is now two gathers + one scatter (the match
+    # table is precomputed), so per-iteration numpy overhead is flat.
+    # One output code per token and tokens consume >=1 byte, so each
+    # segment's region [seg_start, seg_end) can never overflow; escaped raw
+    # bytes live in the parallel `exc` buffer at the same positions.
+    out = np.empty(n_bytes, dtype=np.uint8)
+    exc = np.empty(n_bytes, dtype=np.uint8)
+    final_ptr = seg_start.copy()
+    out_base = seg_start
 
     # tile boundaries: segments are start-ordered, so a searchsorted over
     # multiples of tile_bytes yields contiguous same-span groups
@@ -343,55 +449,13 @@ def encode_with_table(
         ptr_a = seg_start[alive0].copy()
         seg_a = alive0
         while cur_a.size:
-            # fused lookup: one w16 gather + one tab12 gather yield
-            # code | len<<8 | long-symbol-gate<<16
-            t = tab12[w16[cur_a]]
-            rem = end_a - cur_a
-            best_code = t & 0xFF
-            best_len = (t >> 8) & 0x3
-            if any_long:
-                cand = np.flatnonzero((t >= GATE) & (rem >= 3))
-                if cand.size:
-                    cpos = cur_a[cand]
-                    if w64 is not None:
-                        wc = w64[cpos]
-                    else:
-                        wc = pad[cpos].astype(np.uint64)
-                        for j in range(1, MAX_SYM_LEN):
-                            wc |= pad[cpos + j].astype(np.uint64) << shifts[j]
-                    remc = rem[cand]
-                    tc = t[cand]
-                    for L in range(3, MAX_SYM_LEN + 1):
-                        hk = hkeys[L]
-                        if hk is None:
-                            continue
-                        # per-length gate: probe only cursors whose 2-byte
-                        # prefix starts some L-byte symbol
-                        sub = np.flatnonzero((tc >> (10 + L - 3)) & 1)
-                        if not sub.size:
-                            continue
-                        pref = wc[sub] & _MASKS[L]
-                        h = ((pref * hmul) >> hshift).astype(np.int64)
-                        remL = remc[sub]
-                        for probe in range(hprobe[L]):
-                            slot = (h + probe) & hmask
-                            hit = np.flatnonzero((hk[slot] == pref) & (remL >= L))
-                            if hit.size:
-                                tgt = cand[sub[hit]]
-                                best_code[tgt] = hcodes[L][slot[hit]]
-                                best_len[tgt] = L
-            # a 2-byte match may straddle the segment end (words look past
-            # it): downgrade those to the 1-byte literal
-            over = np.flatnonzero(best_len > rem)
-            if over.size:
-                best_code[over] = table.lit_code[blob[cur_a[over]]]
-                best_len[over] = 1
-            out[ptr_a] = best_code.astype(np.uint8)
-            escaped = np.flatnonzero(best_code == ESC)
+            bc = best_code[cur_a]
+            out[ptr_a] = bc
+            escaped = np.flatnonzero(bc == ESC)
             if escaped.size:
                 exc[ptr_a[escaped]] = blob[cur_a[escaped]]
             ptr_a += 1
-            cur_a += best_len
+            cur_a += best_len[cur_a]
             done = cur_a >= end_a
             if done.any():
                 final_ptr[seg_a[done]] = ptr_a[done]
@@ -414,17 +478,40 @@ def encode_with_table(
 
 
 def decode_to_blob(codes: np.ndarray, exceptions: np.ndarray, table: SymbolTable) -> np.ndarray:
-    """Vectorized expansion of a code stream back to the original bytes."""
-    if len(codes) == 0:
+    """Vectorized expansion of a code stream back to the original bytes.
+
+    Tokens are grouped by symbol length (<= 8 groups); each group writes
+    its bytes with L column-wise scatters from the code-indexed symbol
+    byte columns — no giant repeat/arange gather index is ever built."""
+    n = len(codes)
+    if n == 0:
         return np.zeros(0, np.uint8)
-    c = codes.astype(np.int64)
-    lens = table.symlen[c]
-    total = int(lens.sum())
-    starts = np.zeros(len(c), dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    # idx[j] = symoff[code] + (j - token_start): one repeat + one arange
-    idx = np.repeat(table.symoff[c] - starts, lens) + np.arange(total, dtype=np.int64)
-    out = table.symdata[idx]
+    lens = table.symlen_u8[codes]
+    starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(lens[:-1], dtype=np.int64, out=starts[1:])
+    total = int(starts[-1]) + int(lens[-1])
+    sym_cols = table.sym_cols
+    if int(lens[0]) == 1 and total == n:
+        # all 1-byte tokens: one straight gather
+        out = sym_cols[0][codes]
+    else:
+        # one stable radix argsort groups tokens by length (cheaper than a
+        # mask+flatnonzero scan per distinct length)
+        order = np.argsort(lens, kind="stable")
+        slens = lens[order]
+        # cuts[L-1]:cuts[L] is the slice of length-L tokens in `order`
+        cuts = np.searchsorted(slens, np.arange(1, MAX_SYM_LEN + 2))
+        out = np.empty(total, dtype=np.uint8)
+        for L in range(1, MAX_SYM_LEN + 1):
+            lo, hi = int(cuts[L - 1]), int(cuts[L])
+            if hi == lo:
+                continue
+            sel = order[lo:hi]
+            pos = starts[sel]
+            cc = codes[sel]
+            for j in range(L):
+                out[pos + j] = sym_cols[j][cc]
     esc_pos = starts[codes == ESC]
     out[esc_pos] = exceptions
     return out

@@ -124,10 +124,39 @@ def run_expand(run_values: np.ndarray, run_lengths: np.ndarray) -> np.ndarray:
 # compressor (Snappy) over its own encoded pages
 # (src/touches/parquet_writer.cpp:122-126); we use stdlib codecs the same way.
 
+# zstd page compression rides pyarrow's bundled codec (no extra deps).
+# pyarrow's one-shot zstd decompress requires the raw size, so the
+# compressed page is framed with an 8-byte little-endian raw length.
+_ZSTD_CODECS: dict[int, object] = {}
+
+
+def _zstd_codec(level: int):
+    cod = _ZSTD_CODECS.get(level)
+    if cod is None:
+        import pyarrow as pa
+
+        cod = _ZSTD_CODECS[level] = pa.Codec("zstd", compression_level=level)
+    return cod
+
+
+def _zstd_compress(b: bytes, level: int) -> bytes:
+    out = _zstd_codec(level).compress(b)
+    return len(b).to_bytes(8, "little") + out.to_pybytes()
+
+
+def _zstd_decompress(b: bytes) -> bytes:
+    raw_len = int.from_bytes(b[:8], "little")
+    # level is an encode-side knob only; any zstd codec decodes any level
+    return _zstd_codec(1).decompress(b[8:], raw_len).to_pybytes()
+
+
 _POST_ENCODERS = {
     "zlib": lambda b: zlib.compress(b, 6),
     "zlib1": lambda b: zlib.compress(b, 1),
     "zlib9": lambda b: zlib.compress(b, 9),
+    "zstd": lambda b: _zstd_compress(b, 3),
+    "zstd6": lambda b: _zstd_compress(b, 6),
+    "zstd9": lambda b: _zstd_compress(b, 9),
     "lzma": lambda b: lzma.compress(b, preset=2),
     "lzma6": lambda b: lzma.compress(b, preset=6),
 }
@@ -136,6 +165,9 @@ _POST_DECODERS = {
     "zlib": zlib.decompress,
     "zlib1": zlib.decompress,
     "zlib9": zlib.decompress,
+    "zstd": _zstd_decompress,
+    "zstd6": _zstd_decompress,
+    "zstd9": _zstd_decompress,
     "lzma": lzma.decompress,
     "lzma6": lzma.decompress,
 }

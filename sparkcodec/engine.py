@@ -886,13 +886,11 @@ def _encode_one_part(
         st = _part_col_stats(arr)
         if st is not None:
             col_stats[col] = st
-            vs = _part_col_vset(arr)
+            vs, bl = _part_col_value_index(arr)
             if vs is not None:
                 col_vsets[col] = vs
-            else:
-                bl = _part_col_bloom(arr)
-                if bl is not None:
-                    col_blooms[col] = bl
+            elif bl is not None:
+                col_blooms[col] = bl
         col_nulls[col] = int(arr.null_count)
         if select_cache is not None and col in select_cache:
             spec, fsst_table = select_cache[col]
@@ -1096,7 +1094,7 @@ _VSET_MAX = 64  # exact value sets recorded only for low-cardinality parts
 
 
 def _part_col_vset(arr: pa.Array):
-    """Sorted distinct values of a low-cardinality column, or None.
+    """Sorted distinct distinct values of a low-cardinality column, or None.
 
     Recorded only when the column already qualifies for zone maps (so
     values are short, orderable, JSON-safe) AND the part holds at most
@@ -1114,6 +1112,24 @@ def _part_col_vset(arr: pa.Array):
     if len(vals) > _VSET_MAX:
         return None
     return sorted(vals.to_pylist())
+
+
+def _part_col_value_index(arr: pa.Array):
+    """One distinct-values pass yielding (vset, bloom) for a part column
+    — at most one of the two is non-None. Folds the separate
+    ``_part_col_vset`` + ``_part_col_bloom`` calls the encode kernel used
+    to make (each re-ran its own head-gate and full unique pass)."""
+    import pyarrow.compute as pc
+
+    head = pc.unique(arr.slice(0, 4096).drop_null())
+    if len(head) >= 4096:
+        return None, None  # (near-)unique column: neither index helps
+    vals = pc.unique(arr.drop_null())
+    if len(vals) <= _VSET_MAX:
+        return sorted(vals.to_pylist()), None
+    if len(vals) <= _BLOOM_MAX_DISTINCT:
+        return None, _bloom_of_values(vals.to_pylist())
+    return None, None
 
 
 _BLOOM_M = 1 << 16  # bits (8 KiB bitset; zlib-compressed in lineage)
@@ -1178,12 +1194,26 @@ def _part_col_bloom(arr: pa.Array):
     vals = pc.unique(arr.drop_null())
     if not (_VSET_MAX < len(vals) <= _BLOOM_MAX_DISTINCT):
         return None  # small cards use the exact value set instead
+    return _bloom_of_values(vals.to_pylist())
+
+
+def _bloom_of_values(values: list):
+    import base64
+    import hashlib
+    import zlib
+
+    # one blake2b per value; the 4 per-value positions are the digest's
+    # four little-endian u32 words mod _BLOOM_M — bit-for-bit the same
+    # layout _bloom_positions computes one value at a time on the probe
+    # side, with the per-position Python loop replaced by one numpy pass
+    keys = [_bloom_key(v) for v in values]
+    kinds = {k[0] for k in keys}
+    digs = b"".join(
+        hashlib.blake2b(k.encode(), digest_size=16).digest() for k in keys
+    )
+    pos = np.frombuffer(digs, dtype="<u4") % np.uint32(_BLOOM_M)
     bits = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
-    kinds = set()
-    for v in vals.to_pylist():
-        kinds.add(_bloom_key(v)[0])
-        for pos in _bloom_positions(v):
-            bits[pos >> 3] |= 1 << (pos & 7)
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
     return {
         "kinds": sorted(kinds),
         "b64": base64.b64encode(zlib.compress(bits.tobytes())).decode(),

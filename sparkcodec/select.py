@@ -25,12 +25,15 @@ from .codecs.fsst import SymbolTable, build_table
 from .codecs.kernels import string_parts
 
 # page compressor used behind lightweight codecs when it pays off.
-# zlib balances ratio and speed; SPARKCODEC_POST=lzma trades ~2x encode
-# speed for ~10-15% smaller output (measured on real Python stdlib
-# source: fsst+zlib 1.10MB vs fsst+lzma 0.97MB vs zstd-parquet 1.33MB)
+# zstd level 3 (pyarrow's bundled codec) is the speed/ratio default:
+# measured on the bench FSST code stream it compresses ~6x faster than
+# zlib-6 (4.3ms vs 25.5ms per 1.3MB page) and decompresses ~2.4x faster
+# at ~11% larger output; SPARKCODEC_POST=zstd6 matches zlib-6's size at
+# still ~1.5x its encode speed, SPARKCODEC_POST=lzma trades ~2x encode
+# speed for ~10-15% smaller output.
 import os as _os
 
-DEFAULT_POST = _os.environ.get("SPARKCODEC_POST", "zlib")
+DEFAULT_POST = _os.environ.get("SPARKCODEC_POST", "zstd")
 
 SAMPLE_ROWS = 1024
 SAMPLE_BYTES = 512 << 10
@@ -160,24 +163,35 @@ def choose_codec(
 
     sample = sample_block(arr)
     stats = column_stats(sample)
-    # group candidates by base codec: encode each base ONCE on the sample,
-    # then size the +post variants by compressing that payload
-    by_base: dict[str, set] = {}
-    for spec in candidates_for(stats):
-        base, post = parse_spec(spec)
-        by_base.setdefault(base, set()).add(post)
-    if "fsst" in by_base and fsst_table is None:
+    specs = candidates_for(stats)
+    if any(parse_spec(s)[0] == "fsst" for s in specs) and fsst_table is None:
         lens, blob = string_parts(sample if sample.null_count == 0 else sample.fill_null(""))
         fsst_table = build_table(lens, blob)
+    # evaluate candidates IN ROUTING ORDER, encoding each base once; a
+    # later candidate must be >5% smaller to displace an earlier one —
+    # the router's priors carry decode-side value a few-percent size edge
+    # doesn't outweigh (dict: O(#distinct) value table + exact vsets for
+    # pruning; fsst: symbol-level decode) and the deterministic order
+    # keeps the choice stable run to run
+    enc_cache: dict[str, bytes | None] = {}
     best_spec, best_size = None, None
-    for base, posts in by_base.items():
-        try:
-            payload, _ = encode_array(sample, base, fsst_table=fsst_table)
-        except (ValueError, TypeError):
+    for spec in specs:
+        base, post = parse_spec(spec)
+        if base not in enc_cache:
+            try:
+                enc_cache[base] = encode_array(sample, base, fsst_table=fsst_table)[0]
+            except (ValueError, TypeError):
+                enc_cache[base] = None
+        payload = enc_cache[base]
+        if payload is None:
             continue
-        for post in posts:
-            blob, eff = post_compress(payload, post)
-            spec = base if eff is None else f"{base}+{eff}"
-            if best_size is None or len(blob) < best_size:
-                best_spec, best_size = spec, len(blob)
+        blob, eff = post_compress(payload, post)
+        # displacement needs a RELATIVE and an ABSOLUTE margin: at
+        # few-dozen-byte sample payloads (one distinct value) a 5% edge
+        # is a couple of bytes of container framing, not a signal
+        if best_size is None or (
+            len(blob) < best_size * 0.95 and best_size - len(blob) > 64
+        ):
+            best_spec = base if eff is None else f"{base}+{eff}"
+            best_size = len(blob)
     return best_spec or "raw", fsst_table

@@ -60,13 +60,91 @@ def _num_range_parts(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
+# order-column types whose Spark min/max structs compare identically to
+# the Python tuple comparison the disjointness probe performs (floats are
+# excluded: NaN ordering differs between the engines)
+_PROBE_OK_TYPES = (
+    T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+    T.StringType, T.BooleanType, T.DateType, T.TimestampType,
+)
+
+
+def _aligned_rank_map(df: DataFrame, order_cols: list[str]):
+    """If the existing partitions of ``df`` hold DISJOINT order-key ranges
+    (a sorted table's scan does), return {partition_id: rank}; else None.
+
+    One cheap probe job (per-partition min/max/null-count of the order
+    tuple, O(#partitions) rows to the driver) decides whether the range
+    exchange in :func:`_ranged` can be skipped outright: disjoint
+    partitions + a local sort ARE a valid range partitioning, with rank
+    = the partition's position in key order (guide: remove shuffles the
+    data's existing layout already paid for). Conservative everywhere —
+    floats, nulls in the keys, or any overlap fall back to the shuffle."""
+    if not all(
+        isinstance(df.schema[c].dataType, _PROBE_OK_TYPES) for c in order_cols
+    ):
+        return None
+    # the exchange being skipped is also what SPREADS the work: keeping
+    # the input partitioning is only a win when the input already has
+    # enough partitions to occupy the cluster (a one-file, one-row-group
+    # table scans as a single partition — there the shuffle IS the
+    # parallelizer and the probe would be pure overhead)
+    try:
+        npart = df.rdd.getNumPartitions()
+    except Exception:
+        return None
+    spark = df.sparkSession
+    if npart < max(2, spark.sparkContext.defaultParallelism // 2):
+        return None
+    k = F.struct(*[F.col(c) for c in order_cols])
+    nulls = sum(
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) for c in order_cols
+    )
+    try:
+        rows = (
+            df.select(*order_cols)
+            .withColumn(_PID, F.spark_partition_id())
+            .groupBy(_PID)
+            .agg(F.min(k).alias("mn"), F.max(k).alias("mx"), nulls.alias("nn"))
+            .collect()
+        )
+    except Exception:
+        return None
+    if not rows or any(r["nn"] for r in rows):
+        return None
+    spans = sorted((tuple(r["mn"]), tuple(r["mx"]), int(r[_PID])) for r in rows)
+    for (_, prev_mx, _), (nxt_mn, _, _) in zip(spans, spans[1:]):
+        if not prev_mx < nxt_mn:
+            return None  # overlap (or boundary tie): ranks would be wrong
+    return {pid: rank for rank, (_, _, pid) in enumerate(spans)}
+
+
 def _ranged(df: DataFrame, order_cols: list[str]) -> DataFrame:
     """Range-shuffle + in-partition sort: total order, pid == global rank.
 
-    No explicit partition count: AQE right-sizes the range shuffle
-    (coalescing adjacent range partitions, which preserves the
-    pid-is-rank invariant) so small inputs don't pay 32 near-empty
-    tasks and huge inputs still spread across the cluster."""
+    When the input's partitions already hold disjoint key ranges (sorted
+    source tables), the exchange is skipped: a local sort plus a
+    broadcast pid->rank relabel reproduce the same invariant with zero
+    shuffled bytes. Otherwise: no explicit partition count — AQE
+    right-sizes the range shuffle (coalescing adjacent range partitions,
+    which preserves the pid-is-rank invariant) so small inputs don't pay
+    32 near-empty tasks and huge inputs still spread across the cluster."""
+    rank_map = _aligned_rank_map(df, order_cols)
+    if rank_map is not None:
+        spark = df.sparkSession
+        map_df = spark.createDataFrame(
+            [(int(p), int(r)) for p, r in rank_map.items()],
+            f"__pid_raw int, {_PID} int",
+        )
+        # sort LAST: a local sort sitting below the join is dead code to
+        # Catalyst (EliminateSorts strips it); as the terminal operator
+        # it survives, exactly like the shuffle path's trailing sort
+        return (
+            df.withColumn("__pid_raw", F.spark_partition_id())
+            .join(F.broadcast(map_df), "__pid_raw")
+            .drop("__pid_raw")
+            .sortWithinPartitions(*order_cols)
+        )
     return (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
@@ -123,6 +201,7 @@ def _local_runs_fn(node_type: pa.DataType, totals_acc=None):
         pos = 0  # rows consumed so far in this partition
         open_node = None  # value of the still-open run
         open_start = 0
+        first_run = None  # (node, local_start, local_end) of run 0
 
         def emit(nodes, starts, ends, last_flags):
             return pa.RecordBatch.from_arrays(
@@ -166,13 +245,24 @@ def _local_runs_fn(node_type: pa.DataType, totals_acc=None):
             open_start = pos + int(bidx[-1])
             pos += n
             if nodes_out:
+                if first_run is None:
+                    first_run = (
+                        np.asarray(nodes_out[0]).item(),
+                        int(starts_out[0]),
+                        int(ends_out[0]),
+                    )
                 yield emit(nodes_out, starts_out, ends_out, [False] * len(nodes_out))
         if pos > 0:
             yield emit([open_node], [open_start], [pos], [True])
         if totals_acc is not None and pos > 0:
-            # side-channel the partition row count to the driver during the
-            # checkpoint job itself — no follow-up collect pass needed
-            totals_acc.add({int(pid): int(pos)})
+            last_run = (np.asarray(open_node).item(), int(open_start), int(pos))
+            if first_run is None:
+                first_run = last_run  # single-run partition
+            # side-channel the partition row count AND its first/last run
+            # to the driver during the checkpoint job itself — the
+            # O(#parts) boundary chain-merge then happens on the driver
+            # with no follow-up Spark stage
+            totals_acc.add({int(pid): (int(pos), first_run, last_run)})
 
     return fn
 
@@ -244,13 +334,14 @@ def edge_ranges(df: DataFrame, node_col: str, order_cols: list[str]) -> DataFram
     )
     # one shuffle + one sort + one kernel pass, materialized: every
     # consumer below reads the checkpoint instead of re-running the sort.
-    # Per-partition row counts ride an accumulator out of this same job
-    # (the kernel's closing position), so no second collect pass runs.
+    # Per-partition row counts AND first/last runs ride an accumulator out
+    # of this same job, so no second collect pass runs.
     totals = spark.sparkContext.accumulator({}, _PidTotalsParam())
     runs = ranged.mapInArrow(
         _local_runs_fn(node_type, totals), runs_ddl
     ).localCheckpoint()
-    offs = _offsets_df(spark, totals.value)
+    tv = totals.value  # {pid: (rows, first_run, last_run)}
+    offs = _offsets_df(spark, {p: v[0] for p, v in tv.items()})
 
     runs_g = runs.join(F.broadcast(offs), _PID).select(
         "node_id",
@@ -259,18 +350,39 @@ def edge_ranges(df: DataFrame, node_col: str, order_cols: list[str]) -> DataFram
         ((F.col("__ls") == 0) | F.col("__last")).alias("__bnd"),
     )
     interior = runs_g.filter(~F.col("__bnd")).drop("__bnd")
-    # repartition(1), NOT coalesce(1): coalesce would narrow the whole
-    # upstream stage to one task; repartition exchanges only the
-    # O(2·#parts) boundary rows.
-    merged = (
-        runs_g.filter(F.col("__bnd"))
-        .drop("__bnd")
-        .repartition(1)
-        .mapInArrow(
-            _merge_boundary_fn(node_type),
-            f"node_id {spark_t.simpleString()}, range_start long, range_end long",
+    # the O(2·#parts) boundary runs are already on the driver (they rode
+    # the accumulator); chain-merge them here and union the result in as
+    # a literal DataFrame — no repartition(1) exchange, no extra Python
+    # stage in the consumer job
+    acc = 0
+    brows = []
+    for pid in sorted(tv):
+        rows, first, last = tv[pid]
+        spans = [first] if first == last else [first, last]
+        for node, ls, le in spans:
+            brows.append((node, acc + ls, acc + le))
+        acc += rows
+    merged_ddl = f"node_id {spark_t.simpleString()}, range_start long, range_end long"
+    if brows:
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in brows], type=node_type),
+                pa.array([r[1] for r in brows], type=pa.int64()),
+                pa.array([r[2] for r in brows], type=pa.int64()),
+            ],
+            schema=pa.schema(
+                [("node_id", node_type), ("range_start", pa.int64()),
+                 ("range_end", pa.int64())]
+            ),
         )
-    )
+        merged_rows = [
+            tuple(r.values())
+            for b in _merge_boundary_fn(node_type)([batch])
+            for r in b.to_pylist()
+        ]
+    else:
+        merged_rows = []
+    merged = spark.createDataFrame(merged_rows, merged_ddl)
     return interior.unionByName(merged)
 
 

@@ -167,8 +167,14 @@ def train_centroids(
         d2 = np.min(
             [np.sum((x - c) ** 2, axis=1) for c in cents], axis=0
         )
-        p = d2 / max(d2.sum(), 1e-12)
-        cents.append(x[rng.choice(len(x), p=p)])
+        tot = float(d2.sum())
+        if tot <= 1e-12:
+            # degenerate sample (all vectors ~identical): every remaining
+            # seed is equivalent — fall back to uniform instead of handing
+            # rng.choice a distribution that does not sum to 1
+            cents.append(x[rng.integers(len(x))])
+            continue
+        cents.append(x[rng.choice(len(x), p=d2 / tot)])
     c = np.stack(cents)
     for _ in range(iters):
         # spherical Lloyd: assign by max dot, re-center, re-normalize

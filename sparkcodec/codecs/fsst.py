@@ -57,6 +57,7 @@ class SymbolTable:
         "hsym",
         "hlen",
         "hcode",
+        "hmask",
         "max_len",
         "symlen_u8",
         "sym_cols",
@@ -141,6 +142,9 @@ class SymbolTable:
         self.hsym = hs
         self.hlen = hl
         self.hcode = hc
+        # per-slot match mask (= _MASKS[hlen]) precomputed so the probe
+        # pays one uint64 gather instead of a length gather + mask gather
+        self.hmask = [_MASKS[hl[ti]] for ti in range(2)]
         # decode-side column-major symbol bytes: sym_cols[j][code] is byte j
         # of the symbol (zero beyond its length) — the per-length scatter
         # decode gathers one column at a time, no repeat/arange index build
@@ -325,6 +329,7 @@ def encode_with_table(
 
     tab12 = table.tab12
     hsym, hlen, hcode = table.hsym, table.hlen, table.hcode
+    hmask = table.hmask
     any_long = bool(hlen[0].any() or hlen[1].any())
     GATE = np.int32(1 << 10)
     hmul = np.uint64(0x9E3779B97F4A7C15)
@@ -355,18 +360,34 @@ def encode_with_table(
         nothing matched within ``rem``)."""
         ln = np.zeros(len(w), dtype=np.uint8)
         code = np.zeros(len(w), dtype=np.uint8)
-        for ti, klen in ((1, 3), (0, 5)):  # probe 3-table first; 5-table
-            slot = (((w & _MASKS[klen]) * hmul) >> hshift).astype(np.int64)
-            sl = hlen[ti][slot]
-            ok = (w & _MASKS[sl]) == hsym[ti][slot]
+        # 5-table first; a hit there is FINAL: any longer candidate shares
+        # the position's 5-byte prefix, and the slot holds the longest
+        # symbol with that prefix (longest-first insertion), so only the
+        # miss subset ever pays the 3-table probe. Slots stay uint64 (a
+        # valid numpy index type — the int64 astype would be a full extra
+        # pass) and the per-slot match MASK is gathered directly.
+        slot = ((w & _MASKS[5]) * hmul) >> hshift
+        ok = (w & hmask[0][slot]) == hsym[0][slot]
+        if rem is not None:
+            ok &= hlen[0][slot] <= rem
+        hit = np.flatnonzero(ok)
+        if hit.size:
+            sh = slot[hit]
+            ln[hit] = hlen[0][sh]
+            code[hit] = hcode[0][sh]
+        miss = np.flatnonzero(ln == 0)
+        if miss.size:
+            wm = w[miss]
+            slot = ((wm & _MASKS[3]) * hmul) >> hshift
+            ok = (wm & hmask[1][slot]) == hsym[1][slot]
             if rem is not None:
-                ok &= sl <= rem
-            # overwrites the 3-table result only with a >= length match,
-            # so the longest candidate wins and ties prefer the 5-table
-            upd = np.flatnonzero(ok & (sl >= ln))
-            if upd.size:
-                ln[upd] = sl[upd]
-                code[upd] = hcode[ti][slot[upd]]
+                ok &= hlen[1][slot] <= rem[miss]
+            hit = np.flatnonzero(ok)
+            if hit.size:
+                sh = slot[hit]
+                tgt = miss[hit]
+                ln[tgt] = hlen[1][sh]
+                code[tgt] = hcode[1][sh]
         return code, ln
 
     # ---- phase 1: longest match (code, len) at EVERY byte position, in a

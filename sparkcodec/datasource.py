@@ -178,6 +178,45 @@ class SparkcodecReader(DataSourceReader):
         parts = snapshot_parts(self.out_dir, self.snapshot_id)
         if parts is None:
             parts = sorted(completed_parts(self.out_dir))
+        # field-id resolution (ghosts for dropped-and-re-added names,
+        # aliases for renamed columns): computed on the driver and
+        # shipped INSIDE the partition values — the reader object is
+        # serialized before partitions() runs, so a mutated self
+        # attribute would never reach the executors. Tasks decode
+        # ghosted columns as NULL and renamed columns from their storage
+        # names, same rule as engine.decode_table. Computed BEFORE any
+        # stat pruning: a ghost part's recorded stats describe the DEAD
+        # field, and null pruning must not judge the tip's all-NULL
+        # column by them.
+        remap: dict = {}
+        from .engine import _column_remap, _needs_remap, snapshot_field_ids, snapshots
+
+        snaps = snapshots(self.out_dir)
+        if _needs_remap(snaps):
+            sid = self.snapshot_id
+            if sid is None and snaps:
+                from .engine import _tip_entry
+
+                sid = _tip_entry(snaps)["id"]
+            if sid is not None:
+                remap = _column_remap(
+                    self.out_dir, self.columns, parts,
+                    snapshot_field_ids(self.out_dir, sid, snaps=snaps),
+                    snaps=snaps,
+                )
+        # parts where a column is GHOSTED decode it as all-NULL whatever
+        # its dead stats say: they must bypass null pruning on that
+        # column (an 'IS NULL' probe matches EVERY row of such a part,
+        # yet the dead field's zero-null accounting would drop it).
+        # Range/eq/IN pruning may still use the dead stats: those
+        # predicates never match NULL, so any drop they make is sound,
+        # and a keep is merely conservative (Spark re-evaluates filters).
+        # Aliased parts carry their stats under the storage name, so a
+        # lookup by the requested name misses and stays conservative.
+        ghost_parts: dict[str, set] = {}
+        for p, (gh, _al) in remap.items():
+            for c in gh:
+                ghost_parts.setdefault(c, set()).add(int(p))
         if self.bounds or self.eqs or self.nulls:
             # ONE manifest-backed metadata read for all pruning dimensions
             # (O(#snapshots) files, not O(#parts) checkpoint opens)
@@ -195,33 +234,15 @@ class SparkcodecReader(DataSourceReader):
                     {p: d["bloom"] for p, d in pm.items()},
                 )
             for col, kinds in self.nulls.items():
+                protected = ghost_parts.get(col, set())
+                prunable = [p for p in parts if int(p) not in protected]
+                kept_ghosts = [p for p in parts if int(p) in protected]
                 for kind in kinds:
-                    parts = prune_parts_nulls(
-                        self.out_dir, col, kind, parts, part_null_stats(self.out_dir, pm)
+                    prunable = prune_parts_nulls(
+                        self.out_dir, col, kind, prunable,
+                        part_null_stats(self.out_dir, pm),
                     )
-        # field-id resolution (ghosts for dropped-and-re-added names,
-        # aliases for renamed columns): computed on the driver and
-        # shipped INSIDE the partition values — the reader object is
-        # serialized before partitions() runs, so a mutated self
-        # attribute would never reach the executors. Tasks decode
-        # ghosted columns as NULL and renamed columns from their storage
-        # names, same rule as engine.decode_table.
-        remap: dict = {}
-        from .engine import _column_remap, _needs_remap, snapshot_field_ids, snapshots
-
-        snaps = snapshots(self.out_dir)
-        if _needs_remap(snaps):
-            sid = self.snapshot_id
-            if sid is None and snaps:
-                from .engine import _tip_entry
-
-                sid = _tip_entry(snaps)["id"]
-            if sid is not None:
-                remap = _column_remap(
-                    self.out_dir, self.columns, parts,
-                    snapshot_field_ids(self.out_dir, sid, snaps=snaps),
-                    snaps=snaps,
-                )
+                parts = sorted(set(prunable) | set(kept_ghosts))
         if not parts:
             return [InputPartition([])]
 

@@ -596,6 +596,9 @@ def _with_concurrency(op: str):
     return deco
 
 
+_LOCK_EXTEND_SLACK = 10.0  # takeover/release headroom past the holder's lease
+
+
 def _acquire_writer_lock_blocking(
     out_dir: str,
     op: str,
@@ -616,6 +619,7 @@ def _acquire_writer_lock_blocking(
 
     deadline = time.time() + timeout
     delay = 0.05
+    extended = False
     key = _j(out_dir, "_writer.lock")
     fs = _get_fs(out_dir)
     while True:
@@ -626,13 +630,21 @@ def _acquire_writer_lock_blocking(
             return tok
         except ConcurrentWriterError:
             # peek at the holder: wait at least until ITS lease expires
-            # (+slack for its release/our takeover), however long it is
-            try:
-                cur = json.loads(fs.read_bytes(key))
-                expiry = cur.get("ts", 0) + cur.get("lease_sec", lease_sec)
-                deadline = max(deadline, expiry + 10.0)
-            except Exception:
-                pass  # no/unreadable lock: keep the current deadline
+            # (+slack for its release/our takeover), however long it is.
+            # Extend AT MOST ONCE — for the holder observed when we
+            # started waiting: re-extending for every successive holder
+            # would make the wait unbounded under continuous writer
+            # turnover and the timeout parameter meaningless.
+            if not extended:
+                try:
+                    cur = json.loads(fs.read_bytes(key))
+                    expiry = cur.get("ts", 0) + cur.get("lease_sec", lease_sec)
+                    new_deadline = max(deadline, expiry + _LOCK_EXTEND_SLACK)
+                    if new_deadline > deadline:
+                        deadline = new_deadline
+                        extended = True
+                except Exception:
+                    pass  # no/unreadable lock: keep the current deadline
             if time.time() >= deadline:
                 raise
             time.sleep(delay * (0.5 + random.random()))
@@ -1746,12 +1758,19 @@ _CONSOLIDATE_EVERY = 64
 
 
 def _manifests_since_full(snaps: list[dict]) -> int:
-    """Main-chain manifests committed since the last FULL-coverage one
-    (compaction/expire consolidations and auto-consolidated appends all
-    count as full)."""
+    """Main-chain manifests committed since the last FULL-coverage one.
+
+    Only entries flagged ``manifest_full`` reset the count — every path
+    that truly consolidates (compaction, partial optimize, expire's
+    squashed root, the auto-consolidation itself) sets the flag, while a
+    bare ``compaction`` or ``tag_only`` marker proves nothing about
+    coverage. Branch commits don't extend the MAIN chain a cold pruned
+    read walks, so they don't inflate the count either."""
     n = 0
     for s in reversed(snaps):
-        if s.get("manifest_full") or s.get("compaction") or s.get("tag_only"):
+        if s.get("branch"):
+            continue
+        if s.get("manifest_full"):
             break
         if s.get("manifest"):
             n += 1
@@ -1873,6 +1892,30 @@ def _commit_optimistic_append(
                 entry, columns=evolved["columns"], schema=evolved["schema"],
                 field_ids=evolved["field_ids"],
             )
+            # the PARTS of this run stamped planning-time field ids into
+            # their checkpoints (and `pm`, about to become the manifest).
+            # If the re-merge assigned any of this run's columns a
+            # DIFFERENT id — two concurrent writers each adding a column
+            # both allocate the same next_field_id — committing would
+            # persist conflicting identities: once a later drop/rename
+            # activates the remap, _column_remap would resolve by the
+            # stale per-part ids and could alias one column's reads onto
+            # another's blocks or falsely ghost it. Refuse loudly; the
+            # reservation keeps the orphan parts protected until vacuum.
+            stale = {
+                c: (meta["field_ids"].get(c), evolved["field_ids"].get(c))
+                for c in meta["columns"]
+                if meta["field_ids"].get(c) != evolved["field_ids"].get(c)
+            }
+            if stale:
+                raise ConcurrentWriterError(
+                    "optimistic append refused: a concurrent schema "
+                    "change re-assigned field ids this run already "
+                    f"stamped into its parts ({stale}); re-run the "
+                    "append with the default exclusive concurrency — "
+                    "its parts stay protected behind the reservation "
+                    "until vacuum reclaims them"
+                )
         e = _commit_snapshot_entry(
             out_dir, entry, append=True, evolved_meta=evolved, pm=pm
         )

@@ -466,11 +466,11 @@ def csr_offsets(ranges: DataFrame) -> DataFrame:
     Catalyst adds no second exchange) and the exclusive prefix sum
     (assume_ranged skips its shuffle). No global window anywhere.
 
-    The input is flattened first (localCheckpoint): the range shuffle's
-    sampling pass and the prefix materialization would otherwise each
-    re-execute the ranges plan — including edge_ranges' boundary-merge
-    branch — once per consumer."""
-    ranges = ranges.localCheckpoint()
+    No re-materialization of the input: edge_ranges' output is a cheap
+    filter over its own checkpointed runs unioned with a driver-literal
+    boundary merge, so the range shuffle's sampling pass re-executing it
+    costs one checkpoint read, not a kernel re-run (the extra
+    localCheckpoint this used to do was an eager job per call)."""
     pre = ranges.repartitionByRange("node_id")
     per_node = pre.groupBy("node_id").agg(F.count(F.lit(1)).alias("n_ranges"))
     with_off = prefix_sum_exclusive(

@@ -167,3 +167,18 @@ def test_trained_quantizer_recall_gate(spark, emb, tmp_path):
     more = blobs.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
     extend_ann_index(spark, more, km_idx)
     assert ann_index_params(km_idx)["centroids"] == params["centroids"]
+
+
+def test_train_centroids_degenerate_sample(spark):
+    """All-identical vectors must train (uniform seeding fallback), not
+    crash k-means++ with a probability vector that does not sum to 1."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.ann import train_centroids
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0) for _ in range(4)]).alias("embedding"),
+    )
+    cents = train_centroids(spark, emb, 4, sample_rows=64)
+    assert len(cents) == 4 and all(len(c) == 4 for c in cents)

@@ -3751,3 +3751,113 @@ def test_add_column_with_default(spark, tmp_path):
     # after materialization, time travel pre-add still has no column
     pre = decode_table(spark, out, snapshot_id=1)
     assert "score" not in pre.columns
+
+
+def test_optimistic_append_refuses_on_field_id_conflict(spark, tmp_path):
+    """Two writers that each planned the SAME next field id for different
+    new columns must not both commit optimistically: the loser's parts
+    stamped a field id the re-merge reassigns, so its commit refuses
+    loudly instead of persisting conflicting column identities."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        ConcurrentWriterError,
+        _commit_optimistic_append,
+        encode_table,
+    )
+
+    out = str(tmp_path / "fidconflict")
+    df = spark.range(50).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=1, resume=False)
+    base_meta = _json.load(open(f"{out}/_table_meta.json"))
+    # writer A landed column "a" at the tip and took the next field id
+    encode_table(
+        spark,
+        spark.range(50, 60).select(
+            F.col("id"), (F.col("id") % 2).alias("g"),
+            F.lit(1).cast("long").alias("a"),
+        ),
+        out, append=True, cluster_by=["g"], salt_by=["id"], num_parts=1,
+    )
+    # writer B planned column "b" against the PRE-A meta: its planning
+    # run allocated the same next_field_id for "b" that A used for "a"
+    planned = dict(
+        base_meta,
+        columns=base_meta["columns"] + ["b"],
+        schema={**base_meta["schema"], "b": "i64"},
+        field_ids={**base_meta["field_ids"], "b": base_meta["next_field_id"]},
+    )
+    entry = {"new_parts": [], "n_rows": 0, "enc_bytes": 0,
+             "layout": "clustered", "columns": planned["columns"],
+             "schema": planned["schema"], "ts": 0.0}
+    with _pytest.raises(ConcurrentWriterError, match="field ids"):
+        _commit_optimistic_append(out, entry, planned, None, None)
+
+
+def test_manifests_since_full_ignores_branch_and_bare_markers():
+    """The consolidation counter must count only main-chain manifests and
+    reset only on genuinely FULL-coverage ones — branch commits and bare
+    compaction/tag_only markers neither reset nor inflate it."""
+    from sparkcodec.engine import _manifests_since_full
+
+    snaps = [
+        {"id": 1, "manifest": "m1", "manifest_full": True},
+        {"id": 2, "manifest": "m2"},
+        {"id": 3, "manifest": "m3", "branch": "dev"},  # not main-chain
+        {"id": 4, "manifest": "m4", "compaction": True},  # partial: no full flag
+        {"id": 5, "tag_only": True},  # no manifest at all
+        {"id": 6, "manifest": "m6"},
+    ]
+    assert _manifests_since_full(snaps) == 3  # m2, m4, m6
+    snaps.append({"id": 7, "manifest": "m7", "manifest_full": True})
+    assert _manifests_since_full(snaps) == 0
+
+
+def test_writer_lock_wait_is_bounded_under_turnover(tmp_path, monkeypatch):
+    """The blocking acquire extends its deadline at most once (for the
+    holder observed at entry): continuous holder turnover must not make
+    the timeout parameter meaningless."""
+    import json as _json
+    import time as _time
+
+    import pytest as _pytest
+
+    from sparkcodec import engine as E
+
+    out = str(tmp_path / "lk")
+    import os as _os
+
+    _os.makedirs(out, exist_ok=True)
+    key = f"{out}/_writer.lock"
+
+    def refresh_holder():
+        # a fresh foreign holder every observation, each with a long lease
+        _json.dump(
+            {"ts": _time.time(), "lease_sec": 3.0, "op": "x",
+             "pid": 999999, "token": "t"},
+            open(key, "w"),
+        )
+
+    refresh_holder()
+    orig_read = E._get_fs(out).read_bytes
+
+    def read_and_refresh(path):
+        b = orig_read(path)
+        if path == key:
+            refresh_holder()  # simulate turnover on every peek
+        return b
+
+    monkeypatch.setattr(E._get_fs(out), "read_bytes", read_and_refresh)
+    monkeypatch.setattr(E, "_LOCK_EXTEND_SLACK", 0.5)
+    t0 = _time.time()
+    with _pytest.raises(E.ConcurrentWriterError):
+        E._acquire_writer_lock_blocking(out, "test", timeout=0.5, lease_sec=3.0)
+    waited = _time.time() - t0
+    # one extension for the entry-time holder (3s lease + 0.5s slack) is
+    # allowed; unbounded re-extension would never return at all (every
+    # peek re-arms the deadline under turnover)
+    assert waited < 8.0, waited

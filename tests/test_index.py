@@ -125,3 +125,51 @@ def test_prefix_sum_exclusive_matches_window(spark):
     for k in range(5000):
         assert got[k] == acc
         acc += k % 7 + 1
+
+
+def test_ranged_zero_shuffle_fast_path_matches_shuffle(spark, tmp_path):
+    """On a sorted multi-file input whose scan partitions hold disjoint
+    key ranges, _ranged's probed zero-shuffle path must produce exactly
+    the edge_ranges output the range-shuffle fallback produces."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkcodec import index as I
+    from sparkcodec.index import edge_ranges
+
+    d = str(tmp_path / "sorted_multi")
+    os.makedirs(d)
+    n_files, rows = 8, 20000
+    per = rows // n_files
+    for i in range(n_files):
+        lo = i * per
+        t = pa.table({
+            "k": pa.array(range(lo, lo + per), type=pa.int64()),
+            "node": pa.array([(lo + j) // 37 % 5 for j in range(per)],
+                             type=pa.int64()),
+            "pad": pa.array(["x" * 64] * per),
+        })
+        pq.write_table(t, f"{d}/part-{i:02d}.parquet")
+    conf = spark.conf
+    old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = conf.get("spark.sql.files.openCostInBytes")
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", str(64 << 10))
+        conf.set("spark.sql.files.openCostInBytes", str(1 << 10))
+        df = spark.read.parquet(d)
+        sel = df.select("node", "k")
+        rm = I._aligned_rank_map(sel, ["k"])
+        assert rm is not None and len(rm) >= 4, rm  # fast path engages
+        fast = {tuple(r) for r in edge_ranges(df, "node", ["k"]).collect()}
+        orig = I._aligned_rank_map
+        I._aligned_rank_map = lambda _df, _oc: None  # force the fallback
+        try:
+            slow = {tuple(r) for r in edge_ranges(df, "node", ["k"]).collect()}
+        finally:
+            I._aligned_rank_map = orig
+        assert fast == slow and len(fast) > 100
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        conf.set("spark.sql.files.openCostInBytes", old_open)

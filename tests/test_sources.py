@@ -1034,3 +1034,36 @@ def test_stream_and_cdc_follow_renamed_columns(spark, tmp_path):
     ev = spark.read.parquet(sink2)
     dels = sorted(r["doc"] for r in ev.where("_op = 'delete'").collect())
     assert dels == [0, 1, 2, 3, 4]
+
+
+def test_isnull_pushdown_keeps_ghost_parts(spark, tmp_path):
+    """IS NULL pushdown must not prune a part by the DEAD field's null
+    stats: after drop + re-add, pre-drop parts decode the column as
+    all-NULL at the tip, so every one of their rows matches IS NULL even
+    though the retired field recorded zero nulls."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.datasource import SparkcodecDataSource
+    from sparkcodec.engine import drop_column, encode_table
+
+    spark.dataSource.register(SparkcodecDataSource)
+    out = str(tmp_path / "ghostnull")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).alias("g"),
+        (F.col("id") * 10).alias("v"),  # zero nulls in the retired field
+    )
+    encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                 num_parts=1, resume=False)
+    drop_column(out, "v")
+    encode_table(
+        spark,
+        spark.range(100, 150).select(
+            F.col("id"), (F.col("id") % 2).alias("g"),
+            (F.col("id") + 7).alias("v"),  # re-added name, fresh field id
+        ),
+        out, append=True, cluster_by=["g"], salt_by=["id"], num_parts=1,
+    )
+    r = spark.read.format("sparkcodec").load(out)
+    # the 100 pre-drop rows are all-NULL for v at the tip
+    assert r.filter("v IS NULL").count() == 100
+    assert r.filter("v IS NOT NULL").count() == 50

@@ -2488,6 +2488,7 @@ def encode_table(
     # every part of this run is durably checkpointed, so readers resolve
     # either the previous snapshot or the complete new one
     snaps = snapshots(out_dir)
+    committed = None
     new_parts = sorted(done | {int(r["part_id"]) for r in rows})
     # appending to a pre-snapshot table (no _snapshots.jsonl, e.g. written
     # by an older engine): the entry about to be written becomes the ROOT
@@ -2526,9 +2527,11 @@ def encode_table(
         }
         if commit:
             if optimistic:
-                _commit_optimistic_append(out_dir, entry, meta, pm_new, res)
+                committed = _commit_optimistic_append(
+                    out_dir, entry, meta, pm_new, res
+                )
             else:
-                _commit_snapshot_entry(
+                committed = _commit_snapshot_entry(
                     out_dir, entry, append=append, evolved_meta=evolved_meta,
                     pm=pm_new, branch=branch,
                 )
@@ -2561,6 +2564,9 @@ def encode_table(
             "commit": round(time.time() - _t_job_end, 3),
         },
     }
+    if committed is not None:
+        # the id this run's snapshot committed as (time-travel handle)
+        result["snapshot_id"] = committed.get("id")
     if not commit:
         result["pending_commit"] = (
             {"entry": entry, "evolved_meta": evolved_meta, "pm": pm_new}
@@ -5410,11 +5416,23 @@ def _rebase_replay(
                 f"rollback/fast-forward/rebase entry, which has no "
                 f"row-level interpretation on a different base"
             )
-        if e.get("drop_column"):
+        if e.get("drop_column") or e.get("rename_column") or e.get("add_column"):
+            # rename/add entries would otherwise fall through to the
+            # append arm with empty parts and VANISH from the replayed
+            # chain — schema ops refuse loudly, all three kinds alike
+            kind = (
+                "drops" if e.get("drop_column")
+                else "renames" if e.get("rename_column")
+                else "adds"
+            )
+            what = (
+                e.get("drop_column") or e.get("rename_column")
+                or e.get("add_column")
+            )
             raise ValueError(
-                f"branch {name!r} cannot replay: commit {e['id']} drops "
-                f"column {e['drop_column']!r}; schema changes must be "
-                f"re-applied on main first"
+                f"branch {name!r} cannot replay: commit {e['id']} {kind} "
+                f"column {what!r}; schema changes must be re-applied on "
+                f"main first"
             )
         if e.get("merge"):
             key = e.get("merge_key")

